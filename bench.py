@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query executes fully (noop sink — no driver collect, no disk write) so
+the measured time is scan + shuffle + compute. That is the number that must
+hold up at 100 TB: every headline query is one-or-two-shuffle by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sparkgraft import registry
+    from sparkgraft.session import get_spark
+
+    spark = get_spark("sparkgraft-bench", master=f"local[{cpus}]")
+
+    headline = [
+        "wau_user",
+        "wau_session",
+        "sessionize_ids",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "latest_event_per_user",
+        "rollup_order_counts",
+    ]
+    extra = [n for n in registry.queries() if n not in headline]
+    qfns = registry.queries()
+
+    # JVM/codegen warm-up on the smallest table so q1 isn't charged for it.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline + extra:
+        t0 = time.perf_counter()
+        qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

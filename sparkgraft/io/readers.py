@@ -1,0 +1,111 @@
+"""Schema-explicit sources (reference §2.1 S1-S2 equivalents).
+
+The reference reads raw CSVs with a hand-declared StructType so no inference
+pass touches the data (reference connector/raw/RawConnector.scala:14-20) and
+resolves month-keyed filenames (connector/raw/RawUserEventConnector.scala:23-33).
+We keep both behaviors and add a parquet reader that tolerates
+nanosecond-precision timestamp columns (Spark reads INT64 TIMESTAMP(NANOS)
+only as long via ``spark.sql.legacy.parquet.nanosAsLong``; we convert to
+microsecond TIMESTAMP_NTZ, matching what a DuckDB/pyarrow reader sees).
+
+Scale notes:
+- Explicit schemas avoid a full scan for CSV inference — mandatory at 100 TB.
+- The ns->ts conversion is a projection; filters written against the
+  converted column cannot reach parquet row-group pruning. For the hot
+  time-partitioned path, partition directories (catalog.py) carry the
+  pruning instead.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+#: tables the driver materializes per TESTDATA.md
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_fields(path: str) -> list[str]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        # Directory dataset: look at the first fragment.
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path).schema
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalize ns timestamps to TIMESTAMP_NTZ.
+
+    TIMESTAMP_NTZ is the zone-less semantics the files were written with
+    (pyarrow naive timestamps), and what the DuckDB oracle sees.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # Defensive: the caller's session may not come from sparkgraft.get_spark
+    # (the verify driver builds its own). Both confs are dynamic SQL confs:
+    # nanosAsLong lets the scan read INT64 TIMESTAMP(NANOS) columns at all,
+    # and a pinned UTC session tz keeps NTZ<->TZ casts (session ids, KST
+    # bucketing) deterministic and oracle-consistent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for col in _nanos_fields(path):
+        # floor-div truncates toward zero for the positive epochs in play,
+        # matching DuckDB/pyarrow ns->us truncation.
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES, register: bool = True
+) -> dict[str, DataFrame]:
+    """Read several tables; optionally register them as temp views so the
+    SQL surface (``spark.sql``) sees the same names as the DuckDB oracle."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema — no inference pass.
+
+    Parity: reference connector/raw/RawConnector.scala:14-20.
+    """
+    reader = spark.read.option("header", str(header).lower()).schema(schema)
+    return reader.csv(paths)
+
+
+def month_filenames(months: list[str], pattern: str = "%Y-%b.csv") -> list[str]:
+    """``yyyy-MM`` strings -> ``yyyy-LLL.csv`` filenames (e.g. 2019-Oct.csv).
+
+    Parity: reference connector/raw/RawUserEventConnector.scala:23-33.
+    """
+    return [datetime.strptime(m, "%Y-%m").strftime(pattern) for m in months]

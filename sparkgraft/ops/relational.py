@@ -1,0 +1,59 @@
+"""Relational operator surface (reference §2.2-2.4, §2.6-2.7).
+
+Most of the reference's relational ops map 1:1 onto DataFrame methods and
+need no wrapper; this module keeps the few compositions worth naming, plus
+numeric helpers that make floating-point aggregates exactly reproducible
+(engine vs DuckDB oracle) — exact decimal arithmetic internally, double out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def left_join(
+    left: DataFrame, right: DataFrame, on: str | list[str], broadcast_right: bool = False
+) -> DataFrame:
+    """Left outer equi-join (J1, reference DataLoadTransformer.scala:139).
+
+    ``broadcast_right=True`` pins a broadcast-hash plan for known-small build
+    sides (the continuity frontier, dimension tables); otherwise AQE picks.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="left")
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Positional bag-semantics union of N frames (U1/U2, reference
+    UserActivityHiveConnector.scala:29, DataLoadTransformer.scala:135).
+    Shuffle-free."""
+    return reduce(DataFrame.union, dfs)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Deterministic top-k: caller must make ``order`` a total order
+    (include a key tiebreak). Spark plans TakeOrderedAndProject — a per-
+    partition heap + single-reduce merge, no global sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
+    """Order-insensitive SUM for double columns.
+
+    Summing doubles is non-associative — a shuffle reorder changes the last
+    bits, which breaks value-hash comparison against any oracle. Casting each
+    addend to a decimal first makes the sum exact and order-free; the final
+    cast back to double is a single deterministic rounding. The per-row cast
+    is whole-stage-codegen'd — no measurable cost next to the shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def exact_avg(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
+    """Order-insensitive AVG: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c, scale, precision) / F.count(c)

@@ -1,0 +1,126 @@
+"""TPC-H-style analytic queries over the testdata star schema.
+
+These exercise the general relational surface (joins, multi-aggregate
+groupBy, rollup, top-k) beyond the reference's own two queries, on the
+driver's TPC-H-ish tables (TESTDATA.md). Aggregates over doubles use exact
+decimal internals (ops/relational.exact_sum) so results are bit-stable under
+shuffle reordering and hash-match the DuckDB oracle.
+
+Plan quality (checked in tests via explain):
+- q1: single hash-aggregate pass, no join.
+- q3: customer filter pushed below the join; orders⋈lineitem shuffles on
+  orderkey; customer side broadcasts at any realistic dim size.
+- q5: dims (region, nation, supplier) broadcast; the only big shuffle is
+  orders⋈lineitem. Join order left to Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgraft.ops.relational import exact_avg, exact_sum, top_k
+
+
+def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing summary over lineitem."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    asof: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue top-10."""
+    asof_ts = F.lit(asof).cast("timestamp_ntz")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        customer.where(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < asof_ts)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > asof_ts)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        exact_sum(revenue).alias("revenue")
+    )
+    # total order (revenue desc, key asc) => deterministic top-k
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10).select(
+        "o_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer share
+    the nation. Dims broadcast; fact-fact join shuffles on orderkey."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(exact_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def rollup_order_counts(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregate (grouping-set surface): counts + exact sums at
+    (flag, status), (flag), and grand-total levels."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic top-k orders by total price (O-series surface)."""
+    return top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k,
+    )

@@ -1,0 +1,142 @@
+"""Golden sessionization fixture (FIXTURES.md F3): hand-computed session
+groupings over edge cases — gap 299/300/301 s, single events, out-of-order
+input, identical timestamps across users, cross-batch continuity."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.ops.sessionize import (
+    carryover_frontier,
+    session_bounds,
+    sessionize,
+    sessionize_with_continuity,
+)
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)], "event_id long, user_id string, ts timestamp_ntz"
+    )
+
+
+def _groups(df):
+    """{frozenset(event_ids)} per session."""
+    rows = df.select("event_id", "session_id").collect()
+    by_sess: dict[str, set] = {}
+    for r in rows:
+        by_sess.setdefault(r.session_id, set()).add(r.event_id)
+    return {frozenset(v) for v in by_sess.values()}
+
+
+def test_gap_rule_299_300(spark):
+    rows = [
+        ("A", T0),                              # 0: session 1
+        ("A", T0 + timedelta(seconds=299)),     # 1: same session (gap < 300)
+        ("A", T0 + timedelta(seconds=599)),     # 2: NEW session (gap == 300)
+        ("B", T0),                              # 3: own session
+    ]
+    out = sessionize(_df(spark, rows), order_tiebreak=("event_id",))
+    assert _groups(out) == {frozenset({0, 1}), frozenset({2}), frozenset({3})}
+
+
+def test_out_of_order_input_and_ts_ties(spark):
+    # user C events arrive out of time order; D/E share identical timestamps
+    rows = [
+        ("C", T0 + timedelta(seconds=400)),     # 0: second session
+        ("C", T0),                              # 1: first session
+        ("C", T0 + timedelta(seconds=60)),      # 2: first session (gap 60)
+        ("D", T0),                              # 3
+        ("E", T0),                              # 4: independent of D
+    ]
+    out = sessionize(_df(spark, rows), order_tiebreak=("event_id",))
+    assert _groups(out) == {frozenset({1, 2}), frozenset({0}), frozenset({3}), frozenset({4})}
+
+
+def test_every_event_has_session_and_counts_match(spark, sf_dir):
+    from sparkgraft.io.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = sessionize(ev, order_tiebreak=("event_id",))
+    assert out.where(F.col("session_id").isNull()).count() == 0
+    # distinct sessions == number of gap-starts
+    n_sessions = out.select("session_id").distinct().count()
+    bounds = session_bounds(out)
+    assert bounds.count() == n_sessions
+    # sessions never exceed-gap internally: max internal gap < 300s
+    w_ok = (
+        out.selectExpr(
+            "session_id",
+            "ts",
+            "lag(ts) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS prev_ts",
+        )
+        .where("prev_ts IS NOT NULL AND ts >= prev_ts + INTERVAL 300 SECOND")
+        .count()
+    )
+    assert w_ok == 0
+
+
+def test_cross_batch_continuity(spark):
+    # batch 1: user F last event 23:58, user G last event 23:50
+    batch1 = sessionize(
+        _df(
+            spark,
+            [
+                ("F", datetime(2024, 3, 1, 23, 58)),
+                ("G", datetime(2024, 3, 1, 23, 50)),
+            ],
+        ),
+        order_tiebreak=("event_id",),
+    )
+    f_sess = {r.user_id: r.session_id for r in batch1.collect()}
+
+    boundary = datetime(2024, 3, 2, 0, 0)
+    frontier = carryover_frontier(batch1, boundary)
+    # G's last event is 600s before the boundary -> not in the frontier
+    assert {r.user_id for r in frontier.collect()} == {"F"}
+
+    # batch 2: F at 00:01 (gap 180s -> SAME session), F at 00:10 (gap 540 -> NEW),
+    # G at 00:01 (gap 660s from 23:50 -> NEW session regardless)
+    batch2 = _df(
+        spark,
+        [
+            ("F", datetime(2024, 3, 2, 0, 1)),
+            ("F", datetime(2024, 3, 2, 0, 10)),
+            ("G", datetime(2024, 3, 2, 0, 1)),
+        ],
+    )
+    out = sessionize_with_continuity(batch2, frontier, order_tiebreak=("event_id",))
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got[0] == f_sess["F"], "F's first event continues the carried session"
+    assert got[1] != f_sess["F"], "F's 00:10 event starts a new session"
+    assert got[2] != f_sess["G"], "G's gap exceeds 300s -> new session"
+
+
+def test_continuity_without_frontier_matches_plain_sessionize(spark):
+    rows = [
+        ("H", T0),
+        ("H", T0 + timedelta(seconds=100)),
+        ("H", T0 + timedelta(seconds=500)),
+    ]
+    plain = sessionize(_df(spark, rows), order_tiebreak=("event_id",))
+    cont = sessionize_with_continuity(_df(spark, rows), None, order_tiebreak=("event_id",))
+    assert _groups(plain) == _groups(cont)
+    # identical deterministic ids, not just identical groupings
+    assert {
+        (r.event_id, r.session_id) for r in plain.collect()
+    } == {(r.event_id, r.session_id) for r in cont.collect()}
+
+
+def test_single_shuffle_plan(spark, sf_dir):
+    """The whole sessionize pipeline must plan exactly ONE exchange on
+    user_id — lag, flag, and forward-fill share a window ordering."""
+    from sparkgraft.io.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = sessionize(ev, order_tiebreak=("event_id",))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
