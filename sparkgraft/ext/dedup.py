@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five dedup families, all declarative DataFrame ops (no Python UDFs):
+
+- exact            hash-groupBy on raw text                  (one shuffle)
+- exact-normalized groupBy on canonical fingerprint          (one shuffle)
+- n-gram Jaccard   shingle-blocked candidate join + exact
+                   Jaccard from shared-shingle counts
+- MinHash + LSH    k=16 signature, banded bucketing, verify
+                   candidates with true shingle Jaccard
+- SimHash          16-bit signature via explode+groupBy,
+                   Hamming-close pairs
+
+Hashing: engine-portable ``hash64`` = first 15 hex digits of md5 as int —
+identical in Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), so every stage is
+oracle-checkable. (Spark's builtin murmur `hash()` would be faster but is
+not reproducible outside Spark; swap via the expression if parity is not
+needed.)
+
+Scale posture (100 TB):
+- exact: shuffle on a 64-bit text hash, not the text — tiny exchange.
+- shingle blocking: hot shingles (stopword trigrams) explode the candidate
+  space; ``max_doc_freq`` drops shingles appearing in more than N docs
+  (standard df-cut). MinHash banding bounds candidates regardless.
+- simhash pairing here is the O(n²) verify for small n; at scale pair via
+  banding on signature bytes (same LSH trick, Hamming space).
+
+Note Spark's ``sequence(a, b)`` DESCENDS when a > b (it never returns
+empty), so every shingle expression guards the size(tokens) < n case —
+mirrored in the oracle SQL, where DuckDB's generate_series would instead
+return empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgraft.ext.text import normalize_text, tokens
+
+#: engine-portable 60-bit hash of a string expression (SQL fragment)
+HASH64_SQL = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+#: MinHash affine permutations over Z_p (p = 2^31-1, Mersenne prime):
+#: perm_i(h) = (A[i]*h + B[i]) mod p. One md5 per shingle total; the 16
+#: permutations are integer mul/add — exact and identical in any engine.
+MINHASH_P = 2_147_483_647
+_rng = __import__("numpy").random.RandomState(7)
+MINHASH_A: list[int] = [int(a) for a in _rng.randint(1, MINHASH_P, size=64)]
+MINHASH_B: list[int] = [int(b) for b in _rng.randint(0, MINHASH_P, size=64)]
+
+
+def shingle_expr(tok_col: str = "__toks", n: int = 3) -> str:
+    """SQL fragment: word n-gram shingles of a token-array column.
+
+    Docs shorter than n tokens yield one shingle (the whole doc).
+    """
+    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({tok_col}) < {n}"
+        f" THEN array(concat_ws(' ', {tok_col}))"
+        f" ELSE transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def exact_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text with the kept (min) id and the
+    duplicate count. Shuffles on a 64-bit hash of the text, not the text."""
+    h = F.expr(HASH64_SQL.format(x=col))
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def normalized_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup groups on the canonical fingerprint (case/whitespace-insensitive):
+    kept id + copy count per group, all groups (n_copies==1 are uniques)."""
+    return (
+        df.select(F.col(id_col), normalize_text(col).alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def doc_shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc, shingle) DISTINCT pairs — the shingle-set relation."""
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(col).alias("__toks"))
+        .select("doc", F.explode(F.expr(shingle_expr("__toks", n))).alias("sh"))
+        .distinct()
+    )
+
+
+def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_inter) + per-doc set sizes -> thresholded Jaccard.
+
+    Integer counts only; the final double division is bit-identical across
+    engines."""
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, blocked on shared shingles.
+
+    ``max_doc_freq`` is the scale knob: drop shingles present in more than
+    N docs before pairing (bounds the blocking-join fan-out; the dropped
+    shingles still count toward set sizes, so Jaccard is then a lower
+    bound — standard df-cut trade-off, OFF by default for exactness).
+    """
+    ds = doc_shingles(df, col, id_col, n)
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    blocked = ds
+    if max_doc_freq is not None:
+        freq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        blocked = ds.join(freq.where(F.col("df") <= max_doc_freq).select("sh"), "sh")
+    inter = (
+        blocked.select(F.col("doc").alias("doc_a"), "sh")
+        .join(blocked.select(F.col("doc").alias("doc_b"), "sh"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_counts(inter, sizes, threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = 16, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature columns sig_0..sig_{k-1}.
+
+    Base hash once per shingle (md5-derived, engine-portable), then k
+    affine permutations over Z_p — min of each. Pure per-row array
+    expressions; the base-hash array is a common subexpression Spark's
+    codegen evaluates once across all k signature columns.
+    """
+    base = f"transform(__sh, s -> {HASH64_SQL.format(x='s')} % {MINHASH_P})"
+    with_hs = (
+        df.select(F.col(id_col).alias("doc"), tokens(col).alias("__toks"))
+        .select("doc", F.expr(shingle_expr("__toks", n)).alias("__sh"))
+        .select("doc", F.expr(base).alias("__hs"))
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(__hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return with_hs.select("doc", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard.
+
+    Banding 16 hashes as 8 bands x 2 rows puts the LSH S-curve threshold at
+    (1/b)^(1/r) ~= 0.35, comfortably under the 0.5 verify threshold: pairs
+    at jaccard 0.7 are caught with p > 0.99.
+
+    signatures -> band hashes -> stack -> bucket self-join -> distinct
+    candidates -> exact Jaccard -> threshold. The bucket join replaces the
+    all-pairs product: only same-band-hash docs ever meet, so the candidate
+    set stays near-linear in corpus size at any scale.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(df, col, id_col, k, n)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc", *band_cols)
+    stacked = banded.selectExpr(
+        "doc",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band_{b}" for b in range(bands))
+        + ") AS (band_idx, band_hash)",
+    )
+    cand = (
+        stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
+        .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ds = doc_shingles(df, col, id_col, n)
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(ds.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_counts(inter, sizes, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash signature: explode tokens, hash each, majority-vote per bit.
+
+    Distributed-friendly: explode + one groupBy(doc) with ``bits`` integer
+    sums (map-side partial agg), then recombine bits. Duplicate tokens vote
+    multiple times (classic SimHash weighting by term frequency).
+    """
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("tok")).withColumn(
+        "h", F.expr(HASH64_SQL.format(x="tok"))
+    )
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return votes.selectExpr("doc", f"{sim} AS simhash")
+
+
+def simhash_close_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of docs whose SimHash Hamming distance <= max_hamming.
+
+    All-pairs compare of the (tiny) signature table — fine to ~10⁵ docs; at
+    100 TB band the signature bytes (LSH in Hamming space) first.
+    """
+    sigs = simhash_signatures(df, col, id_col, bits)
+    return (
+        sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
+        .crossJoin(sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

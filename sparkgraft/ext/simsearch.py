@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both pure Spark SQL expressions (JVM-side higher-order
+functions — no Python in the loop):
+
+- brute-force cosine top-k / threshold pairs: the exactness baseline.
+  Cross join pruned to a broadcast query side; dot products via
+  ``aggregate(zip_with(...))`` in double precision.
+- LSH (random-hyperplane) bucketed ANN: signature = sign bits of dot
+  products against H fixed hyperplanes; candidates meet only within a
+  bucket, then exact cosine re-rank. The hyperplanes are seeded-numpy
+  literals baked into the plan (and into the oracle SQL), so results are
+  reproducible across engines and across runs.
+
+Determinism: cosine is rounded to 8 decimals BEFORE ranking, and ranking
+ties break on candidate id — so top-k sets are stable across engines
+despite floating summation-order differences (double error ~1e-15 vs the
+5e-9 rounding boundary).
+
+Scale posture (100 TB embeddings):
+- brute force is O(Q×N) — right only for small query sets or as the
+  verify/recall baseline.
+- LSH bucket join is the scale path: one shuffle on bucket id; bucket
+  width tunes candidate count. For IVF-style partitioning swap the bucket
+  fn for nearest-centroid (same join shape).
+- At serving scale, signatures are precomputed once and stored as a
+  column — here they are inline expressions for self-containedness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: fixed random hyperplanes (H x dim), seeded — identical literals go into
+#: the Spark plan and the DuckDB oracle. 4 planes = 16 buckets: sized for
+#: the near-random test embeddings (top-neighbor cosine ~0.4-0.5, where
+#: sign-LSH collision probability is only (1-θ/π) per plane). Clustered
+#: production embeddings take more planes; recall is recovered cheaply via
+#: multi-probe (querying all 1-bit-flip neighbor buckets) either way.
+N_PLANES = 4
+DIM = 64
+_PLANES = np.random.RandomState(42).standard_normal((N_PLANES, DIM)).round(6)
+
+
+def planes_spark_literal() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in row) + ")" for row in _PLANES.tolist()
+    )
+    return f"array({rows})"
+
+
+def planes_duckdb_literal() -> str:
+    rows = ", ".join("[" + ", ".join(f"{w}::DOUBLE" for w in row) + "]" for row in _PLANES.tolist())
+    return f"[{rows}]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Double-precision dot product of two float-array expressions."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_sql(a: str, b: str, digits: int = 8) -> str:
+    """Rounded cosine similarity of two float-array expressions."""
+    return (
+        f"round({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), {digits})"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return F.expr(cosine_sql(a, b))
+
+
+def _norm(vec: str) -> Column:
+    return F.expr(f"sqrt({_dot_sql(vec, vec)})")
+
+
+def _paired_cosine(dot_expr: str, na: str, nb: str, digits: int = 8) -> Column:
+    """cosine from a pairwise dot + per-side precomputed norms. Same
+    arithmetic as ``cosine_sql`` (norms are deterministic scalars), but each
+    norm is computed once per VECTOR instead of once per PAIR — 3x fewer
+    flops on the N² stage."""
+    return F.expr(f"round({dot_expr} / ({na} * {nb}), {digits})")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast (small by construction); candidates are
+    repartitioned so the nested-loop probe parallelizes (a single parquet
+    file otherwise arrives as one partition), with per-vector norms
+    precomputed on both sides.
+    """
+    q = emb.where(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), _norm(vec_col).alias("qn")
+    )
+    c = emb.repartition(parallelism).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), _norm(vec_col).alias("cn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", _paired_cosine(_dot_sql("qv", "cv"), "qn", "cn"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 32,
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold (embedding near-dup dedup).
+
+    Brute-force N²/2 — the correctness baseline; at scale route through
+    LSH bucket candidates first (identical output when the threshold is
+    high enough that near-dups collide in at least one bucket). Norms are
+    precomputed per vector; the streamed side is repartitioned so the
+    nested-loop pair generation runs on all cores."""
+    a = emb.repartition(parallelism).select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), _norm(vec_col).alias("na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), _norm(vec_col).alias("nb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _paired_cosine(_dot_sql("va", "vb"), "na", "nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def bucket_sql(vec: str, planes_literal: str | None = None) -> str:
+    """LSH bucket id: H sign bits of plane dot products, as a bit string."""
+    planes = planes_literal or planes_spark_literal()
+    return (
+        f"array_join(transform({planes}, p -> "
+        f"CASE WHEN {_dot_sql(vec, 'p')} > 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+def probe_buckets_sql(bucket: str, n_planes: int = N_PLANES) -> str:
+    """Multi-probe bucket list: the bucket itself + every 1-bit flip.
+
+    Flipping bit j of the '0'/'1' string: prefix + flipped char + suffix.
+    """
+    flips = ", ".join(
+        f"concat(substring({bucket}, 1, {j}),"
+        f" CASE WHEN substring({bucket}, {j + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring({bucket}, {j + 2}))"
+        for j in range(n_planes)
+    )
+    return f"array({bucket}, {flips})"
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with multi-probe: each query searches its own LSH bucket
+    plus all 1-bit-flip neighbor buckets, then exact cosine re-ranks the
+    candidates. One equi-join on bucket id — the scale path: candidate
+    count ~ (probes/2^H) x N per query instead of N."""
+    sig = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        _norm(vec_col).alias("cn"),
+        F.expr(bucket_sql(vec_col)).alias("bucket"),
+    )
+    q = (
+        emb.where(query_filter)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("qn"),
+            F.expr(bucket_sql(vec_col)).alias("__b0"),
+        )
+        .select(
+            "qid",
+            "qv",
+            "qn",
+            F.explode(F.expr(probe_buckets_sql("__b0"))).alias("bucket"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(sig, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", _paired_cosine(_dot_sql("qv", "cv"), "qn", "cn"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )

@@ -1,0 +1,107 @@
+"""Text analysis for LLM-data pipelines: tokenization, quality scoring,
+language ID, fingerprinting, token-count estimation.
+
+Everything here is built-in Spark SQL expressions (JVM-side, codegen'd) —
+no Python UDFs in the hot path. Each operation has an exactly-equivalent
+DuckDB formulation (see registry_ext.py) so results are oracle-checkable:
+the tokenizer, ratios, and heuristics are defined to the character so both
+engines compute identical values.
+
+Scale: all per-row map work — no shuffle at all. A 100 TB documents table
+streams through whole-stage-codegen at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: whitespace tokenizer on lowercased trimmed text (empty tokens dropped)
+_TOKENS_SQL = "filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
+
+#: per-language stopword marker sets for the n-gram/stopword lang-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "fr": ("le", "les", "des", "et", "est", "un"),
+}
+
+#: generic stopword set for quality scoring (english-ish)
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + ("it", "for", "on", "with")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of lowercased text, empties removed."""
+    return F.expr(_TOKENS_SQL.format(col=col))
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: str = "text") -> Column:
+    """BPE-ish token-count estimate: ~1 token per 4 chars (the standard
+    heuristic for byte-pair-encoded English text)."""
+    return F.ceil(F.length(F.trim(F.col(col))) / F.lit(4.0)).cast("bigint")
+
+
+def _count_in_set(tokens_expr: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens_expr}, t -> array_contains(array({arr}), t)))"
+
+
+def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    - alpha_ratio: share of a-z characters
+    - stopword_ratio: stopword tokens / tokens (with duplicates)
+    - avg_token_len: mean token length
+    - quality_score: 0.4*alpha + 0.3*min(1, n_tokens/100) + 0.3*stopword-signal
+    """
+    t = _TOKENS_SQL.format(col=col)
+    n_tok = f"size({t})"
+    n_chars = f"length(trim({col}))"
+    alpha = f"length(regexp_replace(lower(trim({col})), '[^a-z]', ''))"
+    stop_hits = _count_in_set(t, STOPWORDS)
+    tok_len_sum = f"aggregate({t}, 0L, (acc, x) -> acc + length(x))"
+    return df.selectExpr(
+        id_col,
+        f"CAST({n_tok} AS BIGINT) AS n_tokens",
+        f"CAST({n_chars} AS BIGINT) AS n_chars",
+        f"round({alpha} / CAST({n_chars} AS DOUBLE), 6) AS alpha_ratio",
+        f"round({stop_hits} / CAST({n_tok} AS DOUBLE), 6) AS stopword_ratio",
+        f"round({tok_len_sum} / CAST({n_tok} AS DOUBLE), 6) AS avg_token_len",
+        f"round(0.4 * ({alpha} / CAST({n_chars} AS DOUBLE))"
+        f" + 0.3 * least(1.0, {n_tok} / 100.0)"
+        f" + 0.3 * least(1.0, 3.0 * ({stop_hits} / CAST({n_tok} AS DOUBLE))), 6)"
+        " AS quality_score",
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-token
+    hits, pick the max (fixed precedence en>es>de>fr on ties, 'und' if no
+    hits). Deterministic by construction."""
+    t = _TOKENS_SQL.format(col=col)
+    scores = {k: _count_in_set(t, v) for k, v in LANG_MARKERS.items()}
+    case = (
+        "CASE "
+        f"WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
+        f" AND {scores['en']} >= {scores['fr']} AND {scores['en']} > 0 THEN 'en' "
+        f"WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']}"
+        f" AND {scores['es']} > 0 THEN 'es' "
+        f"WHEN {scores['de']} >= {scores['fr']} AND {scores['de']} > 0 THEN 'de' "
+        f"WHEN {scores['fr']} > 0 THEN 'fr' "
+        "ELSE 'und' END"
+    )
+    return df.selectExpr(id_col, f"{case} AS lang_pred")
+
+
+def normalize_text(col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def fingerprint(col: str = "text") -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex)."""
+    return F.md5(normalize_text(col))

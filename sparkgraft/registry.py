@@ -427,9 +427,9 @@ def q_q5(spark, sf_dir):
 
 @register(
     "rollup_order_counts",
-    f"""
+    """
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-           {_DEC_SUM.format(expr='l_quantity')} AS sum_qty
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag, l_linestatus
@@ -451,3 +451,35 @@ def q_rollup(spark, sf_dir):
 )
 def q_top_orders(spark, sf_dir):
     return tpch.top_orders(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "sessions_per_user_window",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions
+    FROM sessioned
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_sessions_per_user_window(spark, sf_dir):
+    """Spark's native session_window aggregation as a second, independent
+    implementation of the 5-min-gap semantics (the streaming-ready form:
+    the same groupBy works under readStream + watermark). Oracle-checked
+    against the window-function sessionization — the two formulations must
+    agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        F.session_window("ts", "5 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# extension operators (dedup / simsearch / text / multimodal) register on
+# import — keep at the bottom so `register` exists first.
+from sparkgraft import registry_ext  # noqa: E402,F401  (registration side effect)

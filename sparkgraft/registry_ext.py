@@ -1,0 +1,408 @@
+"""Extension-query registrations: dedup, similarity search, text analysis,
+multimodal (the LLM-data-pipeline operators beyond the reference surface).
+
+Oracle SQL here is generated programmatically next to the Spark pipeline it
+mirrors, keeping hash functions (portable md5-derived hash64), tokenizers,
+shingle construction, rounding, and tie-breaks character-identical across
+engines. DuckDB-vs-Spark dialect notes:
+
+- regexp_replace needs the 'g' flag in DuckDB (Spark is global by default)
+- Spark ``sequence(a,b)`` descends for a>b; DuckDB generate_series returns
+  empty — both sides guard short docs explicitly
+- Spark size()/length() are int32 — cast to BIGINT to match DuckDB
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft.ext import dedup, multimodal, simsearch, text
+from sparkgraft.io.readers import read_table
+from sparkgraft.registry import register
+
+# ---------------------------------------------------------------------------
+# DuckDB dialect fragments (mirrors of the Spark expressions in ext/)
+# ---------------------------------------------------------------------------
+
+_TOK = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+
+
+def _hash64_d(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _shingles_d(t: str = "t", n: int = 3) -> str:
+    parts = ", ".join(f"{t}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')]"
+        f" ELSE list_transform(generate_series(1, len({t}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) END"
+    )
+
+
+_TOK_CTE = f"WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)"
+
+_SHINGLE_SET_CTES = (
+    _TOK_CTE
+    + f""",
+    sh AS (SELECT doc_id AS doc, unnest({_shingles_d()}) AS sh FROM tok),
+    ds AS (SELECT DISTINCT doc, sh FROM sh),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM ds GROUP BY doc)
+"""
+)
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    _TOK_CTE
+    + """
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           CAST(length(trim(text)) AS BIGINT) AS n_chars
+    FROM tok JOIN documents USING (doc_id)
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish estimate (chars/4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count().cast("bigint").alias("n_tokens"),
+        text.bpe_token_estimate().alias("est_bpe_tokens"),
+        F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars"),
+    )
+
+
+_STOP_D = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    _TOK_CTE
+    + f""",
+    q AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             length(trim(text)) AS n_chars,
+             length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g')) AS alpha,
+             len(list_filter(t, x -> list_contains({_STOP_D}, x))) AS stop_hits,
+             list_sum(list_transform(t, x -> length(x))) AS tok_len_sum
+      FROM tok JOIN documents USING (doc_id))
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(alpha / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio,
+           round(stop_hits / CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+           round(tok_len_sum / CAST(n_tok AS DOUBLE), 6) AS avg_token_len,
+           round(0.4 * (alpha / CAST(n_chars AS DOUBLE))
+                 + 0.3 * least(1.0, n_tok / 100.0)
+                 + 0.3 * least(1.0, 3.0 * (stop_hits / CAST(n_tok AS DOUBLE))), 6)
+               AS quality_score
+    FROM q
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/alpha/stopword features + composite score."""
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    scores = {
+        k: f"len(list_filter(t, x -> list_contains([{', '.join(repr(w) for w in v)}], x)))"
+        for k, v in text.LANG_MARKERS.items()
+    }
+    case = (
+        "CASE "
+        f"WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
+        f" AND {scores['en']} >= {scores['fr']} AND {scores['en']} > 0 THEN 'en' "
+        f"WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']}"
+        f" AND {scores['es']} > 0 THEN 'es' "
+        f"WHEN {scores['de']} >= {scores['fr']} AND {scores['de']} > 0 THEN 'de' "
+        f"WHEN {scores['fr']} > 0 THEN 'fr' "
+        "ELSE 'und' END"
+    )
+    return _TOK_CTE + f" SELECT doc_id, {case} AS lang_pred FROM tok"
+
+
+@register("text_lang_id", _lang_oracle())
+def q_text_lang_id(spark, sf_dir):
+    """Language ID via stopword-marker scoring (deterministic heuristic)."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-canonicalized text."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint().alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy; keeps min id per identical text)."""
+    return dedup.exact_dups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    r"""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    """,
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Exact dedup on case/whitespace-canonicalized text."""
+    return dedup.normalized_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SELECT = """
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {thr}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_SET_CTES
+    + """,
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2)
+    """
+    + _JACCARD_SELECT.format(thr=0.5),
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard, shingle-blocked."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+    rows = k // bands
+    p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({A[i]} * h + {B[i]}) % {p})) AS sig_{i}"
+        for i in range(k)
+    )
+    band_cols = ", ".join(
+        f"md5(concat_ws(',', {', '.join(f'sig_{b * rows + r}' for r in range(rows))})) AS band_{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, band_{b} AS band_hash FROM banded" for b in range(bands)
+    )
+    return (
+        _SHINGLE_SET_CTES
+        + f""",
+        shl AS (SELECT doc_id AS doc, {_shingles_d()} AS s FROM tok),
+        hshl AS (SELECT doc, list_transform(s, x -> {_hash64_d('x')} % {p}) AS hs FROM shl),
+        sigs AS (SELECT doc, {sig_cols} FROM hshl),
+        banded AS (SELECT doc, {band_cols} FROM sigs),
+        stacked AS ({stacked}),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM stacked a
+          JOIN stacked b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                        AND a.doc < b.doc),
+        inter AS (
+          SELECT doc_a, doc_b, count(*) AS n_inter
+          FROM cand
+          JOIN ds da ON da.doc = doc_a
+          JOIN ds db ON db.doc = doc_b AND da.sh = db.sh
+          GROUP BY 1, 2)
+        """
+        + _JACCARD_SELECT.format(thr=thr)
+    )
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_cte(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return (
+        _TOK_CTE
+        + f""",
+        tk AS (SELECT doc_id AS doc, unnest(t) AS tok FROM tok),
+        hashed AS (SELECT doc, {_hash64_d('tok')} AS h FROM tk),
+        votes AS (SELECT doc, {votes} FROM hashed GROUP BY doc),
+        sig AS (SELECT doc, {sim} AS simhash FROM votes)
+        """
+    )
+
+
+@register("dedup_simhash_sigs", _simhash_cte() + " SELECT doc, simhash FROM sig")
+def q_simhash_sigs(spark, sf_dir):
+    """16-bit SimHash signatures (tf-weighted majority vote per bit)."""
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_cte()
+    + """
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming distance <= 3 of 16 bits)."""
+    return dedup.simhash_close_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _dot_d(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _cos_d(a: str, b: str) -> str:
+    return f"round({_dot_d(a, b)} / (sqrt({_dot_d(a, a)}) * sqrt({_dot_d(b, b)})), 8)"
+
+
+@register(
+    "embed_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid, {_cos_d('qv', 'cv')} AS cosine
+      FROM q CROSS JOIN c WHERE qid <> cid)
+    SELECT qid, cid, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.brute_force_topk(emb, F.col("vec_id") < 8, k=5)
+
+
+@register(
+    "embed_cosine_neardup",
+    f"""
+    WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings)
+    SELECT vec_a, vec_b, {_cos_d('va', 'vb')} AS cosine
+    FROM a CROSS JOIN b
+    WHERE vec_a < vec_b AND {_cos_d('va', 'vb')} >= 0.45
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45, brute force)."""
+    return simsearch.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.45)
+
+
+def _lsh_oracle() -> str:
+    planes = simsearch.planes_duckdb_literal()
+    bucket = (
+        f"array_to_string(list_transform({planes}, p -> "
+        f"CASE WHEN list_sum(list_transform(generate_series(1, len({{v}})),"
+        f" i -> {{v}}[i]::DOUBLE * p[i])) > 0 THEN '1' ELSE '0' END), '')"
+    )
+    flips = ", ".join(
+        f"concat(substring(b0, 1, {j}),"
+        f" CASE WHEN substring(b0, {j + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring(b0, {j + 2}))"
+        for j in range(simsearch.N_PLANES)
+    )
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket
+                 FROM embeddings),
+    q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS b0 FROM sig WHERE vec_id < 8),
+    q AS (SELECT qid, qv, unnest([b0, {flips}]) AS bucket FROM q0),
+    c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM sig),
+    scored AS (
+      SELECT qid, cid, {_cos_d('qv', 'cv')} AS cosine
+      FROM q JOIN c USING (bucket) WHERE qid <> cid)
+    SELECT qid, cid, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("embed_lsh_topk", _lsh_oracle())
+def q_embed_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (8 seeded hyperplanes, cosine re-rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.lsh_topk(emb, F.col("vec_id") < 8, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_payload_digests",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5  -- md5(VARCHAR) hashes the utf-8 bytes,
+                                     -- = Spark's md5(encode(text,'UTF-8'))
+    FROM documents
+    """,
+)
+def q_payload_digests(spark, sf_dir):
+    """Binary payload column ops: byte length + content digest, JVM-side."""
+    df = multimodal.payload_digests(_t(spark, sf_dir, "documents"))
+    return df.withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
+
+
+@register("multimodal_decode_stub", None)  # rows-only: mapInPandas, non-SQL
+def q_decode_stub(spark, sf_dir):
+    """Arrow-batched decode stub over binary payloads (deterministic fake
+    decoder standing in for PIL/ffmpeg; exercises the real mapInPandas
+    plumbing — schema, batching, partitioning)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.attach_payload(docs), fake=True)
