@@ -1,0 +1,98 @@
+"""Catalog layer: partitioned-table specs + idempotent overwrite loader.
+
+Parity with the reference's Hive connector (SURVEY §2.1 S3-S7):
+
+- ``TableSpec``      (name, schema, partition keys) with partition columns
+                     physically last (reference HiveConnector.scala:13-15 —
+                     INSERT OVERWRITE binds partition columns positionally)
+- ``ensure_table``   create-if-absent from an empty frame, parquet+snappy
+                     (HiveConnector.scala:17-27)
+- ``extract_sql``    templated ``{TABLE}`` SQL over the registered table
+                     (HiveConnector.scala:29-32)
+- ``load_overwrite`` staging table + dynamic-partition INSERT OVERWRITE +
+                     staging drop (HiveConnector.scala:34-57). The staging
+                     hop exists because Spark cannot overwrite a table from
+                     a plan that reads the same table; dynamic overwrite
+                     replaces ONLY the partitions present in the input —
+                     the idempotent-backfill mechanism (reference README:5-8).
+
+Works against either catalog implementation: the in-memory session catalog
+or a Hive metastore (``get_spark(hive=True)``; embedded Derby locally, an
+external metastore service on a real cluster). At 100 TB the partition
+count is the metastore's problem, not the data path's — per-write dynamic
+overwrite touches only the loaded dates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    schema: StructType
+    partition_keys: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def ordered_columns(self) -> list[str]:
+        """Data columns first, partition keys last (positional-binding rule)."""
+        data = [f.name for f in self.schema.fields if f.name not in self.partition_keys]
+        return data + list(self.partition_keys)
+
+
+def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
+    """Create the partitioned parquet table if it does not exist."""
+    if spark.catalog.tableExists(spec.name):
+        return
+    empty = spark.createDataFrame([], spec.schema).select(*spec.ordered_columns)
+    writer = (
+        empty.write.mode("ignore").format("parquet").option("compression", "snappy")
+    )
+    if spec.partition_keys:
+        writer = writer.partitionBy(*spec.partition_keys)
+    writer.saveAsTable(spec.name)
+
+
+def extract_sql(spark: SparkSession, spec: TableSpec, templated_sql: str) -> DataFrame:
+    """Run SQL with ``{TABLE}`` substituted by the spec's table name."""
+    ensure_table(spark, spec)
+    return spark.sql(templated_sql.replace("{TABLE}", spec.name))
+
+
+def read_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
+    ensure_table(spark, spec)
+    return spark.table(spec.name)
+
+
+def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
+    """Idempotently (over)write the partitions present in ``df``.
+
+    Stages the input to a temp table first (breaking any read-from-target
+    cycle in ``df``'s plan), then INSERT OVERWRITE with dynamic partition
+    overwrite so untouched partitions survive. Rerunning the same load
+    yields byte-identical table contents.
+    """
+    ensure_table(spark, spec)
+    staging = f"temp_{spec.name}_{time.time_ns()}"
+    ordered = df.select(*spec.ordered_columns)
+    ordered.write.mode("errorifexists").format("parquet").option(
+        "compression", "snappy"
+    ).saveAsTable(staging)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        cols = ", ".join(spec.ordered_columns)
+        if spec.partition_keys:
+            part = ", ".join(spec.partition_keys)
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {spec.name} PARTITION ({part}) "
+                f"SELECT {cols} FROM {staging}"
+            )
+        else:
+            spark.sql(f"INSERT OVERWRITE TABLE {spec.name} SELECT {cols} FROM {staging}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -121,7 +121,7 @@ def carryover_frontier(
     The time-slice filter happens BEFORE the window, so at scale this reads
     one partition's tail, not the table.
     """
-    boundary = F.lit(boundary_ts).cast("timestamp_ntz")
+    boundary = F.lit(boundary_ts).cast(existing.schema[ts_col].dataType)
     gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
     sliver = existing.where((F.col(ts_col) < boundary) & (F.col(ts_col) >= boundary - gap))
     w_max = F.max(ts_col).over(Window.partitionBy(user_col))

@@ -480,6 +480,54 @@ def q_sessions_per_user_window(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_stateful_sessionize",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, ts, session_id FROM sessioned
+    """,
+)
+def q_streaming_stateful_sessionize(spark, sf_dir):
+    """The custom stateful streaming operator (applyInPandasWithState) run
+    over the events table as a one-shot stream (availableNow) — its
+    per-event session ids must match the batch window-function
+    sessionization bit-for-bit, so even the streaming path is
+    oracle-checked."""
+    import tempfile
+
+    from sparkgraft.streaming.sessions import stateful_sessionize
+
+    import os
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
+    # the streaming file source wants a directory — link the single file in
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    # stream sees the raw footer schema (ts = INT64 nanos under
+    # nanosAsLong); convert to timestamp in-stream like the batch reader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) register on
 # import — keep at the bottom so `register` exists first.
 from sparkgraft import registry_ext  # noqa: E402,F401  (registration side effect)

@@ -8,10 +8,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from sparkgraft.session import get_spark
 
-    s = get_spark("sparkgraft-tests", master="local[4]", shuffle_partitions=4)
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "sparkgraft-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
 

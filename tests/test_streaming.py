@@ -1,0 +1,113 @@
+"""Streaming sessionization tests: the streaming operators must agree with
+the batch sessionizer on the same data, including continuity across
+micro-batches and across query restarts (checkpoint recovery).
+
+Sink notes: the memory sink cannot recover from a checkpoint, so runs use
+foreachBatch -> parquet. session_window aggregations support only append
+mode, which emits a session once the watermark passes it — the fixture adds
+a far-future sentinel event to flush the real sessions out.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.ops.sessionize import sessionize
+from sparkgraft.streaming.sessions import session_counts_stream, stateful_sessionize
+
+SCHEMA = "event_id long, user_id long, ts timestamp"
+SCHEMA_RAW = "event_id long, user_id long, ts string"
+
+BATCH1 = [
+    (0, 1, "2024-03-01 12:00:00"),
+    (1, 1, "2024-03-01 12:04:00"),   # same session
+    (2, 2, "2024-03-01 23:58:00"),   # user 2 seed
+]
+BATCH2 = [
+    (3, 2, "2024-03-02 00:01:00"),   # continues across batch/restart (180s)
+    (4, 1, "2024-03-02 00:00:00"),   # new session for user 1 (huge gap)
+    (5, 2, "2024-03-02 00:12:00"),   # new session for user 2 (660s)
+]
+#: watermark pusher — excluded from assertions
+SENTINEL = [(99, 99, "2024-03-10 00:00:00")]
+
+
+def _write_batch(spark, rows, path, n):
+    df = spark.createDataFrame(rows, SCHEMA_RAW).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{n}")
+
+
+def _run_stream(spark, src_dir, ckpt, transform, out_dir):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+@pytest.fixture()
+def batch_df(spark):
+    rows = BATCH1 + BATCH2
+    return spark.createDataFrame(rows, SCHEMA_RAW).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_stateful_sessionize_matches_batch_across_restart(spark, tmp_path, batch_df):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    expected = {
+        (r.user_id, str(r.ts), r.session_id)
+        for r in sessionize(batch_df, order_tiebreak=("event_id",))
+        .select("user_id", "ts", "session_id")
+        .collect()
+    }
+
+    # run 1: first micro-batch only
+    _write_batch(spark, BATCH1, src, 1)
+    _run_stream(spark, src, ckpt, stateful_sessionize, out)
+    # run 2 (NEW query, same checkpoint): state must survive the restart
+    _write_batch(spark, BATCH2, src, 2)
+    got_df = _run_stream(spark, src, ckpt, stateful_sessionize, out)
+
+    got = {(r.user_id, str(r.ts), r.session_id) for r in got_df.collect()}
+    assert got == expected, (
+        "streaming session ids must equal the batch sessionizer's, "
+        f"diff={got ^ expected}"
+    )
+
+
+def test_session_window_stream_counts(spark, tmp_path, batch_df):
+    src, ckpt, out = str(tmp_path / "src2"), str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    _write_batch(spark, BATCH1, src, 1)
+    _write_batch(spark, BATCH2, src, 2)
+    _write_batch(spark, SENTINEL, src, 3)
+    res = _run_stream(spark, src, ckpt, session_counts_stream, out)
+    sessions = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in res.collect()
+        if r.user_id != 99
+    }
+    batch = sessionize(batch_df, order_tiebreak=("event_id",))
+    expected = {
+        (r.user_id, str(r.session_start)): r.n
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "session_start", "n")
+        .collect()
+    }
+    assert sessions == expected
