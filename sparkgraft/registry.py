@@ -69,6 +69,34 @@ def q_wau_user(spark, sf_dir):
     return wau.user_wau(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "wau_user_twolevel",
+    """
+    SELECT event_week, count(*) AS wau
+    FROM (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS event_week, user_id
+          FROM events)
+    GROUP BY event_week
+    ORDER BY event_week
+    """,
+)
+def q_wau_user_twolevel(spark, sf_dir):
+    """Skew-resistant exact distinct: stage 1 dedupes (week, user) pairs —
+    a hot user's billions of events collapse map-side to one row per week
+    before any single reducer sees them; stage 2 counts per week. Same
+    exact result as wau_user, but no reducer ever materializes a week's
+    full user set. The 100 TB form of A1 when user-skew breaks the
+    single-pass distinct."""
+    from sparkgraft.ops.temporal import week_start
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(week_start("ts").alias("event_week"), "user_id").distinct()
+    return (
+        pairs.groupBy("event_week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("event_week")
+    )
+
+
 _SESSIONIZE_CTE = """
     WITH lagged AS (
         SELECT event_id, user_id, ts,
@@ -134,13 +162,16 @@ def q_wau_session(spark, sf_dir):
     """,
 )
 def q_filter_time_range(spark, sf_dir):
-    """P7: range predicate on the time column (partition-prunable shape)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.where(
-        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
-        & F.col("event_type").isin("purchase", "cart")
-    ).select("event_id", "user_id", "ts", "event_type", "value")
+    """P7: range predicate on the time column, pushed into the parquet scan
+    as raw int64-nanos comparisons (row-group pruning at scale)."""
+    from sparkgraft.io.readers import read_table_ranged
+
+    ev = read_table_ranged(
+        spark, sf_dir, "events", "ts", [("2024-01-10", "2024-01-15")]
+    )
+    return ev.where(F.col("event_type").isin("purchase", "cart")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
 
 
 @register(
@@ -154,15 +185,20 @@ def q_filter_time_range(spark, sf_dir):
 )
 def q_filter_edge_slivers(spark, sf_dir):
     """P8: OR-of-ANDs selecting timezone-edge slivers (reference
-    UserActivityHiveConnector.scala:31-40 shape)."""
-    ev = _t(spark, sf_dir, "events")
-    a = (F.col("ts") >= F.lit("2024-01-07").cast("timestamp_ntz")) & (
-        F.col("ts") < F.lit("2024-01-07 09:00:00").cast("timestamp_ntz")
+    UserActivityHiveConnector.scala:31-40 shape), scan-pushed."""
+    from sparkgraft.io.readers import read_table_ranged
+
+    ev = read_table_ranged(
+        spark,
+        sf_dir,
+        "events",
+        "ts",
+        [
+            ("2024-01-07", "2024-01-07 09:00:00"),
+            ("2024-01-20 15:00:00", "2024-01-21"),
+        ],
     )
-    b = (F.col("ts") >= F.lit("2024-01-20 15:00:00").cast("timestamp_ntz")) & (
-        F.col("ts") < F.lit("2024-01-21").cast("timestamp_ntz")
-    )
-    return ev.where(a | b).select("event_id", "user_id", "ts", "event_type")
+    return ev.select("event_id", "user_id", "ts", "event_type")
 
 
 @register(
@@ -477,6 +513,249 @@ def q_sessions_per_user_window(spark, sf_dir):
         per_session.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (beyond the reference: ranking, sliding
+# frames, semi/anti joins, cube, percentiles, set ops, string functions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rank_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER w AS rn,
+                 rank()       OVER w AS rnk,
+                 dense_rank() OVER w AS drnk
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey))
+    WHERE rn <= 3
+    """,
+)
+def q_rank_orders_per_customer(spark, sf_dir):
+    """Ranking family: top-3 orders per customer by price (deterministic
+    tie-break). One shuffle on the partition key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "lead_next_event_gap",
+    """
+    SELECT event_id, user_id, ts,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             - epoch_us(ts) AS next_gap_us
+    FROM events
+    """,
+)
+def q_lead_next_event_gap(spark, sf_dir):
+    """lead(): time to each user's NEXT event (the forward twin of W1)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap = (
+        F.unix_micros(nxt.cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).alias("next_gap_us")
+    return ev.select("event_id", "user_id", "ts", gap)
+
+
+@register(
+    "sliding_hour_stats",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_last_hour,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                 / 100.0, 6) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_sliding_hour_stats(spark, sf_dir):
+    """Event-time sliding frame (RANGE BETWEEN INTERVAL): per-user trailing
+    1-hour count and exact sum (scaled-long, order-free). SQL-surface form
+    — the window clause runs through spark.sql over the loaded frame."""
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_last_hour,
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                     / 100.0, 6) AS sum_last_hour
+        FROM {events}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        events=_t(spark, sf_dir, "events"),
+    )
+
+
+@register(
+    "cumulative_purchases",
+    """
+    SELECT event_id, user_id, ts,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS purchases_so_far
+    FROM events
+    """,
+)
+def q_cumulative_purchases(spark, sf_dir):
+    """Running per-user purchase count (cumulative integer frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return ev.select(
+        "event_id", "user_id", "ts", F.sum(marker).over(w).alias("purchases_so_far")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    """,
+)
+def q_semi_join_active_customers(spark, sf_dir):
+    """Left-semi join: customers having at least one big order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 50000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_dormant_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_dormant_customers(spark, sf_dir):
+    """Left-anti join: customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "cube_event_counts",
+    """
+    SELECT event_type,
+           CAST(ts + INTERVAL 9 HOUR AS DATE) AS event_date_kst,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, event_date_kst)
+    """,
+)
+def q_cube_event_counts(spark, sf_dir):
+    """CUBE grouping sets: counts at every (type, kst-date) subtotal level."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", local_date("ts").alias("event_date_kst"))
+        .cube("event_type", "event_date_kst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "percentile_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_percentile_value_by_type(spark, sf_dir):
+    """Exact interpolated percentiles per group (median + p90). Exact
+    percentile needs the group sorted — at 100 TB prefer approx_percentile
+    (t-digest sketch, map-side combinable); exact is the oracle contract
+    here."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "nation_set_ops",
+    """
+    SELECT n_nationkey AS nationkey, 'both' AS tag
+    FROM (SELECT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS tag
+    FROM (SELECT c_nationkey AS n_nationkey FROM customer
+          EXCEPT
+          SELECT s_nationkey FROM supplier)
+    """,
+)
+def q_nation_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics over nation keys."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    # subtract = SQL EXCEPT (set difference); exceptAll would be multiset
+    only = cust.subtract(supp).withColumn("tag", F.lit("customer_only"))
+    return both.union(only)
+
+
+@register(
+    "string_functions_parts",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name_prefix,
+           concat(p_brand, '#', p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+    FROM part
+    """,
+)
+def q_string_functions_parts(spark, sf_dir):
+    """Scalar string surface: substr/upper/concat/length/regexp_extract."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
     )
 
 

@@ -65,7 +65,9 @@ def assert_parity(spark_df, oracle_pdf, float_rtol: float = 1e-9):
 
 
 def _is_nan(v) -> bool:
+    import pandas as pd
+
     try:
-        return v is None or (isinstance(v, float) and math.isnan(v))
-    except TypeError:
+        return v is None or bool(pd.isna(v))
+    except (TypeError, ValueError):
         return False

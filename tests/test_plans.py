@@ -1,0 +1,76 @@
+"""Physical-plan quality gates — the shapes that must survive a 100x
+scale-up. A query that silently regresses to a full scan, a sort-merge of a
+dimension table, or an extra shuffle passes correctness tests but fails
+these."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkgraft import registry
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        registry.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_time_range_filter_pushes_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_time_range")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "GreaterThanOrEqual(ts" in pushed[0], (
+        f"time bound must reach the parquet scan for row-group pruning: {pushed[0]}"
+    )
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    assert "LessThan(l_shipdate" in plan, "shipdate filter must be pushed"
+    # column pruning: only the 7 needed columns, not all 11
+    assert "l_orderkey" not in scan and "l_partkey" not in scan, scan
+
+
+def test_q5_joins_broadcast_no_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q3_uses_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+
+
+def test_wau_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wau_user")
+    assert plan.count("FileScan") == 1
+
+
+def test_continuity_frontier_broadcasts(spark):
+    """The carryover frontier join must be broadcast — no shuffle of the
+    event table for the continuity patch."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.ops.sessionize import sessionize_with_continuity
+
+    events = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    frontier = spark.createDataFrame(
+        [(1, "s1", datetime(1970, 1, 1))],
+        "user_id long, existing_session_id string, last_event_ts timestamp",
+    )
+    out = sessionize_with_continuity(events, frontier, order_tiebreak=("event_id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
