@@ -40,6 +40,64 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the ``value_col`` of the latest
+    right row with the same key and ``right_ts <= left_ts``.
+
+    Spark has no native as-of join; the classic distributed formulation is
+    union + forward-fill — one shuffle on the key, no range cross-product:
+
+    1. tag left (src=1) and right (src=0) rows, union on (key, ts, value)
+    2. running ``last(value, ignoreNulls)`` over (key) ordered by
+       (ts, src, tiebreak) — src orders right rows before left at equal ts,
+       making the match at-or-before inclusive
+    3. keep the left rows
+
+    This beats a range-condition join (which Spark plans as a
+    broadcast-nested-loop or cross product) at any scale: wall-clock is
+    one sort-shuffle of |left| + |right| rows.
+    """
+    out_col = out_col or f"asof_{value_col}"
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        F.lit(1).alias("__src"),
+    )
+    r2 = right.select(
+        *[
+            F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.col(value_col).alias("__val"),
+        F.lit(0).alias("__src"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__src", *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l2.union(r2)
+        .withColumn(out_col, F.last("__val", ignorenulls=True).over(w))
+        .where(F.col("__src") == 1)
+        .drop("__ts", "__val", "__src")
+    )
+
+
 def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-insensitive SUM for double columns.
 

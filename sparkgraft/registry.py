@@ -760,6 +760,77 @@ def q_string_functions_parts(spark, sf_dir):
 
 
 @register(
+    "asof_last_signup",
+    """
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS asof_ts
+    FROM events
+    """,
+)
+def q_asof_last_signup(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each event picks up the
+    user's most recent at-or-before signup time. Implemented with the
+    general union+forward-fill asof_join — one shuffle, no range
+    cross-product. The oracle states the same semantics as a single-table
+    window (valid because right ⊆ left here)."""
+    from sparkgraft.ops.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), "event_id"
+    )
+    joined = asof_join(
+        ev,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        value_col="signup_ts",
+        tiebreak=("event_id",),
+        out_col="asof_ts",
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_daily_event_types",
+    """
+    SELECT CAST(ts + INTERVAL 9 HOUR AS DATE) AS event_date_kst,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY event_date_kst
+    ORDER BY event_date_kst
+    """,
+)
+def q_pivot_daily_event_types(spark, sf_dir):
+    """PIVOT: daily KST counts, one column per event type. Pivot values are
+    given explicitly — at scale never let pivot() run its implicit distinct
+    collect over the data to discover them."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.select(local_date("ts").alias("event_date_kst"), "event_type")
+        .groupBy("event_date_kst")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty cells; align with the oracle's count()=0
+    return piv.select(
+        "event_date_kst",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("event_date_kst")
+
+
+@register(
     "streaming_stateful_sessionize",
     _SESSIONIZE_CTE
     + """

@@ -52,6 +52,54 @@ def test_wau_single_scan(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key must sort-merge WITHOUT a shuffle —
+    the write-once-shuffle-never mechanism for repeated fact⋈fact joins."""
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    catalog.save_bucketed(
+        spark, read_table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 4
+    )
+    catalog.save_bucketed(
+        spark,
+        read_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join (union + forward-fill) must plan exactly one exchange."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.relational import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), "event_id"
+    )
+    out = asof_join(ev, signups, "user_id", "ts", "signup_ts", "signup_ts",
+                    tiebreak=("event_id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_continuity_frontier_broadcasts(spark):
     """The carryover frontier join must be broadcast — no shuffle of the
     event table for the continuity patch."""
