@@ -176,6 +176,80 @@ def bucket_sql(vec: str, planes_literal: str | None = None) -> str:
     )
 
 
+#: fixed IVF "centroids" (K x dim, seeded). A production IVF trains these
+#: with k-means on a sample at index-build time; the engine mechanics —
+#: nearest-centroid bucketing + in-bucket re-rank — are identical, and
+#: fixed seeded centroids keep the whole path reproducible cross-engine.
+N_CENTROIDS = 8
+_CENTROIDS = (np.random.RandomState(7).standard_normal((N_CENTROIDS, DIM)) * 0.1).round(6)
+
+
+def centroids_spark_literal() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in row) + ")"
+        for row in _CENTROIDS.tolist()
+    )
+    return f"array({rows})"
+
+
+def centroids_duckdb_literal() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"{w}::DOUBLE" for w in row) + "]" for row in _CENTROIDS.tolist()
+    )
+    return f"[{rows}]"
+
+
+def ivf_bucket_sql(vec: str) -> str:
+    """IVF cell id: index (1-based) of the nearest centroid by squared L2."""
+    cents = centroids_spark_literal()
+    dist = (
+        f"transform({cents}, c -> aggregate(zip_with({vec}, c,"
+        " (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return f"array_position({dist}, array_min({dist}))"
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: nearest-centroid cells partition the corpus; queries
+    search only their own cell, then exact cosine re-ranks. Same join shape
+    as LSH (one equi-join on cell id) — the scale path when centroids are
+    trained on the actual distribution. nprobe>1 = also search the
+    next-nearest cells (analogous to LSH multi-probe)."""
+    sig = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        _norm(vec_col).alias("cn"),
+        F.expr(ivf_bucket_sql(vec_col)).alias("cell"),
+    )
+    q = emb.where(query_filter).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        _norm(vec_col).alias("qn"),
+        F.expr(ivf_bucket_sql(vec_col)).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(sig, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", _paired_cosine(_dot_sql("qv", "cv"), "qn", "cn"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
 def probe_buckets_sql(bucket: str, n_planes: int = N_PLANES) -> str:
     """Multi-probe bucket list: the bucket itself + every 1-bit flip.
 

@@ -379,6 +379,67 @@ def q_embed_lsh_topk(spark, sf_dir):
     return simsearch.lsh_topk(emb, F.col("vec_id") < 8, k=5)
 
 
+def _ivf_oracle() -> str:
+    cents = simsearch.centroids_duckdb_literal()
+    dist = (
+        f"list_transform({cents}, c -> list_sum(list_transform("
+        "generate_series(1, len({v})), i -> ({v}[i]::DOUBLE - c[i]) * ({v}[i]::DOUBLE - c[i]))))"
+    )
+    cell = f"list_position({dist}, list_min({dist}))".replace("{v}", "embedding")
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM sig WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cv, cell FROM sig),
+    scored AS (
+      SELECT qid, cid, {_cos_d('qv', 'cv')} AS cosine
+      FROM q JOIN c USING (cell) WHERE qid <> cid)
+    SELECT qid, cid, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("embed_ivf_topk", _ivf_oracle())
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-5: nearest-centroid cells + exact cosine re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.ivf_topk(emb, F.col("vec_id") < 8, k=5)
+
+
+@register(
+    "salted_user_event_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_salted_user_event_totals(spark, sf_dir):
+    """Hot-key aggregation via two-stage salting: stage 1 aggregates
+    (user, salt) so a bot user's traffic spreads over 16 reducers; stage 2
+    merges the partials per user. Identical results to the direct groupBy
+    (the oracle states the unsalted form) — this is the shape that keeps a
+    single hot user from stalling a 1000-executor aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("pv"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            (F.sum("pv").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

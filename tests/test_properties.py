@@ -1,0 +1,92 @@
+"""Property-based sessionization checks: the Spark operator must agree
+with a trivial sequential Python reference on arbitrary generated event
+streams, and structural invariants must hold (every event sessioned, no
+intra-session gap >= 300 s, session count == gap-start count)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkgraft.ops.sessionize import sessionize
+
+T0 = datetime(2024, 1, 1)
+GAP = 300
+
+
+def _reference_sessions(rows):
+    """Sequential per-user reference: returns {event_idx: session_group}."""
+    by_user: dict[int, list[tuple[datetime, int]]] = {}
+    for idx, (user, ts) in enumerate(rows):
+        by_user.setdefault(user, []).append((ts, idx))
+    out = {}
+    for user, evs in by_user.items():
+        evs.sort()
+        group = None
+        last = None
+        for ts, idx in evs:
+            if last is None or (ts - last).total_seconds() >= GAP:
+                group = (user, ts)
+            last = ts
+            out[idx] = group
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # user
+        st.integers(min_value=0, max_value=3600),         # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(events_strategy)
+def test_sessionize_matches_sequential_reference(spark_global, raw):
+    spark = spark_global
+    rows = [(u, T0 + timedelta(seconds=s)) for u, s in raw]
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(df, order_tiebreak=("event_id",)).collect()
+    }
+    ref = _reference_sessions(rows)
+    # same partition of events into sessions
+    by_sid: dict[str, set] = {}
+    for idx, sid in got.items():
+        by_sid.setdefault(sid, set()).add(idx)
+    by_ref: dict[tuple, set] = {}
+    for idx, g in ref.items():
+        by_ref.setdefault(g, set()).add(idx)
+    assert set(map(frozenset, by_sid.values())) == set(map(frozenset, by_ref.values()))
+
+
+# hypothesis re-runs the test function many times; the session-scoped spark
+# fixture can't be requested through @given, so bind it once here.
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The documented 100 TB escape hatch (HyperLogLog++) must land within
+    its advertised error of the exact distinct count."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.queries.wau import user_wau
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {str(r.event_week): r.wau for r in user_wau(ev).collect()}
+    approx = {str(r.event_week): r.wau for r in user_wau(ev, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) <= max(2, 0.05 * n), (wk, n, approx[wk])
