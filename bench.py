@@ -42,11 +42,18 @@ def main() -> None:
     # JVM/codegen warm-up on the smallest table so q1 isn't charged for it.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # two runs per query, min reported: run 1 pays whole-stage-codegen
+    # compilation (irrelevant at 100 TB where it amortizes over minutes of
+    # scan); run 2 is the steady-state cost of the plan itself.
     timings: dict[str, float] = {}
     for name in headline + extra:
-        t0 = time.perf_counter()
-        qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +69,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": 2,
+                "n_queries": len(timings),
             }
         )
     )
