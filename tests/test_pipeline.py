@@ -98,6 +98,18 @@ def test_wau_queries_over_table(spark, raw_dir, clean_table):
     assert sessions["2019-09-30"] == 2  # A's two sessions
 
 
+def test_partition_pruning_on_curated_table(spark, raw_dir, clean_table):
+    """A date-selective read of the curated table must prune to one
+    partition directory (the mechanism that makes the 5-minute continuity
+    sliver a tail read instead of a table scan at 100 TB)."""
+    ua.load_months(spark, raw_dir, ["2019-10", "2019-11"])
+    df = spark.table(ua.USER_ACTIVITY.name).where("event_date_kst = DATE'2019-10-05'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date_kst#\d+ = 2019-10-05", plan), plan
+
+
 def test_run_coalescing():
     assert ua.coalesce_runs(["2019-11", "2019-10", "2020-01"]) == [
         ["2019-10", "2019-11"],
