@@ -221,6 +221,65 @@ def minhash_lsh_pairs(
     return _jaccard_from_counts(inter, sizes, threshold)
 
 
+def dup_clusters(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Cluster dedup: connected components over the near-dup pair graph.
+
+    Pairs (n-gram Jaccard >= threshold) form edges; the component label is
+    the minimum doc id reachable, computed by iterative min-label
+    propagation — each round one join + one aggregate, looped on the
+    driver until a round changes nothing (the standard Spark CC shape;
+    rounds needed = graph diameter, 2-3 for near-dup clusters). Output:
+    one row per non-singleton node (doc_id, cluster_id); keep-policy =
+    keep doc_id == cluster_id.
+
+    Scale: edges come from the LSH/blocked pair stage, so |edges| ~
+    near-dup count, not N². Each round shuffles the (tiny) label relation,
+    never the corpus.
+    """
+    pairs = ngram_jaccard_pairs(df, col, id_col, n, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("s", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.expr("n.label != o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
+
+
 def simhash_signatures(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

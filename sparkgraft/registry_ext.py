@@ -209,6 +209,52 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _clusters_oracle(rounds: int = 4, thr: float = 0.5) -> str:
+    """Min-label propagation unrolled ``rounds`` times — equal to the
+    converged Spark result for components of diameter <= rounds (near-dup
+    clusters are tiny; planted fixtures have diameter <= 2)."""
+    pair_ctes = (
+        _SHINGLE_SET_CTES
+        + """,
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc = doc_a
+                     JOIN sizes sb ON sb.doc = doc_b
+          WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+                  >= {thr}),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges)
+    """.format(thr=thr)
+    )
+    rounds_sql = ""
+    for k in range(1, rounds + 1):
+        rounds_sql += f""",
+        l{k} AS (
+          SELECT n.node, least(n.label, coalesce(min(m.label), n.label)) AS label
+          FROM l{k - 1} n
+          LEFT JOIN edges e ON e.s = n.node
+          LEFT JOIN l{k - 1} m ON m.node = e.d
+          GROUP BY n.node, n.label)
+        """
+    return (
+        pair_ctes
+        + rounds_sql
+        + f" SELECT node AS doc_id, label AS cluster_id FROM l{rounds}"
+    )
+
+
+@register("dedup_clusters", _clusters_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components cluster dedup over the near-dup pair graph
+    (iterative min-label propagation; keep-policy: doc_id == cluster_id)."""
+    return dedup.dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
     rows = k // bands
     p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B

@@ -81,6 +81,25 @@ def test_decode_stub_real_path_raises(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
 
 
+def test_cluster_dedup_transitive(spark):
+    """A~B and B~C (but A!~C directly) must land in ONE cluster labeled by
+    the minimum doc id — connected components, not pairwise grouping."""
+    t0 = "a b c d e f g h i j k l"
+    t1 = "a b c d e f g h i j x y"      # ~0.67 jaccard vs t0
+    t2 = "p q c d e f g h i j x y"      # ~0.67 vs t1, ~0.43 vs t0
+    far = "z1 z2 z3 z4 z5 z6 z7 z8"
+    docs = spark.createDataFrame(
+        [(0, t0), (1, t1), (2, t2), (7, far)], "doc_id long, text string"
+    )
+    direct = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in direct and (1, 2) in direct and (0, 2) not in direct
+    clusters = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(docs, threshold=0.5).collect()}
+    assert clusters == {0: 0, 1: 0, 2: 0}, clusters
+
+
 def test_exact_dedup_counts_align(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     groups = dedup.exact_dups(docs)
