@@ -516,6 +516,156 @@ def q_sessions_per_user_window(spark, sf_dir):
     )
 
 
+@register(
+    "cheapest_shipment_per_part",
+    """
+    SELECT l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem l
+    WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_cheapest_shipment_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar subquery (min per correlated key).
+    Catalyst decorrelates this into an aggregate + join — same plan we'd
+    write by hand, but stated declaratively. Ties (several shipments at the
+    exact min price) are all kept, identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    mins = (
+        li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("__min_price"))
+    )
+    return (
+        li.join(F.broadcast(mins), "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("__min_price"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+
+
+@register(
+    "nation_pair_volume",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cust_nation, supp_nation, o_year
+    ORDER BY cust_nation, supp_nation, o_year
+    """,
+)
+def q_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume per year — two aliases of
+    the same broadcast dimension, year extraction, exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    from sparkgraft.ops.relational import exact_sum
+
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("cust_nation", "supp_nation", "o_year")
+        .agg(exact_sum(revenue).alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "o_year")
+    )
+
+
+@register(
+    "asia_market_share",
+    f"""
+    SELECT o_year,
+           {_DEC_SUM.format(expr="CASE WHEN r_name = 'ASIA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS asia_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 l_extendedprice, l_discount, r_name
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey)
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_asia_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: conditional-aggregate ratio (ASIA revenue share per
+    year). Both numerator and denominator are exact decimal sums, so the
+    final double division is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    from sparkgraft.ops.relational import exact_sum
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_rev = F.when(F.col("r_name") == "ASIA", revenue).otherwise(F.lit(0.0))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg((exact_sum(asia_rev) / exact_sum(revenue)).alias("asia_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "orders_above_avg_price",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                                 / count(o_totalprice)
+                          FROM orders)
+    """,
+)
+def q_orders_above_avg_price(spark, sf_dir):
+    """Uncorrelated scalar subquery: orders above the global average price.
+    The average is computed with exact decimal internals so the predicate
+    boundary is identical across engines (a float-summed average could
+    flip rows sitting exactly at the mean)."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            / F.count("o_totalprice")
+        ).alias("__avg")
+    )
+    # lazily-planned scalar: broadcast the 1-row aggregate, no driver action
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended relational surface (beyond the reference: ranking, sliding
 # frames, semi/anti joins, cube, percentiles, set ops, string functions)
