@@ -486,9 +486,88 @@ def q_salted_user_event_totals(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# Multimodal columns
-# ---------------------------------------------------------------------------
+@register(
+    "embedding_stats_by_label",
+    """
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(len(first(embedding)) AS INT) AS dim,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0,
+           round(max(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+             AS max_component
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embedding_stats_by_label(spark, sf_dir):
+    """Array-function surface over the embedding column: size, element
+    access, element-wise max — grouped per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.first(F.size("embedding")).alias("dim"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_c0"),
+            F.round(
+                F.max(F.array_max(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))), 6
+            ).alias("max_component"),
+        )
+        .orderBy("label")
+    )
+
+
+#: tiny "model": integer centi-weights per token — stands in for broadcast
+#: model coefficients; integer arithmetic keeps scoring exactly portable.
+TEXT_MODEL_WEIGHTS: dict[str, int] = {
+    "fast": 150, "slow": -120, "small": 40, "query": 25, "scan": -35,
+    "merge": 60, "hash": 45, "stream": 80, "window": 30, "filter": -15,
+}
+
+
+def _weighted_score_oracle() -> str:
+    cases = " ".join(
+        f"WHEN x = '{w}' THEN {c}" for w, c in TEXT_MODEL_WEIGHTS.items()
+    )
+    return (
+        _TOK_CTE
+        + f"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(t,
+                   x -> CASE {cases} ELSE 0 END)) AS BIGINT) AS score_centi
+        FROM tok
+        """
+    )
+
+
+@register("text_weighted_score", _weighted_score_oracle())
+def q_text_weighted_score(spark, sf_dir):
+    """Broadcast-model scoring via a vectorized pandas UDF: the weight
+    table ships once per executor (broadcast variable), scoring runs as
+    Arrow-batched pandas over token lists — the pattern for applying a
+    real (sklearn/torch) model per document. Integer centi-weights keep
+    the result exactly equal to the SQL oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sparkgraft.ext.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bc = spark.sparkContext.broadcast(TEXT_MODEL_WEIGHTS)
+
+    def _score(tok_lists):
+        # NOTE: deliberately un-annotated — postponed-evaluation annotations
+        # (PEP 563, active in this module) reach pandas_udf as unresolvable
+        # strings and it rejects the signature.
+        w = bc.value
+        return tok_lists.map(lambda toks: int(sum(w.get(t, 0) for t in toks)))
+
+    score = pandas_udf(_score, "bigint")
+
+    return docs.select(
+        "doc_id", score(tokens("text")).alias("score_centi")
+    )
 
 @register(
     "multimodal_payload_digests",
