@@ -79,6 +79,77 @@ def decode_features(
     return df.select("doc_id", "payload").mapInPandas(_decode, DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_bytes int, frame_md5 string"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, out_width int, out_height int"
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 4,
+    frame_bytes: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling over binary payloads: keep every ``every_n``-th
+    fixed-size byte window as a "frame" (the fake stand-in for a video
+    keyframe extractor; ``fake=False`` raises where ffmpeg would run).
+
+    Arrow-batched ``mapInPandas``; emits (doc_id, frame_idx, n_bytes,
+    frame_md5) — 1:N row fan-out, the shape a real frame extractor has.
+    """
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg (not in this "
+                    "container); pass fake=True for the byte-window stub"
+                )
+            out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_windows = (len(payload) + frame_bytes - 1) // frame_bytes
+                for w in range(0, n_windows, every_n):
+                    frame = payload[w * frame_bytes : (w + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(w)
+                    out["n_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_stub(
+    df: DataFrame, target_width: int = 224, fake: bool = False
+) -> DataFrame:
+    """Aspect-preserving resize planner: from (fake) decoded dimensions,
+    compute output dims for a target width. ``fake=False`` raises where a
+    real image library (PIL) would resample pixels; the fake path computes
+    the real geometry arithmetic on the stub dimensions."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resampling requires PIL (not in this container); "
+                    "pass fake=True for the geometry-only stub"
+                )
+            w = pdf["fake_width"].clip(lower=1)
+            h = pdf["fake_height"].clip(lower=1)
+            out_h = (h * target_width / w).round().astype("int32").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": target_width,
+                    "out_height": out_h,
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 def payload_digests(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-payload byte length + content digest — binary-column ops that
     stay fully JVM-side (no decode needed)."""

@@ -585,6 +585,30 @@ def q_payload_digests(spark, sf_dir):
     return df.withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    -- documents are ASCII, so character substr == byte slicing
+    SELECT doc_id,
+           CAST(w AS INT) AS frame_idx,
+           CAST(length(substr(text, w * 16 + 1, 16)) AS INT) AS n_bytes,
+           md5(substr(text, w * 16 + 1, 16)) AS frame_md5
+    FROM documents,
+         unnest(generate_series(0, CAST(ceil(length(text) / 16.0) AS INT) - 1, 4))
+           AS t(w)
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling: every 4th 16-byte window of each payload as a
+    'frame' (mapInPandas fan-out — the shape of a real keyframe extractor,
+    with a deterministic byte-window stand-in; oracle slices the same
+    windows in SQL, valid because the docs are ASCII)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(
+        multimodal.attach_payload(docs), every_n=4, frame_bytes=16, fake=True
+    )
+
+
 @register("multimodal_decode_stub", None)  # rows-only: mapInPandas, non-SQL
 def q_decode_stub(spark, sf_dir):
     """Arrow-batched decode stub over binary payloads (deterministic fake

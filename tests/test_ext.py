@@ -73,6 +73,25 @@ def test_decode_stub_fake_path(spark, sf_dir):
     assert all(0 <= r.fake_width < 640 and 0 <= r.fake_height < 480 for r in rows)
 
 
+def test_resize_stub_geometry(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    feats = multimodal.decode_features(multimodal.attach_payload(docs), fake=True)
+    resized = multimodal.resize_stub(feats, target_width=224, fake=True).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert r.out_width == 224 and r.out_height >= 1
+        # aspect ratio preserved within rounding
+        assert abs(r.out_height - r.height * 224 / r.width) <= 0.5 + 1e-9
+
+
+def test_frame_sample_real_path_raises(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(2)
+    frames = multimodal.frame_sample(multimodal.attach_payload(docs), fake=False)
+    with pytest.raises(Exception) as ei:
+        frames.collect()
+    assert "frame extraction" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
 def test_decode_stub_real_path_raises(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(2)
     feats = multimodal.decode_features(multimodal.attach_payload(docs), fake=False)
