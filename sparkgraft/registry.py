@@ -517,6 +517,149 @@ def q_sessions_per_user_window(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate —
+    planned as a left-semi join on orderkey with the ship-after-order
+    condition in the join."""
+    orders = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    in_range = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    late = in_range.join(
+        li,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned items, top-20 customers
+    (deterministic tie-break; TakeOrderedAndProject)."""
+    from sparkgraft.ops.relational import exact_sum, top_k
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum(revenue).alias("revenue"))
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
+        "c_custkey", "c_name", "revenue", "n_name"
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT round(100.0 *
+           {_DEC_SUM.format(expr="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')}, 6)
+             AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q_q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue percentage — fact⋈dim join with a
+    LIKE-predicated conditional aggregate ratio."""
+    from sparkgraft.ops.relational import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(F.lit(100.0) * exact_sum(promo) / exact_sum(revenue), 6).alias(
+            "promo_share_pct"
+        )
+    )
+
+
+@register(
+    "tumbling_15min_counts",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000)
+             AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q_tumbling_15min_counts(spark, sf_dir):
+    """Tumbling event-time windows via the built-in window() function —
+    the batch twin of the streaming tumbling aggregation. Oracle states
+    the same bucketing as floor(epoch/900)*900."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+    )
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "cheapest_shipment_per_part",
     """
     SELECT l_partkey, l_suppkey, l_extendedprice
