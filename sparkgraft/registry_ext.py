@@ -586,6 +586,42 @@ def q_payload_digests(spark, sf_dir):
 
 
 @register(
+    "grouped_demean_applyinpandas",
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) * count(*) OVER w
+             - sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             AS demeaned_scaled
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q_grouped_demean_applyinpandas(spark, sf_dir):
+    """Grouped applyInPandas: per-event-type demeaning computed as one
+    pandas frame per group (the pattern for per-group model fitting /
+    normalization). Arithmetic is scaled-integer (value*100*n - group_sum)
+    so pandas and the SQL oracle agree exactly — no float-summation-order
+    trap."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def _demean(pdf):
+        import pandas as pd
+
+        centi = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "demeaned_scaled": centi * len(centi) - centi.sum(),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        _demean, "event_id bigint, event_type string, demeaned_scaled bigint"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     -- documents are ASCII, so character substr == byte slicing
