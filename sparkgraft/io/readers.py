@@ -127,7 +127,8 @@ def read_table_ranged(
     for start, end in intervals:
         clause = (F.col(ts_col) >= _bound(start)) & (F.col(ts_col) < _bound(end))
         pred = clause if pred is None else (pred | clause)
-    df = df.where(pred)
+    if pred is not None:
+        df = df.where(pred)
     for col in ns_fields:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")).cast("timestamp_ntz")

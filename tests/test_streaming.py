@@ -91,6 +91,30 @@ def test_stateful_sessionize_matches_batch_across_restart(spark, tmp_path, batch
     )
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate events re-delivered in a later micro-batch (within the
+    watermark) must be dropped; distinct events must all survive."""
+    from sparkgraft.streaming.dedup import dedup_within_watermark
+
+    src, ckpt, out = str(tmp_path / "dsrc"), str(tmp_path / "dckpt"), str(tmp_path / "dout")
+    batch_a = [
+        (10, 1, "2024-03-01 12:00:00"),
+        (11, 1, "2024-03-01 12:01:00"),
+    ]
+    # batch B replays event 11 (at-least-once source) + adds a new event
+    batch_b = [
+        (11, 1, "2024-03-01 12:01:00"),
+        (12, 2, "2024-03-01 12:02:00"),
+    ]
+    _write_batch(spark, batch_a, src, 1)
+    _write_batch(spark, batch_b, src, 2)
+    res = _run_stream(
+        spark, src, ckpt, lambda df: dedup_within_watermark(df, ["event_id"]), out
+    )
+    ids = sorted(r.event_id for r in res.collect())
+    assert ids == [10, 11, 12], ids
+
+
 def test_session_window_stream_counts(spark, tmp_path, batch_df):
     src, ckpt, out = str(tmp_path / "src2"), str(tmp_path / "ckpt2"), str(tmp_path / "out2")
     _write_batch(spark, BATCH1, src, 1)
