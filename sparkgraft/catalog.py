@@ -112,6 +112,7 @@ def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
     ordered.write.mode("errorifexists").format("parquet").option(
         "compression", "snappy"
     ).saveAsTable(staging)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         cols = ", ".join(spec.ordered_columns)
@@ -124,4 +125,5 @@ def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
         else:
             spark.sql(f"INSERT OVERWRITE TABLE {spec.name} SELECT {cols} FROM {staging}")
     finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

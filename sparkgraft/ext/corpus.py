@@ -1,0 +1,200 @@
+"""Corpus-curation operators for a training-data pipeline: benchmark
+decontamination, deterministic sampling, sequence packing, source
+interleaving, per-group curation, and funnel accounting.
+
+These extend the reference's query surface (its engine stops at relational
+ops — SURVEY §2.12 north-star lane) with the operations a 100 TB pretraining
+corpus build actually runs. All of them are pure DataFrame compositions —
+no Python in the hot path — so Catalyst/Tungsten own the physical plan.
+
+Determinism contract: every operator here is shuffle-order-invariant
+(hash-bucket sampling instead of rand(), doc_id tiebreaks on every window
+ordering), so results hash-match a DuckDB oracle and reruns are
+reproducible — which is what makes a corpus build auditable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sparkgraft.ext.dedup import HASH64_SQL, doc_shingles, shingle_expr
+from sparkgraft.ext.text import token_count, tokens
+
+
+def benchmark_shingles(spark, phrases: Sequence[str], n: int = 4) -> DataFrame:
+    """All word n-grams of each benchmark phrase — the contamination probe
+    set. Tiny by construction (benchmarks are KBs, the corpus is TBs):
+    always the broadcast side."""
+    df = spark.createDataFrame([(p,) for p in phrases], "text string")
+    return (
+        df.select(tokens("text").alias("__toks"))
+        .select(F.explode(F.expr(shingle_expr("__toks", n))).alias("sh"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Drop documents sharing any word n-gram with the benchmark set.
+
+    The scale shape: corpus-side shingles are exploded ONCE and semi-joined
+    against the broadcast benchmark shingles to get contaminated ids (a
+    relation ~ |hits|, not |corpus|); the corpus is then anti-joined on id.
+    The corpus never shuffles on text — only on the (small) id set.
+    """
+    contaminated = (
+        doc_shingles(df, col, id_col, n)
+        .join(F.broadcast(benchmark), "sh", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pct% sample: md5-derived 60-bit hash of the id, mod 100.
+
+    Unlike ``df.sample()`` (seeded per-partition-split, so resampling after
+    a repartition changes membership), the hash bucket is a pure function
+    of the row — stable across partitioning, engines, and reruns, and the
+    complement (the other 100-pct%) is exactly disjoint. That property is
+    what makes train/held-out splits auditable.
+    """
+    bucket = F.expr(HASH64_SQL.format(x=f"CAST({id_col} AS STRING)")) % 100
+    return df.where(bucket < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Sequential packing: within each group (deterministic doc_id order),
+    assign docs to fixed-capacity token bins by running token total —
+    seq_id = floor(exclusive-prefix-sum / capacity). The streaming-friendly
+    packing rule (one pass, no lookahead); bins can overflow by at most one
+    document, as in standard greedy sequence packing.
+
+    Scale: one shuffle on group_col + one window cumsum. For a corpus with
+    few giant sources, pre-split the group key by a hash salt and offset
+    seq_ids per salt — noted, not needed at test scale.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(col)
+    return (
+        df.select(group_col, F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / capacity).alias("seq_id"),
+        )
+    )
+
+
+def interleave_sources(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Round-robin mixing order across sources: position i of every source
+    comes before position i+1 of any source; ties across sources break by
+    group name. The deterministic analogue of shuffle-mixing a training
+    stream — downstream consumers read in ``mix_rank`` order.
+
+    A naive ``row_number() OVER (ORDER BY pos, source)`` is a GLOBAL
+    window — Spark moves the whole corpus to one partition. Instead:
+    rank within each pos cohort (shuffle on pos, well-distributed), and
+    add the count of all docs in earlier cohorts — a tiny per-pos offset
+    relation joined back by broadcast. Identical output, no single-task
+    sort.
+    """
+    per_src = Window.partitionBy(group_col).orderBy(id_col)
+    pos_df = (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("pos", F.row_number().over(per_src))
+    )
+    in_cohort = Window.partitionBy("pos").orderBy(group_col, id_col)
+    # docs in cohorts strictly before mine: running sum over the per-pos
+    # size relation (|distinct pos| rows — driver-free, broadcast back)
+    cohort_sizes = pos_df.groupBy("pos").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = cohort_sizes.withColumn(
+        "__offset",
+        F.sum("__n")
+        .over(Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)),
+    ).select("pos", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    return (
+        pos_df.join(F.broadcast(offsets), "pos")
+        .withColumn("mix_rank", F.col("__offset") + F.row_number().over(in_cohort))
+        .select(id_col, group_col, "pos", "mix_rank")
+    )
+
+
+def curation_topk(
+    df: DataFrame,
+    k: int = 3,
+    group_cols: Sequence[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Keep the k longest (by token count, doc_id-tiebroken) docs per
+    group — the per-bucket quality-quota cut every curation recipe has.
+
+    Scale: rank-then-filter is one shuffle on the group key; with heavy
+    skew use the two-level pre-aggregate trick (registry: wau_user_twolevel)
+    on the same keys.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n_tokens").desc(), F.col(id_col)
+    )
+    return (
+        df.select(*group_cols, F.col(id_col), token_count(col).alias("n_tokens"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def quality_funnel(
+    df: DataFrame,
+    min_tokens: int = 20,
+    lang: str = "en",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage-by-stage survivor counts for the standard curation funnel:
+    raw → language filter → length filter → exact-dedup. One row per stage,
+    ordered — the accounting table every corpus build publishes.
+
+    Each stage is a refinement of the previous (counts are monotone
+    non-increasing). ONE pass over the corpus: conditional counts + one
+    conditional count-distinct in a single aggregate, unpivoted to stage
+    rows — not four separate scans.
+    """
+    is_lang = F.col("lang") == lang
+    is_long = is_lang & (token_count(col) >= min_tokens)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(is_lang.cast("long")).alias("s1"),
+        F.sum(is_long.cast("long")).alias("s2"),
+        F.count_distinct(F.when(is_long, F.col(col))).alias("s3"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(4, '0_raw', s0, '1_lang', s1, '2_minlen', s2, '3_dedup', s3)"
+            ).alias("stage", "n_docs")
+        )
+        .orderBy("stage")
+    )

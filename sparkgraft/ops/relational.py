@@ -58,9 +58,14 @@ def asof_join(
 
     1. tag left (src=1) and right (src=0) rows, union on (key, ts, value)
     2. running ``last(value, ignoreNulls)`` over (key) ordered by
-       (ts, src, tiebreak) — src orders right rows before left at equal ts,
-       making the match at-or-before inclusive
+       (ts, tiebreak, src) — at fully-equal sort keys the right marker
+       sorts before its left twin, making the match at-or-before inclusive
     3. keep the left rows
+
+    ``tiebreak`` columns are taken from the RIGHT side too when it has
+    them (falling back to NULL, which sorts first), so ordering among
+    same-(key, ts) rows is deterministic and matches a window-function
+    formulation ordered by (ts, tiebreak).
 
     This beats a range-condition join (which Spark plans as a
     broadcast-nested-loop or cross product) at any scale: wall-clock is
@@ -74,11 +79,14 @@ def asof_join(
         F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
         F.lit(1).alias("__src"),
     )
+
+    def _right_col(c: str):
+        if c == on or (c in tiebreak and c in right.columns):
+            return F.col(c)
+        return F.lit(None).cast(left.schema[c].dataType).alias(c)
+
     r2 = right.select(
-        *[
-            F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-        ],
+        *[_right_col(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.col(value_col).alias("__val"),
         F.lit(0).alias("__src"),
@@ -87,7 +95,7 @@ def asof_join(
 
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__src", *tiebreak)
+        .orderBy("__ts", *tiebreak, "__src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -56,25 +56,25 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
     is_new = prev_ts.isNull() | (F.col(ts_col) >= prev_ts + gap)
+
+    if id_kind == "uuid":
+        # Reference-parity path (UD1): a fresh random UUID minted AT each
+        # session start, forward-filled to the session's remaining events —
+        # exactly the reference's shape (UUID at starts + last ignoreNulls).
+        # Non-deterministic across runs by design; not oracle-checkable.
+        start_id = F.when(is_new, F.expr("uuid()"))
+        return df.withColumn(session_col, F.last(start_id, ignorenulls=True).over(run))
+    if id_kind != "deterministic":
+        raise ValueError(f"unknown id_kind: {id_kind}")
+
     start_marker = F.when(is_new, F.col(ts_col))
     session_start = F.max(start_marker).over(run)
-
     out = df.withColumn("__session_start", session_start)
     out = out.withColumn(session_col, _session_id(user_col, "__session_start", id_kind))
     return out.drop("__session_start")
 
 
 def _session_id(user_col: str, start_col: str, id_kind: str) -> Column:
-    if id_kind == "uuid":
-        # Reference-parity path (UD1): fresh UUID per session start would be
-        # per-row here; a UUID keyed on the start instant keeps the contract
-        # without a Python UDF. Still non-deterministic across runs? No —
-        # uuid() is per-row random, so we only support it for demonstration
-        # by hashing start+user through uuid-less md5 namespacing is the
-        # deterministic route. Use sha2 path for anything checked.
-        return F.expr("uuid()")
-    if id_kind != "deterministic":
-        raise ValueError(f"unknown id_kind: {id_kind}")
     return F.sha2(
         F.concat_ws(
             "#",

@@ -1165,12 +1165,18 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("stateful sessionize stream did not finish in 300s")
     return spark.read.parquet(out).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
     )
 
 
-# extension operators (dedup / simsearch / text / multimodal) register on
-# import — keep at the bottom so `register` exists first.
+# extension operators (dedup / simsearch / text / multimodal) and the wider
+# TPC-H-shaped surface register on import — keep at the bottom so `register`
+# exists first.
 from sparkgraft import registry_ext  # noqa: E402,F401  (registration side effect)
+from sparkgraft import registry_tpch  # noqa: E402,F401  (registration side effect)
+from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side effect)

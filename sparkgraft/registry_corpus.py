@@ -1,0 +1,178 @@
+"""Corpus-curation query registrations (ext/corpus.py operators).
+
+Oracle dialect fragments are imported from registry_ext so the tokenizer /
+hash64 / shingle constructions stay character-identical to the Spark
+expressions they mirror (see registry_ext.py module docstring for the
+DuckDB dialect notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft.ext import corpus
+from sparkgraft.io.readers import read_table
+from sparkgraft.registry import register
+from sparkgraft.registry_ext import _TOK, _hash64_d, _shingles_d
+
+#: benchmark probe phrases (4-word sequences drawn from the corpus vocab so
+#: the decontamination path is exercised non-trivially at every SF)
+BENCHMARK_PHRASES: tuple[str, ...] = (
+    "filter value small value",
+    "value slow hash data",
+    "slow small scan key",
+)
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+_PHRASE_LIST_SQL = ", ".join(f"'{p}'" for p in BENCHMARK_PHRASES)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, source, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingles_d('t', 4)}) AS sh FROM tok),
+    bench_tok AS (SELECT {_TOK.replace('text', 'phrase')} AS t
+                  FROM (SELECT unnest([{_PHRASE_LIST_SQL}]) AS phrase)),
+    bench AS (SELECT DISTINCT unnest({_shingles_d('t', 4)}) AS sh FROM bench_tok),
+    bad AS (SELECT DISTINCT doc_id FROM sh WHERE sh IN (SELECT sh FROM bench))
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop docs sharing any word 4-gram with
+    the benchmark phrases. Contaminated ids resolve via a broadcast semi
+    join on shingles; the corpus anti-joins on id — it never shuffles on
+    text (ext/corpus.decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = corpus.benchmark_shingles(spark, BENCHMARK_PHRASES, n=4)
+    return (
+        corpus.decontaminate(docs, bench, n=4)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_sample_hash",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_hash64_d('CAST(doc_id AS VARCHAR)')} % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_sample_hash(spark, sf_dir):
+    """Deterministic 10% train/holdout split via md5-bucket of the id —
+    stable under repartitioning, unlike seeded df.sample()
+    (ext/corpus.hash_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.hash_sample(docs, 10).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH tok AS (SELECT source, doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                 FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 256.0) AS BIGINT) AS seq_id
+    FROM tok
+    ORDER BY source, doc_id
+    """,
+)
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Sequence packing: docs → fixed-capacity (256-token) bins per source
+    by exclusive-prefix-sum of token counts (ext/corpus.pack_sequences)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.pack_sequences(docs, capacity=256)
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "seq_id",
+    ).orderBy("source", "doc_id")
+
+
+@register(
+    "corpus_interleave",
+    """
+    WITH pos AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pos
+      FROM documents)
+    SELECT doc_id, source, pos,
+           row_number() OVER (ORDER BY pos, source, doc_id) AS mix_rank
+    FROM pos
+    ORDER BY mix_rank
+    """,
+)
+def q_corpus_interleave(spark, sf_dir):
+    """Deterministic round-robin source mixing: position i of every source
+    precedes position i+1 of any source (ext/corpus.interleave_sources)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.interleave_sources(docs).orderBy("mix_rank")
+
+
+@register(
+    "corpus_curation_topk",
+    f"""
+    WITH tok AS (SELECT lang, source, doc_id,
+                        CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                 FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang, source
+                                   ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM tok)
+    SELECT lang, source, doc_id, n_tokens, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY lang, source, rk
+    """,
+)
+def q_corpus_curation_topk(spark, sf_dir):
+    """Per-(lang, source) quota cut: keep the 3 longest docs, doc_id
+    tiebreak (ext/corpus.curation_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        corpus.curation_topk(docs, k=3)
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("lang", "source", "rk")
+    )
+
+
+@register(
+    "corpus_quality_funnel",
+    f"""
+    SELECT s.stage,
+           CASE s.stage
+             WHEN '0_raw' THEN (SELECT count(*) FROM documents)
+             WHEN '1_lang' THEN (SELECT count(*) FROM documents WHERE lang = 'en')
+             WHEN '2_minlen' THEN (SELECT count(*) FROM documents
+                                   WHERE lang = 'en' AND len({_TOK}) >= 20)
+             ELSE (SELECT count(DISTINCT text) FROM documents
+                   WHERE lang = 'en' AND len({_TOK}) >= 20)
+           END AS n_docs
+    FROM (SELECT unnest(['0_raw', '1_lang', '2_minlen', '3_dedup']) AS stage) s
+    ORDER BY s.stage
+    """,
+)
+def q_corpus_quality_funnel(spark, sf_dir):
+    """Curation-funnel accounting: raw → lang → min-length → exact-dedup
+    survivor counts, computed in ONE corpus pass
+    (ext/corpus.quality_funnel)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.quality_funnel(docs, min_tokens=20, lang="en")

@@ -209,10 +209,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _clusters_oracle(rounds: int = 4, thr: float = 0.5) -> str:
-    """Min-label propagation unrolled ``rounds`` times — equal to the
-    converged Spark result for components of diameter <= rounds (near-dup
-    clusters are tiny; planted fixtures have diameter <= 2)."""
+def _clusters_oracle(rounds: int = 10, thr: float = 0.5) -> str:
+    """Min-label propagation unrolled exactly ``rounds`` times. With
+    ``rounds`` == the Spark side's max_iters, the two are equal on EVERY
+    graph: if Spark converges early, the extra oracle rounds are no-ops;
+    if not, both sides stop at the same 10-round propagation state.
+
+    Every round's CTE is ``AS MATERIALIZED``: each references the previous
+    round twice, and DuckDB's default CTE inlining would expand the plan
+    2^rounds — 10 unrolled rounds take minutes inlined, milliseconds
+    materialized."""
     pair_ctes = (
         _SHINGLE_SET_CTES
         + """,
@@ -226,15 +232,15 @@ def _clusters_oracle(rounds: int = 4, thr: float = 0.5) -> str:
                      JOIN sizes sb ON sb.doc = doc_b
           WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
                   >= {thr}),
-        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
-        l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges)
+        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges)
     """.format(thr=thr)
     )
     rounds_sql = ""
     for k in range(1, rounds + 1):
         rounds_sql += f""",
-        l{k} AS (
+        l{k} AS MATERIALIZED (
           SELECT n.node, least(n.label, coalesce(min(m.label), n.label)) AS label
           FROM l{k - 1} n
           LEFT JOIN edges e ON e.s = n.node
@@ -492,7 +498,8 @@ def q_salted_user_event_totals(spark, sf_dir):
     SELECT label,
            count(*) AS n_vecs,
            CAST(len(first(embedding)) AS INT) AS dim,
-           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0,
+           round(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_c0,
            round(max(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
              AS max_component
     FROM embeddings
@@ -509,7 +516,14 @@ def q_embedding_stats_by_label(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.first(F.size("embedding")).alias("dim"),
-            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_c0"),
+            # order-free average: exact decimal sum, one double division
+            F.round(
+                F.sum(
+                    F.element_at("embedding", 1).cast("double").cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_c0"),
             F.round(
                 F.max(F.array_max(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))), 6
             ).alias("max_component"),
@@ -605,9 +619,15 @@ def q_grouped_demean_applyinpandas(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def _demean(pdf):
+        import numpy as np
         import pandas as pd
 
-        centi = (pdf["value"] * 100).round().astype("int64")
+        # half-away-from-zero to match SQL round() — pandas .round() is
+        # banker's (half-to-even) and disagrees on exact .5 inputs
+        v = pdf["value"].to_numpy() * 100
+        centi = pd.Series(
+            np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64"), index=pdf.index
+        )
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

@@ -79,7 +79,9 @@ def get_spark(
         )
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
-        conf["javax.jdo.option.ConnectionURL"] = (
+        # only spark.hadoop.*-prefixed keys reach the Hive/Hadoop config;
+        # without the prefix Derby would land in cwd/metastore_db
+        conf["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
             f"jdbc:derby:;databaseName={warehouse_dir}/metastore_db;create=true"
         )
     if extra_conf:

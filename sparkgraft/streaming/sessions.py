@@ -68,39 +68,75 @@ def _session_id(user: Any, start_us: int) -> str:
     return hashlib.sha256(f"{user}#{start_us}".encode()).hexdigest()
 
 
-def _sessionize_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user,) = key
-    if state.exists:
-        session_start_us, last_ts_us = state.get
-    else:
-        session_start_us, last_ts_us = None, None
+def _make_sessionize_group(evict: bool):
+    def _sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if evict and state.hasTimedOut:
+            # idle past the gap at the watermark: any future event would
+            # start a fresh session regardless of this state — dropping it
+            # cannot change any id. This keeps state O(ACTIVE users).
+            state.remove()
+            return
 
-    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
-    # normalize to ns first (pandas may hand us datetime64[us] or [ns])
-    ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+        if state.exists:
+            session_start_us, last_ts_us = state.get
+        else:
+            session_start_us, last_ts_us = None, None
 
-    ids = []
-    for t in ts_us:
-        if last_ts_us is None or t - last_ts_us >= GAP_SECONDS * 1_000_000:
-            session_start_us = t
-        last_ts_us = t
-        ids.append(_session_id(user, session_start_us))
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "ts", kind="mergesort"
+        )
+        # normalize to ns first (pandas may hand us datetime64[us] or [ns])
+        ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
 
-    state.update((session_start_us, last_ts_us))
-    yield pd.DataFrame({"user_id": user, "ts": batch["ts"], "session_id": ids})
+        ids = []
+        for t in ts_us:
+            if last_ts_us is None or t - last_ts_us >= GAP_SECONDS * 1_000_000:
+                session_start_us = t
+            last_ts_us = t
+            ids.append(_session_id(user, session_start_us))
+
+        state.update((session_start_us, last_ts_us))
+        if evict:
+            # fire once the watermark passes last event + gap
+            state.setTimeoutTimestamp(last_ts_us // 1000 + GAP_SECONDS * 1000)
+        yield pd.DataFrame({"user_id": user, "ts": batch["ts"], "session_id": ids})
+
+    return _sessionize_group
 
 
-def stateful_sessionize(events: DataFrame) -> DataFrame:
+def stateful_sessionize(events: DataFrame, evict_watermark: str | None = None) -> DataFrame:
     """Custom stateful streaming operator: per-event session ids with
     cross-micro-batch (and cross-restart, via checkpoint) continuity.
 
     Arrow-batched; state read/written once per user per micro-batch.
+
+    With ``evict_watermark`` set (e.g. ``"10 minutes"``), a watermark plus
+    EventTimeTimeout evicts users idle longer than the session gap at the
+    watermark — state size tracks ACTIVE users, not all users ever seen,
+    which is the difference between bounded and unbounded state on a
+    100 TB/day stream. Eviction is exactly lossless: an evicted user's next
+    event is ≥ watermark > last_ts + gap, so it starts a new session with
+    or without the state. Session ids are byte-identical to the
+    non-evicting form and to batch ``ops.sessionize``.
     """
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if evict_watermark is not None:
+        return (
+            events.withWatermark("ts", evict_watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_sessionize_group(evict=True),
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _make_sessionize_group(evict=False),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -1,0 +1,98 @@
+"""Semantic tests for the corpus-curation operators (ext/corpus.py) —
+properties the oracle hash can't express: sample stability under
+repartitioning, packing capacity bounds, round-robin invariants,
+single-pass funnel plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft.ext import corpus
+from sparkgraft.io.readers import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    """Membership must be a pure function of the row — repartitioning must
+    not change the sample (the property seeded df.sample() lacks)."""
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in corpus.hash_sample(docs, 10).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in corpus.hash_sample(docs.repartition(7), 10).select("doc_id").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_complement_disjoint_and_complete(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ten = {r.doc_id for r in corpus.hash_sample(docs, 10).select("doc_id").collect()}
+    all_ = {r.doc_id for r in corpus.hash_sample(docs, 100).select("doc_id").collect()}
+    assert all_ == {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ten <= all_
+
+
+def test_pack_sequences_capacity_bound(spark, sf_dir):
+    """A bin may overflow only via its LAST doc (greedy one-pass rule):
+    the exclusive prefix sum at entry is < capacity."""
+    out = corpus.pack_sequences(_docs(spark, sf_dir), capacity=256).collect()
+    by_bin: dict[tuple, list] = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_bin.setdefault((r.source, r.seq_id), []).append(r.n_tokens)
+    for toks in by_bin.values():
+        entry_offsets = [sum(toks[:i]) for i in range(len(toks))]
+        assert all(off < 256 for off in entry_offsets)
+
+
+def test_decontaminate_drops_planted_phrase(spark):
+    bench = corpus.benchmark_shingles(spark, ("alpha beta gamma delta",), n=4)
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here today"),
+            (2, "prefix alpha beta gamma delta suffix"),
+            (3, "alpha beta gamma NOT-delta"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in corpus.decontaminate(docs, bench, n=4).collect()}
+    assert kept == {1, 3}
+
+
+def test_interleave_round_robin_invariant(spark, sf_dir):
+    """Every doc at per-source position p must rank before every doc at
+    position p+1, and mix_rank must be a dense permutation 1..N."""
+    rows = corpus.interleave_sources(_docs(spark, sf_dir)).collect()
+    assert sorted(r.mix_rank for r in rows) == list(range(1, len(rows) + 1))
+    max_rank_at_pos: dict[int, int] = {}
+    min_rank_at_pos: dict[int, int] = {}
+    for r in rows:
+        max_rank_at_pos[r.pos] = max(max_rank_at_pos.get(r.pos, 0), r.mix_rank)
+        min_rank_at_pos[r.pos] = min(min_rank_at_pos.get(r.pos, 1 << 60), r.mix_rank)
+    for p in sorted(max_rank_at_pos)[:-1]:
+        if p + 1 in min_rank_at_pos:
+            assert max_rank_at_pos[p] < min_rank_at_pos[p + 1]
+
+
+def test_interleave_no_global_window_on_corpus(spark, sf_dir):
+    """The corpus-sized relations must never hit a partitionless window —
+    only the tiny per-pos offset relation may (bounded by max docs/source)."""
+    out = corpus.interleave_sources(_docs(spark, sf_dir))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # windows over the full corpus carry doc_id in their output; the
+    # offsets window is over (pos, __n) only
+    for line in plan.splitlines():
+        if "windowspecdefinition()" in line.lower():
+            raise AssertionError(f"unexpected fully-global window: {line}")
+
+
+def test_quality_funnel_monotone_and_single_scan(spark, sf_dir):
+    out = corpus.quality_funnel(_docs(spark, sf_dir))
+    # plan BEFORE execution — post-collect AQE toString prints the initial
+    # plan a second time, double-counting the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, "funnel must be one pass over the corpus"
+    rows = {r.stage: r.n_docs for r in out.collect()}
+    assert rows["0_raw"] >= rows["1_lang"] >= rows["2_minlen"] >= rows["3_dedup"]

@@ -122,3 +122,52 @@ def test_continuity_frontier_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _formatted(spark, sf_dir, name):
+    """explain('formatted') text — unlike executedPlan().toString(), it
+    prints PushedFilters untruncated."""
+    df = registry.queries()[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_scan_prunes_and_pushes(spark, sf_dir):
+    """Q6 is bandwidth-bound at scale: all predicates and the 4-column
+    projection must reach the parquet scan."""
+    plan = _formatted(spark, sf_dir, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate must be pushed"
+    assert "LessThan(l_quantity" in plan, "quantity must be pushed"
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    for absent in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert absent not in scan, scan
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    """part/supplier/nation must broadcast; only lineitem⋈orders may
+    shuffle."""
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_uses_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan, "LIMIT 100 must not globally sort"
+
+
+def test_q19_quantity_hull_pushes_to_scan(spark, sf_dir):
+    """The single-table implicants of the OR-of-ANDs must reach the
+    lineitem scan — otherwise the disjunction forces a full read."""
+    plan = _plan(spark, sf_dir, "q19_banded_revenue")
+    assert "GreaterThanOrEqual(l_quantity" in plan, plan
+    assert "LessThanOrEqual(l_quantity" in plan, plan
+
+
+def test_q21_no_nested_loop(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must ride the l_orderkey equi-key as
+    semi/anti hash joins — a nested loop here is quadratic at scale."""
+    plan = _plan(spark, sf_dir, "q21_blocking_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

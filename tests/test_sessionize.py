@@ -132,6 +132,23 @@ def test_continuity_without_frontier_matches_plain_sessionize(spark):
     } == {(r.event_id, r.session_id) for r in cont.collect()}
 
 
+def test_uuid_mode_groups_like_deterministic(spark):
+    """Reference-parity uuid ids: random per session but CONSTANT within a
+    session — grouping must equal the deterministic mode's."""
+    rows = [
+        ("A", T0),
+        ("A", T0 + timedelta(seconds=100)),
+        ("A", T0 + timedelta(seconds=500)),
+        ("B", T0),
+    ]
+    det = sessionize(_df(spark, rows), order_tiebreak=("event_id",))
+    uu = sessionize(_df(spark, rows), order_tiebreak=("event_id",), id_kind="uuid")
+    assert _groups(uu) == _groups(det) == {frozenset({0, 1}), frozenset({2}), frozenset({3})}
+    # and uuid ids look like uuids, not sha hex
+    sid = uu.select("session_id").first()[0]
+    assert len(sid) == 36 and sid.count("-") == 4
+
+
 def test_single_shuffle_plan(spark, sf_dir):
     """The whole sessionize pipeline must plan exactly ONE exchange on
     user_id — lag, flag, and forward-fill share a window ordering."""

@@ -135,3 +135,24 @@ def test_session_window_stream_counts(spark, tmp_path, batch_df):
         .collect()
     }
     assert sessions == expected
+
+
+def test_evicting_sessionize_matches_batch(spark, tmp_path, batch_df):
+    """EventTimeTimeout eviction must be lossless: ids identical to batch
+    sessionize even when idle users' state is dropped between batches.
+    BATCH2's user-1 event arrives ~12h after the watermark passed user 1's
+    last event + gap, so its state is guaranteed evicted by then."""
+    src, ckpt, out = str(tmp_path / "esrc"), str(tmp_path / "eckpt"), str(tmp_path / "eout")
+    expected = {
+        (r.user_id, str(r.ts), r.session_id)
+        for r in sessionize(batch_df, order_tiebreak=("event_id",))
+        .select("user_id", "ts", "session_id")
+        .collect()
+    }
+    _write_batch(spark, BATCH1, src, 1)
+    _write_batch(spark, BATCH2, src, 2)
+    got_df = _run_stream(
+        spark, src, ckpt, lambda df: stateful_sessionize(df, evict_watermark="1 minute"), out
+    )
+    got = {(r.user_id, str(r.ts), r.session_id) for r in got_df.collect()}
+    assert got == expected, f"diff={got ^ expected}"
