@@ -176,3 +176,27 @@ def q_corpus_quality_funnel(spark, sf_dir):
     (ext/corpus.quality_funnel)."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.quality_funnel(docs, min_tokens=20, lang="en")
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml LSH variants (rows-only: JVM hash families aren't SQL-
+# expressible; recall pinned in tests/test_ml_lsh.py instead)
+# ---------------------------------------------------------------------------
+
+@register("ml_minhash_pairs", None)  # rows-only
+def q_ml_minhash_pairs(spark, sf_dir):
+    """Near-dup pairs via the built-in MinHashLSH estimator
+    (ext/ml_lsh.ml_minhash_pairs) — the Spark-ML twin of
+    dedup_minhash_lsh."""
+    from sparkgraft.ext import ml_lsh
+
+    return ml_lsh.ml_minhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("ml_ann_neighbors", None)  # rows-only
+def q_ml_ann_neighbors(spark, sf_dir):
+    """Top-10 neighbors of vec_id 0 via BucketedRandomProjectionLSH
+    (ext/ml_lsh.ml_ann_neighbors) — the Spark-ML twin of embed_lsh_topk."""
+    from sparkgraft.ext import ml_lsh
+
+    return ml_lsh.ml_ann_neighbors(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)

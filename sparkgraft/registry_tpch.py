@@ -551,6 +551,66 @@ def q_q19_banded_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q20 — dominant suppliers (nested aggregate thresholds, semi-join chain)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH supp_part AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey),
+    part_total AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(supp_qty AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+      FROM supp_part GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey
+                        FROM supp_part JOIN part_total USING (l_partkey)
+                        WHERE supp_qty > 0.5 * total_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than half of some part's
+    1996 volume — an aggregate compared against a second-level aggregate of
+    itself, feeding a semi join. (No partsupp table: 'availqty vs half the
+    shipped volume' becomes 'supplier share vs half the part total'.)
+
+    Scale: supp_part is one shuffle of the date-pruned fact on
+    (suppkey, partkey); part_total re-aggregates THAT small relation (no
+    second fact scan); the qualifying suppkey set is tiny and broadcast
+    into the semi join. Decimal sums keep the 0.5*total comparison exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast(_TS))
+    )
+    supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        exact_sum("l_quantity").alias("supp_qty")
+    )
+    part_total = supp_part.groupBy("l_partkey").agg(
+        exact_sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        supp_part.join(part_total, "l_partkey")
+        .where(F.col("supp_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q21 — last supplier to ship on multi-supplier finished orders
 # ---------------------------------------------------------------------------
 
