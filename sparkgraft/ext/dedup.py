@@ -34,7 +34,7 @@ return empty.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from sparkgraft.ext.text import normalize_text, tokens
 
@@ -228,30 +228,70 @@ def dup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     max_iters: int = 10,
+    driver_max_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Cluster dedup: connected components over the near-dup pair graph.
 
     Pairs (n-gram Jaccard >= threshold) form edges; the component label is
-    the minimum doc id reachable, computed by iterative min-label
-    propagation — each round one join + one aggregate, looped on the
-    driver until a round changes nothing (the standard Spark CC shape;
-    rounds needed = graph diameter, 2-3 for near-dup clusters). Output:
-    one row per non-singleton node (doc_id, cluster_id); keep-policy =
-    keep doc_id == cluster_id.
+    the minimum doc id reachable. Output: one row per non-singleton node
+    (doc_id, cluster_id); keep-policy = keep doc_id == cluster_id.
 
-    Scale: edges come from the LSH/blocked pair stage, so |edges| ~
-    near-dup count, not N². Each round shuffles the (tiny) label relation,
-    never the corpus.
+    Adaptive execution, sized by the pair count (already known because the
+    pair relation must materialize anyway):
+
+    - **<= driver_max_pairs** (the overwhelmingly common case — the dup
+      graph is the *output* of blocking, ~near-dup count, orders of
+      magnitude smaller than the corpus; 5M pairs ≈ 80 MB on the driver):
+      collect and run union-find (min-root, path compression) in one pass.
+      One Spark job for the pairs + one parallelize back — no per-round
+      job/shuffle overhead.
+    - **above it**: iterative distributed min-label propagation, one join
+      + one aggregate per round, looped until a round changes nothing
+      (rounds = graph diameter). The convergence counter is computed from
+      the same persisted round relation (max over a change flag carried
+      next to the new label) — no extra self-join per round. Each round
+      shuffles only the label relation, never the corpus.
     """
-    pairs = ngram_jaccard_pairs(df, col, id_col, n, threshold)
+    spark = df.sparkSession
+    pairs = (
+        ngram_jaccard_pairs(df, col, id_col, n, threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    n_pairs = pairs.count()
+    if n_pairs <= driver_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.collect():
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:  # min root wins -> label IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        pairs.unpersist()
+        # parent maps every unioned non-root node; roots appear only as values
+        roots = {find(k) for k in list(parent)}
+        rows = [(nd, find(nd)) for nd in sorted(set(parent) | roots)]
+        return spark.createDataFrame(rows, out_schema)
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
     for _ in range(max_iters):
         neighbor_min = (
@@ -262,21 +302,21 @@ def dup_clusters(
         )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("new_label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("chg"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.expr("n.label != o.label"))
-            .count()
-        )
+        changed = new_labels.agg(F.max("chg")).first()[0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if not changed:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
+    pairs.unpersist()
     return out
 
 

@@ -119,6 +119,23 @@ def test_cluster_dedup_transitive(spark):
     assert clusters == {0: 0, 1: 0, 2: 0}, clusters
 
 
+def test_cluster_dedup_driver_and_distributed_paths_agree(spark, sf_dir):
+    """The union-find fast path (small pair graphs) and the distributed
+    min-label propagation path (driver_max_pairs=0 forces it) must produce
+    identical components on real testdata."""
+    docs = read_table(spark, sf_dir, "documents")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dup_clusters(docs, threshold=0.5).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dup_clusters(docs, threshold=0.5, driver_max_pairs=0).collect()
+    }
+    assert fast, "fixture must contain planted near-dups"
+    assert fast == dist
+
+
 def test_exact_dedup_counts_align(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     groups = dedup.exact_dups(docs)
