@@ -127,13 +127,21 @@ def ngram_jaccard_pairs(
     N docs before pairing (bounds the blocking-join fan-out; the dropped
     shingles still count toward set sizes, so Jaccard is then a lower
     bound — standard df-cut trade-off, OFF by default for exactness).
+
+    Always-on EXACT pruning: shingles with document frequency 1 cannot
+    contribute to any intersection, so they are dropped from the blocking
+    join unconditionally (sizes still come from the full relation). Most
+    shingles in a real corpus are unique, so this shrinks the self-join
+    input by far more than the extra df aggregation costs — and the df
+    relation is the same one the ``max_doc_freq`` cut needs anyway.
     """
     ds = doc_shingles(df, col, id_col, n)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    blocked = ds
+    freq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    keep = F.col("df") >= 2
     if max_doc_freq is not None:
-        freq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        blocked = ds.join(freq.where(F.col("df") <= max_doc_freq).select("sh"), "sh")
+        keep = keep & (F.col("df") <= max_doc_freq)
+    blocked = ds.join(F.broadcast(freq.where(keep).select("sh")), "sh")
     inter = (
         blocked.select(F.col("doc").alias("doc_a"), "sh")
         .join(blocked.select(F.col("doc").alias("doc_b"), "sh"), "sh")
