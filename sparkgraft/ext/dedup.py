@@ -23,8 +23,8 @@ Scale posture (100 TB):
 - shingle blocking: hot shingles (stopword trigrams) explode the candidate
   space; ``max_doc_freq`` drops shingles appearing in more than N docs
   (standard df-cut). MinHash banding bounds candidates regardless.
-- simhash pairing here is the O(n²) verify for small n; at scale pair via
-  banding on signature bytes (same LSH trick, Hamming space).
+- simhash pairing bands the signature bits (Hamming-space LSH with exact
+  recall by pigeonhole) — an equi-join, never an all-pairs product.
 
 Note Spark's ``sequence(a, b)`` DESCENDS when a > b (it never returns
 empty), so every shingle expression guards the size(tokens) < n case —
@@ -364,14 +364,55 @@ def simhash_close_pairs(
 ) -> DataFrame:
     """Pairs of docs whose SimHash Hamming distance <= max_hamming.
 
-    All-pairs compare of the (tiny) signature table — fine to ~10⁵ docs; at
-    100 TB band the signature bytes (LSH in Hamming space) first.
+    Banded Hamming LSH, not all-pairs: split the ``bits``-bit signature
+    into ``max_hamming + 1`` contiguous bit bands. Pigeonhole guarantees a
+    pair within the Hamming budget differs in at most ``max_hamming`` bit
+    positions, so at least one band is bit-identical — an equi-join on
+    (band_idx, band_value) finds EVERY qualifying pair (exact recall, no
+    approximation), and only bucket-mates ever meet. Candidates are then
+    verified with the true ``bit_count`` distance.
+
+    Scale: the join fan-out is sum over buckets of |bucket|², linear for
+    any non-degenerate signature distribution, vs the previous O(n²)
+    crossJoin of the whole signature table. Same banding trick
+    ``minhash_lsh_pairs`` uses, transplanted to Hamming space.
     """
+    n_bands = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, n_bands)
+    bounds, lo = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        bounds.append((lo, w))
+        lo += w
     sigs = simhash_signatures(df, col, id_col, bits)
+    stacked = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"(simhash >> {b_lo}) & {(1 << w) - 1}").alias("band_val"),
+                    )
+                    for i, (b_lo, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
     return (
-        sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
-        .crossJoin(sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b")))
+        stacked.select(
+            F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "band_idx", "band_val"
+        )
+        .join(
+            stacked.select(
+                F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
         .withColumn("hamming", F.expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

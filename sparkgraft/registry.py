@@ -902,10 +902,10 @@ def q_sliding_hour_stats(spark, sf_dir):
     "cumulative_purchases",
     """
     SELECT event_id, user_id, ts,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS purchases_so_far
+             AS BIGINT) AS purchases_so_far
     FROM events
     """,
 )

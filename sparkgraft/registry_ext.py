@@ -603,9 +603,9 @@ def q_payload_digests(spark, sf_dir):
     "grouped_demean_applyinpandas",
     """
     SELECT event_id, event_type,
-           CAST(round(value * 100) AS BIGINT) * count(*) OVER w
+           CAST(CAST(round(value * 100) AS BIGINT) * count(*) OVER w
              - sum(CAST(round(value * 100) AS BIGINT)) OVER w
-             AS demeaned_scaled
+             AS BIGINT) AS demeaned_scaled
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     """,

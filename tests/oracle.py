@@ -43,11 +43,49 @@ def _canon(df_pandas):
     )
 
 
+def _dtype_kind(series) -> str:
+    """Collapse a pandas dtype to a comparison kind.
+
+    The driver's value-hash is dtype-sensitive: DuckDB HUGEINT arrives as
+    float64 while Spark SUM(int) is int64, and the hashes differ even when
+    every value is equal.  Catch that class locally by requiring the two
+    sides to land in the same kind bucket: integer ('i'), float ('f'),
+    bool ('b'), datetime ('M'), other/object ('O').  Width differences
+    (int32 vs int64) hash the same after the driver's to-python conversion,
+    so widths are not distinguished.
+    """
+    import datetime
+
+    kind = series.dtype.kind
+    if kind == "u":
+        kind = "i"
+    if kind == "O":
+        vals = [v for v in series if v is not None and not _is_nan(v)]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return "b"
+        if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return "i"
+        if vals and all(isinstance(v, float) for v in vals):
+            return "f"
+        # Spark DATE/TIMESTAMP arrive as objects; DuckDB as datetime64.
+        # Round-1 driver rows prove it normalizes these — same kind.
+        if vals and all(isinstance(v, (datetime.date, datetime.datetime)) for v in vals):
+            return "M"
+    return kind
+
+
 def assert_parity(spark_df, oracle_pdf, float_rtol: float = 1e-9):
     spdf = spark_df.toPandas()
     assert sorted(spdf.columns) == sorted(oracle_pdf.columns), (
         f"column mismatch: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
     )
+    for col in spdf.columns:
+        sk, ok_ = _dtype_kind(spdf[col]), _dtype_kind(oracle_pdf[col])
+        assert sk == ok_, (
+            f"dtype-kind mismatch col={col}: spark={spdf[col].dtype}({sk}) "
+            f"oracle={oracle_pdf[col].dtype}({ok_}) — the driver's strict hash "
+            f"will fail on this; CAST the oracle (or Spark side) so kinds agree"
+        )
     assert len(spdf) == len(oracle_pdf), (
         f"row count mismatch: spark={len(spdf)} oracle={len(oracle_pdf)}"
     )

@@ -41,6 +41,31 @@ def test_simhash_finds_planted_neardups(spark, sf_dir):
     assert caught >= 0.8, f"simhash recall too low: {caught}"
 
 
+def test_simhash_banded_equals_brute_force(spark, sf_dir):
+    """The banded Hamming-LSH join must return EXACTLY the brute-force
+    all-pairs result (pigeonhole: Hamming<=3 ⇒ one of 4 bands identical)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs)
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in (
+            sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
+            .crossJoin(
+                sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"))
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+            .where(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_close_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """ANN top-5 must overlap brute-force top-5 on average (recall@5)."""
     emb = read_table(spark, sf_dir, "embeddings")

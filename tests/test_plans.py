@@ -171,3 +171,19 @@ def test_q21_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q21_blocking_suppliers")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_pairs_banded_no_cartesian(spark, sf_dir):
+    """SimHash pairing must ride the band equi-join (Hamming LSH), never an
+    all-pairs product of the signature table — O(n²) at corpus scale."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q20_dominant_suppliers_no_nested_loop(spark, sf_dir):
+    """Q20's nested-subquery chain must stay equi-keyed (semi joins +
+    broadcast dims) — no quadratic fallback."""
+    plan = _plan(spark, sf_dir, "q20_dominant_suppliers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
