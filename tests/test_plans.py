@@ -187,3 +187,13 @@ def test_q20_dominant_suppliers_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_dominant_suppliers")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embed_neardup_distributed_no_driver_collect(spark, sf_dir):
+    """Exact pair scoring must run as block-matrix cogrouped matmul — no
+    all-pairs product, no broadcast of the (growing) embedding table. The
+    only broadcast allowed is the tiny B² block-pair relation."""
+    plan = _plan(spark, sf_dir, "embed_cosine_neardup")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
