@@ -231,22 +231,18 @@ def minhash_lsh_pairs(
     return _jaccard_from_counts(inter, sizes, threshold)
 
 
-def dup_clusters(
-    df: DataFrame,
-    col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_iters: int = 10,
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = 50,
     driver_max_pairs: int = 5_000_000,
 ) -> DataFrame:
-    """Cluster dedup: connected components over the near-dup pair graph.
+    """Connected components of an undirected pair graph, to a FIXPOINT.
 
-    Pairs (n-gram Jaccard >= threshold) form edges; the component label is
-    the minimum doc id reachable. Output: one row per non-singleton node
-    (doc_id, cluster_id); keep-policy = keep doc_id == cluster_id.
+    Input: (doc_a, doc_b) edges. Output: (doc_id, cluster_id) for every
+    node with >= 1 edge, cluster_id = min id reachable — exact on EVERY
+    graph, any diameter (no round cap truncation).
 
-    Adaptive execution, sized by the pair count (already known because the
+    Adaptive execution, sized by the pair count (known cheaply because the
     pair relation must materialize anyway):
 
     - **<= driver_max_pairs** (the overwhelmingly common case — the dup
@@ -255,20 +251,22 @@ def dup_clusters(
       collect and run union-find (min-root, path compression) in one pass.
       One Spark job for the pairs + one parallelize back — no per-round
       job/shuffle overhead.
-    - **above it**: iterative distributed min-label propagation, one join
-      + one aggregate per round, looped until a round changes nothing
-      (rounds = graph diameter). The convergence counter is computed from
-      the same persisted round relation (max over a change flag carried
-      next to the new label) — no extra self-join per round. Each round
-      shuffles only the label relation, never the corpus.
+    - **above it**: distributed min-label propagation accelerated with
+      pointer doubling — each round (a) takes the min over neighbour
+      labels (one hop) then (b) shortcuts label := label(label), which
+      doubles the effective propagation distance, so convergence is
+      O(log diameter) rounds, not O(diameter). Loops until the HOP step
+      changes nothing: at that fixpoint the set of nodes holding the
+      component min is adjacency-closed, hence equals the component
+      (labels only ever decrease and never leave the component, so the
+      fixpoint label IS the component min — same answer as union-find).
+      ``max_rounds`` is a safety valve only: with doubling, 50 rounds
+      covers diameter ~2^50; exceeding it raises instead of returning a
+      silently-truncated answer.
     """
-    spark = df.sparkSession
-    pairs = (
-        ngram_jaccard_pairs(df, col, id_col, n, threshold)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    id_type = df.schema[id_col].dataType
+    spark = pairs.sparkSession
+    pairs = pairs.select("doc_a", "doc_b").persist()
+    id_type = pairs.schema["doc_a"].dataType
     out_schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
     )
@@ -303,31 +301,78 @@ def dup_clusters(
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
-    for _ in range(max_iters):
+    converged = False
+    for _ in range(max_rounds):
+        # (a) one-hop: min over neighbour labels
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "d"), "d")
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("s", "node")
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least("label", F.coalesce("nmin", "label")).alias("new_label"),
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.coalesce("nmin", "label") < F.col("label")).alias("chg"),
             )
             .persist()
         )
-        changed = new_labels.agg(F.max("chg")).first()[0]
-        labels.unpersist()
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        changed = hopped.agg(F.max("chg")).first()[0]
         if not changed:
+            hopped.unpersist()
+            converged = True
             break
+        # (b) pointer doubling: label := label(label) — halves remaining
+        # distance to the component min each round
+        lab2 = hopped.alias("h2").select(
+            F.col("h2.node").alias("label"), F.col("h2.label").alias("label2")
+        )
+        shortcut = (
+            hopped.alias("h1")
+            .select(F.col("h1.node").alias("node"), F.col("h1.label").alias("label"))
+            .join(lab2, "label", "left")
+            .select("node", F.least("label", F.coalesce("label2", "label")).alias("label"))
+            # localCheckpoint TRUNCATES LINEAGE, not just caches: each round's
+            # plan references the previous round's twice (the self-join), so
+            # without truncation the logical plan grows ~4x per round and the
+            # driver OOMs planning round ~15. eager=True materializes before
+            # the parents are unpersisted. (On a real cluster with executor
+            # churn, swap for reliable .checkpoint() + setCheckpointDir.)
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        hopped.unpersist()
+        labels = shortcut
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds"
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
     pairs.unpersist()
     return out
+
+
+def dup_clusters(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    driver_max_pairs: int = 5_000_000,
+) -> DataFrame:
+    """Cluster dedup: connected components over the near-dup pair graph.
+
+    Pairs (n-gram Jaccard >= threshold) form edges; the component label is
+    the minimum doc id reachable. Output: one row per non-singleton node
+    (doc_id, cluster_id); keep-policy = keep doc_id == cluster_id.
+    Execution is ``connected_components`` (adaptive driver union-find /
+    distributed pointer-doubling propagation, exact at any diameter).
+    """
+    pairs = ngram_jaccard_pairs(df, col, id_col, n, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs, driver_max_pairs=driver_max_pairs)
 
 
 def simhash_signatures(

@@ -85,6 +85,113 @@ def _session_id(user_col: str, start_col: str, id_kind: str) -> Column:
     )
 
 
+def sessionize_skew_split(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """``sessionize`` for SKEWED users — identical output, bounded partitions.
+
+    Plain ``sessionize`` windows over (user): one hot user with 10⁸ events
+    lands in one task. This variant pre-splits by (user, time-bucket) so no
+    window partition exceeds one bucket of one user, then stitches sessions
+    across bucket boundaries (the same carryover rule the batch boundary
+    uses — reference transformer/DataLoadTransformer.scala:94-158; bucket
+    boundaries are just denser batch boundaries).
+
+    Plan shape (verified in tests/test_plans.py):
+
+    1. Window over (user, bucket)  -> within-bucket session starts. Bucket =
+       ``floor(epoch / bucket_seconds)``; partitions bounded by events-per-
+       user-per-bucket regardless of total user volume.
+    2. Per-(user, bucket) boundary relation (ONE row per user-bucket — tiny,
+       map-side-combined groupBy of the windowed frame): first/last event ts
+       and first/last within-bucket session start.
+    3. Stitch over (user) ordered by bucket — at most #buckets rows per
+       user, so this window is skew-free by construction:
+       - ``continues(b)``: bucket b's first event is < gap after the
+         previous bucket's last event (exactly the complement of the
+         within-bucket ``is_new`` rule, so boundary semantics match).
+       - A session CHAIN passes through bucket b only when b is a single
+         session (first_start == last_start) AND continues; forward-fill
+         the last non-chained ``last_start`` to get the true global start
+         of each bucket's last session, then the bucket's first session's
+         true start = previous bucket's filled value when it continues.
+    4. Join the stitch relation back on (user, bucket) — same keys as the
+       step-1 shuffle, so the exchange is reused, and rewrite only the
+       rows of each bucket's FIRST session when it continues.
+
+    Output session ids are byte-identical to ``sessionize(...)`` (same
+    deterministic id over the same true session-start instant) — pinned by
+    an equality property test. Only ``id_kind="deterministic"`` semantics
+    (uuid minting can't be replayed across the two plans).
+    """
+    if int(bucket_seconds) <= int(gap_seconds):
+        raise ValueError("bucket_seconds must exceed gap_seconds")
+    order_cols = [ts_col, *order_tiebreak]
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(int(bucket_seconds) * 1_000_000)
+    )
+
+    # 1. within-bucket sessionize (bounded window partitions)
+    ev = df.withColumn("__bkt", bucket)
+    w = Window.partitionBy(user_col, "__bkt").orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = prev_ts.isNull() | (F.col(ts_col) >= prev_ts + gap)
+    ev = ev.withColumn("__local_start", F.max(F.when(is_new, F.col(ts_col))).over(run))
+
+    # 2. one row per (user, bucket)
+    seg = ev.groupBy(user_col, "__bkt").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        F.min("__local_start").alias("__first_start"),
+        F.max("__local_start").alias("__last_start"),
+    )
+
+    # 3. stitch chains across buckets (window over <= #buckets rows/user)
+    wb = Window.partitionBy(user_col).orderBy("__bkt")
+    runb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_last_ts = F.lag("__last_ts").over(wb)
+    seg = seg.withColumn(
+        "__continues", prev_last_ts.isNotNull() & (F.col("__first_ts") < prev_last_ts + gap)
+    )
+    chained_through = F.col("__continues") & (F.col("__first_start") == F.col("__last_start"))
+    anchor = F.when(~chained_through, F.col("__last_start"))
+    seg = seg.withColumn("__true_last_start", F.last(anchor, ignorenulls=True).over(runb))
+    seg = seg.withColumn(
+        "__true_first_start",
+        F.when(F.col("__continues"), F.lag("__true_last_start").over(wb)).otherwise(
+            F.col("__first_start")
+        ),
+    )
+
+    # 4. rewrite each bucket's first-session rows when the chain continues
+    stitch = seg.select(
+        user_col, "__bkt", "__first_start", "__continues", "__true_first_start"
+    )
+    out = ev.join(stitch, on=[user_col, "__bkt"])
+    global_start = F.when(
+        F.col("__continues") & (F.col("__local_start") == F.col("__first_start")),
+        F.col("__true_first_start"),
+    ).otherwise(F.col("__local_start"))
+    out = out.withColumn("__global_start", global_start)
+    out = out.withColumn(session_col, _session_id(user_col, "__global_start", "deterministic"))
+    return out.drop(
+        "__bkt",
+        "__local_start",
+        "__first_start",
+        "__continues",
+        "__true_first_start",
+        "__global_start",
+    )
+
+
 def session_bounds(
     df: DataFrame,
     user_col: str = "user_id",

@@ -209,16 +209,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _clusters_oracle(rounds: int = 10, thr: float = 0.5) -> str:
-    """Min-label propagation unrolled exactly ``rounds`` times. With
-    ``rounds`` == the Spark side's max_iters, the two are equal on EVERY
-    graph: if Spark converges early, the extra oracle rounds are no-ops;
-    if not, both sides stop at the same 10-round propagation state.
-
-    Every round's CTE is ``AS MATERIALIZED``: each references the previous
-    round twice, and DuckDB's default CTE inlining would expand the plan
-    2^rounds — 10 unrolled rounds take minutes inlined, milliseconds
-    materialized."""
+def _clusters_oracle(thr: float = 0.5) -> str:
+    """Exact connected components via a recursive-CTE transitive closure:
+    ``reach`` accumulates every (node, reachable-node) pair to the
+    FIXPOINT (UNION dedup terminates it), then cluster_id = least(node,
+    min reachable) — the same answer as the Spark side's union-find /
+    converged propagation on EVERY graph, any diameter. (The closure is
+    O(sum of component sizes squared) rows — fine for dup graphs, whose
+    components are small by construction.)"""
     pair_ctes = (
         _SHINGLE_SET_CTES
         + """,
@@ -234,23 +232,16 @@ def _clusters_oracle(rounds: int = 10, thr: float = 0.5) -> str:
                   >= {thr}),
         edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
-        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges)
+        reach AS (
+          SELECT s AS node, d AS lab FROM edges
+          UNION
+          SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.lab)
     """.format(thr=thr)
     )
-    rounds_sql = ""
-    for k in range(1, rounds + 1):
-        rounds_sql += f""",
-        l{k} AS MATERIALIZED (
-          SELECT n.node, least(n.label, coalesce(min(m.label), n.label)) AS label
-          FROM l{k - 1} n
-          LEFT JOIN edges e ON e.s = n.node
-          LEFT JOIN l{k - 1} m ON m.node = e.d
-          GROUP BY n.node, n.label)
-        """
     return (
-        pair_ctes
-        + rounds_sql
-        + f" SELECT node AS doc_id, label AS cluster_id FROM l{rounds}"
+        pair_ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+        + " SELECT node AS doc_id, least(node, min(lab)) AS cluster_id"
+        " FROM reach GROUP BY node"
     )
 
 

@@ -161,6 +161,26 @@ def test_cluster_dedup_driver_and_distributed_paths_agree(spark, sf_dir):
     assert fast == dist
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A planted path graph of diameter 60 — far beyond any fixed round
+    cap — must still collapse to one component on BOTH paths. Guards the
+    fixpoint contract (the old implementation truncated at 10 rounds)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    expect = {(i, 0) for i in range(61)}
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(chain).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(chain, driver_max_pairs=0).collect()
+    }
+    assert fast == expect
+    assert dist == expect
+
+
 def test_exact_dedup_counts_align(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     groups = dedup.exact_dups(docs)
