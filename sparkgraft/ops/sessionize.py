@@ -129,6 +129,12 @@ def sessionize_skew_split(
     deterministic id over the same true session-start instant) — pinned by
     an equality property test. Only ``id_kind="deterministic"`` semantics
     (uuid minting can't be replayed across the two plans).
+
+    Cost note: the stitch relation derives from the windowed frame, so the
+    fact is scanned + windowed twice (Catalyst has no common-subplan
+    materialization). That 2x is the price of bounding the worst task; use
+    plain ``sessionize`` when no user is hot, or persist the step-1 frame
+    on a real cluster to pay the scan once.
     """
     if int(bucket_seconds) <= int(gap_seconds):
         raise ValueError("bucket_seconds must exceed gap_seconds")

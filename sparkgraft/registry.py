@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparkgraft.io.readers import read_table
 from sparkgraft.ops.relational import left_join, top_k, union_all
-from sparkgraft.ops.sessionize import sessionize
+from sparkgraft.ops.sessionize import sessionize, sessionize_skew_split
 from sparkgraft.ops.temporal import local_date
 from sparkgraft.ops.windows import forward_fill, lag_over, partition_max
 from sparkgraft.queries import tpch, wau
@@ -131,6 +131,24 @@ def q_sessionize_ids(spark, sf_dir):
     return sessionize(ev, order_tiebreak=("event_id",)).select(
         "event_id", "user_id", "ts", "session_id"
     )
+
+
+@register(
+    "sessionize_skew_split",
+    _SESSIONIZE_CTE
+    + """
+    SELECT event_id, user_id, ts, session_id FROM sessioned
+    """,
+)
+def q_sessionize_skew_split(spark, sf_dir):
+    """Skew-safe sessionization: pre-split by (user, 6h bucket) + boundary
+    stitching — SAME oracle as sessionize_ids because the output contract is
+    byte-identical session ids. 6h buckets at sf0.01 force real cross-bucket
+    chains, so the stitch path is what the driver hashes."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_skew_split(
+        ev, order_tiebreak=("event_id",), bucket_seconds=6 * 3600
+    ).select("event_id", "user_id", "ts", "session_id")
 
 
 @register(

@@ -124,6 +124,26 @@ def test_continuity_frontier_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_skew_split_sessionize_bounded_windows(spark, sf_dir):
+    """sessionize_skew_split plan contract: every window over the EVENT
+    table partitions by (user, bucket) — never by user alone — so no task
+    ever holds one user's full history; only the per-(user,bucket) stitch
+    relation (<= #buckets rows per user) windows on bare user. Exchange
+    budget: 2 (user,bucket) fact exchanges (the stitch side re-derives the
+    windowed frame) + 1 tiny stitch exchange."""
+    plan = _plan(spark, sf_dir, "sessionize_skew_split")
+    import re
+
+    # a bare-user fact window would print windowspecdefinition(user_id#N,
+    # ts#M ASC ...); correct plans always have __bkt right after user_id
+    # (as 2nd partition key for fact windows, as ORDER key for stitch ones)
+    for m in re.finditer(r"windowspecdefinition\(user_id#\d+L?,\s*(\S+)", plan):
+        assert m.group(1).startswith("__bkt"), (
+            f"window partitioned by bare user over event order: {m.group(0)}"
+        )
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def _formatted(spark, sf_dir, name):
     """explain('formatted') text — unlike executedPlan().toString(), it
     prints PushedFilters untruncated."""

@@ -90,3 +90,29 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for wk, n in exact.items():
         assert abs(approx[wk] - n) <= max(2, 0.05 * n), (wk, n, approx[wk])
+
+
+@settings(max_examples=12, deadline=None)
+@given(events_strategy)
+def test_skew_split_equals_plain_sessionize(spark_global, raw):
+    """sessionize_skew_split must emit BYTE-IDENTICAL session ids to plain
+    sessionize on arbitrary streams, with buckets small enough (600 s over a
+    3600 s horizon) that cross-bucket stitching is exercised constantly."""
+    from sparkgraft.ops.sessionize import sessionize_skew_split
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, u, T0 + timedelta(seconds=s)) for i, (u, s) in enumerate(raw)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plain = {
+        r.event_id: r.session_id
+        for r in sessionize(df, order_tiebreak=("event_id",)).collect()
+    }
+    split = {
+        r.event_id: r.session_id
+        for r in sessionize_skew_split(
+            df, order_tiebreak=("event_id",), bucket_seconds=600
+        ).collect()
+    }
+    assert split == plain

@@ -157,3 +157,49 @@ def test_single_shuffle_plan(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     plan = sessionize(ev, order_tiebreak=("event_id",))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_skew_split_multi_bucket_chain_and_breaks(spark):
+    from sparkgraft.ops.sessionize import sessionize_skew_split
+
+    # bucket = 600 s. User A: one session spanning FOUR buckets (events every
+    # 250 s, all gaps < 300), then a break, then a second session that also
+    # crosses a boundary. User B: two sessions inside one bucket.
+    rows = [
+        ("A", T0 + timedelta(seconds=s)) for s in range(0, 2001, 250)  # 0..8
+    ] + [
+        ("A", T0 + timedelta(seconds=2800)),   # 9: gap 799 -> new session
+        ("A", T0 + timedelta(seconds=3050)),   # 10: gap 250, crosses 3000s edge
+        ("B", T0 + timedelta(seconds=100)),    # 11
+        ("B", T0 + timedelta(seconds=500)),    # 12: gap 400 -> new session
+    ]
+    df = _df(spark, rows)
+    out = sessionize_skew_split(df, order_tiebreak=("event_id",), bucket_seconds=600)
+    assert _groups(out) == {
+        frozenset(range(9)),
+        frozenset({9, 10}),
+        frozenset({11}),
+        frozenset({12}),
+    }
+    # ids (not just groupings) must be byte-identical to plain sessionize
+    plain = sessionize(df, order_tiebreak=("event_id",))
+    assert {
+        (r.event_id, r.session_id) for r in out.select("event_id", "session_id").collect()
+    } == {(r.event_id, r.session_id) for r in plain.select("event_id", "session_id").collect()}
+
+
+def test_skew_split_exact_gap_at_bucket_boundary(spark):
+    from sparkgraft.ops.sessionize import sessionize_skew_split
+
+    # prev event 300 s before a bucket edge, next exactly ON the edge: gap
+    # == 300 -> NEW session; continues-rule (< gap) must agree with the
+    # within-bucket rule (>= gap).
+    rows = [
+        ("A", T0 + timedelta(seconds=300)),  # 0  (T0 is a 600-bucket edge)
+        ("A", T0 + timedelta(seconds=600)),  # 1: gap exactly 300 -> new
+        ("A", T0 + timedelta(seconds=899)),  # 2: gap 299 -> same as 1
+    ]
+    out = sessionize_skew_split(
+        _df(spark, rows), order_tiebreak=("event_id",), bucket_seconds=600
+    )
+    assert _groups(out) == {frozenset({0}), frozenset({1, 2})}
