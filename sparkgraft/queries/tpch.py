@@ -88,8 +88,8 @@ def q5_local_supplier_volume(
             (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(

@@ -599,7 +599,7 @@ def q_q10_returned_revenue(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(exact_sum(revenue).alias("revenue"))
@@ -633,7 +633,7 @@ def q_q14_promo_revenue_share(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
         F.round(F.lit(100.0) * exact_sum(promo) / exact_sum(revenue), 6).alias(
             "promo_share_pct"
@@ -697,7 +697,7 @@ def q_cheapest_shipment_per_part(spark, sf_dir):
         li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("__min_price"))
     )
     return (
-        li.join(F.broadcast(mins), "l_partkey")
+        li.join(mins, "l_partkey")
         .where(F.col("l_extendedprice") == F.col("__min_price"))
         .select("l_partkey", "l_suppkey", "l_extendedprice")
     )
@@ -737,8 +737,8 @@ def q_nation_pair_volume(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
@@ -785,7 +785,7 @@ def q_asia_market_share(spark, sf_dir):
     asia_rev = F.when(F.col("r_name") == "ASIA", revenue).otherwise(F.lit(0.0))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("int"))

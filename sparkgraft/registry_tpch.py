@@ -114,8 +114,8 @@ def q_q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -169,7 +169,7 @@ def q_q11_important_parts(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "JAPAN")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     part_value = (
-        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
         .agg(exact_sum(value).alias("value"))
@@ -335,7 +335,7 @@ def q_q15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("__best"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -379,8 +379,8 @@ def q_q16_part_supplier_diversity(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -421,12 +421,12 @@ def q_q17_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # per-part avg over ONLY the parts that survive the dim filter — at
     # scale this avoids aggregating the 99% of lineitem that can't match
-    li_branded = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    li_branded = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     per_part = li_branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("__q_thresh")
     )
     return (
-        li_branded.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        li_branded.join(per_part, F.col("l_partkey") == F.col("__pk"))
         .where(F.col("l_quantity") < F.col("__q_thresh"))
         .agg((exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -472,13 +472,13 @@ def q_q18_large_volume_customers(spark, sf_dir):
         .select("l_orderkey")
     )
     orders = _t(spark, sf_dir, "orders").join(
-        F.broadcast(big_orders),
+        big_orders,
         F.col("o_orderkey") == F.col("l_orderkey"),
         "left_semi",
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(exact_sum("l_quantity").alias("total_qty"))
@@ -542,7 +542,7 @@ def q_q19_banded_revenue(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(band)
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
@@ -604,7 +604,7 @@ def q_q20_dominant_suppliers(spark, sf_dir):
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sup.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        sup.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -673,7 +673,7 @@ def q_q21_blocking_suppliers(spark, sf_dir):
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
