@@ -209,6 +209,27 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "dedup_jaccard_prefix",
+    _SHINGLE_SET_CTES
+    + """,
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2)
+    """
+    + _JACCARD_SELECT.format(thr=0.5),
+)
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Same exact-Jaccard contract through the ppjoin prefix-filtered path
+    (rarest-(1-t)|x|+1-shingles blocking + array_intersect verify) — the
+    exact escape hatch when hot shingles make the plain blocking join
+    quadratic. Same oracle as dedup_ngram_jaccard: identical pairs."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, prefix_filter=True
+    )
+
+
 def _clusters_oracle(thr: float = 0.5) -> str:
     """Exact connected components via a recursive-CTE transitive closure:
     ``reach`` accumulates every (node, reachable-node) pair to the

@@ -185,3 +185,38 @@ def test_exact_dedup_counts_align(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     groups = dedup.exact_dups(docs)
     assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
+    """Prefix filtering must (a) emit EXACTLY the pairs of the unfiltered
+    blocking path at several thresholds, and (b) feed strictly fewer
+    candidate pairs into verification than the all-shared-shingles join
+    produces — the point of ppjoin."""
+    docs = read_table(spark, sf_dir, "documents")
+    for thr in (0.3, 0.5, 0.8):
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        plain = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=thr, prefix_filter=False
+            ).collect()
+        }
+        assert fast == plain, f"threshold {thr}"
+    assert fast, "fixture must contain planted near-dups"
+
+    ds = dedup.doc_shingles(docs)
+    n_prefix_cand = dedup.jaccard_prefix_candidates(ds, 0.5).count()
+    freq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    blocked = ds.join(freq.where(F.col("df") >= 2).select("sh"), "sh")
+    n_blocked_cand = (
+        blocked.select(F.col("doc").alias("doc_a"), "sh")
+        .join(blocked.select(F.col("doc").alias("doc_b"), "sh"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert n_prefix_cand < n_blocked_cand, (n_prefix_cand, n_blocked_cand)
