@@ -496,28 +496,94 @@ def simhash_signatures(
     return votes.selectExpr("doc", f"{sim} AS simhash")
 
 
+def _hamming_masks(bits: int, max_hamming: int) -> list[int]:
+    """All XOR masks with 1..max_hamming of ``bits`` bits set."""
+    from itertools import combinations
+
+    masks = []
+    for k in range(1, max_hamming + 1):
+        for pos in combinations(range(bits), k):
+            m = 0
+            for p in pos:
+                m |= 1 << p
+            masks.append(m)
+    return masks
+
+
+#: switch simhash pairing to neighbor enumeration when the mask count is
+#: affordable (16 bits / h<=3 -> 696 masks; 64 bits / h=3 -> 43k, banded)
+_NEIGHBOR_MASK_LIMIT = 2048
+
+
 def simhash_close_pairs(
     df: DataFrame,
     col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Pairs of docs whose SimHash Hamming distance <= max_hamming.
 
-    Banded Hamming LSH, not all-pairs: split the ``bits``-bit signature
-    into ``max_hamming + 1`` contiguous bit bands. Pigeonhole guarantees a
-    pair within the Hamming budget differs in at most ``max_hamming`` bit
-    positions, so at least one band is bit-identical — an equi-join on
-    (band_idx, band_value) finds EVERY qualifying pair (exact recall, no
-    approximation), and only bucket-mates ever meet. Candidates are then
-    verified with the true ``bit_count`` distance.
+    Two exact strategies, auto-selected on ``C(bits, <=max_hamming)``
+    (``strategy`` forces one for testing/tuning):
 
-    Scale: the join fan-out is sum over buckets of |bucket|², linear for
-    any non-degenerate signature distribution, vs the previous O(n²)
-    crossJoin of the whole signature table. Same banding trick
-    ``minhash_lsh_pairs`` uses, transplanted to Hamming space.
+    **Neighbor enumeration** (narrow signatures, e.g. 16-bit/h<=3 -> 696
+    masks): the DISTINCT-signature relation is capped at ``2^bits`` rows
+    no matter the corpus size, so close signature-VALUE pairs come from
+    exploding each distinct value against the fixed mask set and
+    equi-joining on the neighbor value — a bounded O(2^bits * masks)
+    computation. Doc pairs are then two equi-joins of the doc->sig
+    relation against the tiny value-pair relation (plus a same-sig
+    self-join for Hamming 0); every row produced is an output row, so the
+    expansion is output-linear. No per-corpus quadratic term anywhere.
+
+    **Banded Hamming LSH** (wide signatures): split the signature into
+    ``max_hamming + 1`` bit bands. Pigeonhole guarantees a qualifying pair
+    is bit-identical in at least one band — an equi-join on
+    (band_idx, band_value) finds EVERY pair (exact recall); candidates are
+    verified with the true ``bit_count`` distance. This is the Manku et
+    al. (WWW'07) web-dedup shape; band width ``bits/(h+1)`` governs bucket
+    collision rates, so it needs wide signatures to shine (64-bit/h=3 ->
+    16-bit bands), while narrow signatures get the enumeration path.
     """
+    if strategy not in ("auto", "neighbors", "banded"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    n_masks = sum(__import__("math").comb(bits, k) for k in range(1, max_hamming + 1))
+    if strategy == "neighbors" or (strategy == "auto" and n_masks <= _NEIGHBOR_MASK_LIMIT):
+        sigs = simhash_signatures(df, col, id_col, bits)
+        vals = sigs.select("simhash").distinct()
+        masks = _hamming_masks(bits, max_hamming)
+        nbrs = (
+            vals.select(
+                F.col("simhash").alias("s_a"),
+                F.explode(F.array(*[F.expr(f"simhash ^ {m}") for m in masks])).alias("s_b"),
+            )
+            .where(F.col("s_a") < F.col("s_b"))
+            .join(vals.select(F.col("simhash").alias("s_b")), "s_b")
+        )
+        cross_sig = (
+            sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("s_a"))
+            .join(nbrs, "s_a")
+            .join(sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("s_b")), "s_b")
+            .select(
+                "doc_a", "doc_b", F.expr("CAST(bit_count(s_a ^ s_b) AS INT)").alias("hamming")
+            )
+        )
+        same = sigs.select(F.col("doc").alias("doc_a"), "simhash").join(
+            sigs.select(F.col("doc").alias("doc_b"), "simhash"), "simhash"
+        )
+        same_sig = (
+            same.where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+        )
+        # cross_sig emits each value-pair once with canonical s_a < s_b; the
+        # doc ids on the two sides are arbitrary, so canonicalize doc order
+        return cross_sig.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
+        ).union(same_sig)
     n_bands = min(max_hamming + 1, bits)
     base, rem = divmod(bits, n_bands)
     bounds, lo = [], 0

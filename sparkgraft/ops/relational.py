@@ -106,6 +106,62 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    slab_seconds: int = 3600,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join: left rows where
+    ``right_start <= left_ts < right_end`` (+ optional equi keys).
+
+    A naive range-condition join has no equi key, so Spark plans
+    BroadcastNestedLoopJoin — O(|L|x|R|) compute and a broadcast of a
+    whole side; the classic scale trap. Slab bucketing restores an
+    equi-join: left rows get their one covering time slab
+    (``floor(epoch/slab)``); each right interval EXPLODES into the slabs
+    it overlaps; join on (slab, *extra_keys) and re-check the exact bound.
+    Every true pair meets in exactly one slab (the left row's), so no
+    dedup is needed and no pair is lost.
+
+    ``slab_seconds`` tunes fan-out: right rows duplicate
+    ``~interval/slab`` times, left rows never duplicate. Pick a slab near
+    the typical interval length; shuffles |L| + |R|*(len/slab) rows —
+    linear, skew-safe, AQE-splittable, at any scale.
+
+    Empty/degenerate intervals (end <= start) are dropped up front —
+    required for correctness anyway, and it sidesteps Spark's
+    ``sequence(a, b)`` descending when a > b.
+    """
+    slab_us = int(slab_seconds) * 1_000_000
+
+    def _slab(c: str) -> Column:
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(slab_us))
+
+    l2 = left.withColumn("__slab", _slab(left_ts))
+    r2 = (
+        right.where(F.col(right_end) > F.col(right_start))
+        .withColumn("__end_slab", _slab(right_end) - F.when(
+            F.unix_micros(F.col(right_end).cast("timestamp")) % slab_us == 0, 1
+        ).otherwise(0))
+        .withColumn(
+            "__slab",
+            F.explode(F.sequence(_slab(right_start), F.col("__end_slab"))),
+        )
+        .drop("__end_slab")
+    )
+    return (
+        l2.join(r2, on=["__slab", *extra_keys])
+        .where(
+            (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("__slab")
+    )
+
+
 def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-insensitive SUM for double columns.
 

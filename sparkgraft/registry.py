@@ -1106,6 +1106,44 @@ def q_asof_last_signup(spark, sf_dir):
     return joined.select("event_id", "user_id", "ts", "asof_ts")
 
 
+@register(
+    "range_join_event_windows",
+    """
+    WITH win AS (
+      SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+      FROM events
+      WHERE event_type = 'purchase'
+      ORDER BY value DESC, ts, event_id
+      LIMIT 10
+    )
+    SELECT w.window_id, e.event_id, e.ts
+    FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def q_range_join_event_windows(spark, sf_dir):
+    """Point-in-interval range join (operator Spark lacks natively: a bare
+    inequality join plans BroadcastNestedLoopJoin). Windows = the 2 h after
+    each of the 10 highest-value purchases; result = every event inside any
+    window. ops/relational.range_join slab-buckets the intervals into an
+    equi-join on the time slab — linear shuffle, no nested loop (plan
+    gate)."""
+    from sparkgraft.ops.relational import range_join, top_k
+
+    ev = _t(spark, sf_dir, "events")
+    win = top_k(
+        ev.where(F.col("event_type") == "purchase"),
+        [F.col("value").desc(), F.col("ts"), F.col("event_id")],
+        10,
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+    )
+    return range_join(ev, win, "ts", "w_start", "w_end", slab_seconds=3600).select(
+        "window_id", "event_id", "ts"
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -220,3 +220,19 @@ def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
         .count()
     )
     assert n_prefix_cand < n_blocked_cand, (n_prefix_cand, n_blocked_cand)
+
+
+def test_simhash_neighbor_and_banded_paths_agree(spark, sf_dir):
+    """The two exact Hamming-pair strategies must emit identical pair sets
+    (the auto rule picks neighbors at 16 bits; force both explicitly)."""
+    docs = read_table(spark, sf_dir, "documents")
+    nb = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_close_pairs(docs, strategy="neighbors").collect()
+    }
+    bd = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_close_pairs(docs, strategy="banded").collect()
+    }
+    assert nb == bd
+    assert nb, "fixture must contain close simhash pairs"

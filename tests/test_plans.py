@@ -153,6 +153,15 @@ def test_skew_split_sessionize_bounded_windows(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The slab-bucketed range join must plan as an equi-join (hash join on
+    the slab), never the BroadcastNestedLoopJoin a bare inequality join
+    degenerates to."""
+    plan = _plan(spark, sf_dir, "range_join_event_windows")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def _formatted(spark, sf_dir, name):
     """explain('formatted') text — unlike executedPlan().toString(), it
     prints PushedFilters untruncated."""
