@@ -71,6 +71,40 @@ def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
     return df.where(bucket < pct)
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight: F.Column | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: top-k by
+    PRIORITY q_i = w_i / u_i (Duffield–Lund–Thorup priority sampling).
+
+    u_i is a deterministic uniform in (0, 1] derived from the row id
+    (md5-based 60-bit hash), so the sample is a pure function of the data:
+    stable across partitioning, reruns, and engines — and exactly
+    reproducible in the DuckDB oracle because q uses only one IEEE
+    division (correctly rounded everywhere), never pow/log, whose last-ulp
+    libm differences could flip a top-k boundary.
+
+    Inclusion probability ≈ min(1, w_i/tau) with tau the (k+1)-th
+    priority — weight-proportional for the tail, certainty for heavy rows:
+    the standard one-pass weighted sample for training-data curation
+    (upweight high-quality docs, downweight boilerplate). Distributed cost
+    = one TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    no shuffle of the corpus.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h = F.expr(HASH64_SQL.format(x=f"CAST({id_col} AS STRING)"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    out = df.withColumn("__priority", w.cast("double") / u)
+    return (
+        out.orderBy(F.col("__priority").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__priority")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 256,

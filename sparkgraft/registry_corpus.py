@@ -77,6 +77,30 @@ def q_corpus_sample_hash(spark, sf_dir):
 
 
 @register(
+    "corpus_priority_sample",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE)
+               / ((CAST({_hash64_d('CAST(doc_id AS VARCHAR)')} AS DOUBLE) + 1)
+                  / 1152921504606846976.0) AS q
+      FROM documents)
+    SELECT doc_id, lang FROM pri
+    ORDER BY q DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_corpus_priority_sample(spark, sf_dir):
+    """Deterministic weighted sample (k=100, weight = doc length) via
+    priority sampling q = w/u — weight-proportional without-replacement
+    selection as one TakeOrderedAndProject, exactly reproducible in the
+    oracle because q is a single IEEE division (ext/corpus.priority_sample).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.priority_sample(docs, 100, F.length("text")).select("doc_id", "lang")
+
+
+@register(
     "corpus_pack_sequences",
     f"""
     WITH tok AS (SELECT source, doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
