@@ -1236,3 +1236,84 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
 from sparkgraft import registry_ext  # noqa: E402,F401  (registration side effect)
 from sparkgraft import registry_tpch  # noqa: E402,F401  (registration side effect)
 from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side effect)
+
+
+# ---------------------------------------------------------------------------
+# Driver-window curation.  The external correctness driver snapshots only the
+# FIRST 50 registered queries each round, so registration order is a curated
+# artifact, not an accident of module layout.  Round 3's window: the 36
+# queries that never had a driver row in rounds 1-2, plus dedup_clusters /
+# dedup_minhash_lsh (driver-green in r01, evicted from r02's window by two
+# front-inserted queries), plus 12 already-proven sentinels.  Rounds 1+2+3
+# together then driver-prove all 88.  tests/test_registry_parity.py pins the
+# window composition so future insertions can't silently evict proof again.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # never driver-checked in r01/r02 (36)
+    "dedup_jaccard_prefix",
+    "dedup_simhash_sigs",
+    "dedup_simhash_pairs",
+    "embed_cosine_topk",
+    "embed_cosine_neardup",
+    "embed_lsh_topk",
+    "embed_ivf_topk",
+    "salted_user_event_totals",
+    "embedding_stats_by_label",
+    "text_weighted_score",
+    "multimodal_payload_digests",
+    "grouped_demean_applyinpandas",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_priority_split",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_dominant_suppliers",
+    "q21_blocking_suppliers",
+    "q22_dormant_capital",
+    "corpus_decontaminate",
+    "corpus_sample_hash",
+    "corpus_priority_sample",
+    "corpus_pack_sequences",
+    "corpus_interleave",
+    "corpus_curation_topk",
+    "corpus_quality_funnel",
+    "ml_minhash_pairs",
+    "ml_ann_neighbors",
+    # driver-green in r01, evicted from r02's window — re-prove (2)
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    # already-proven sentinels (12) — regression canaries for the core surface
+    "wau_user",
+    "wau_user_twolevel",
+    "sessionize_ids",
+    "sessionize_skew_split",
+    "wau_session",
+    "filter_time_range",
+    "case_when_buckets",
+    "q1_pricing_summary",
+    "left_join_orders_customers",
+    "top_orders",
+    "latest_event_per_user",
+    "cumulative_purchases",
+)
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in _REGISTRY if n not in DRIVER_WINDOW]
+    reordered = {n: _REGISTRY[n] for n in (*DRIVER_WINDOW, *rest)}
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)
+
+
+_apply_driver_window()

@@ -41,3 +41,14 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_driver_window_composition():
+    """The correctness driver snapshots only the FIRST 50 registered queries;
+    registration order is a curated artifact (round-2 verdict: two front
+    inserts silently evicted driver-proven queries).  Pin the round-3 window:
+    the first 50 names must be exactly DRIVER_WINDOW, in order, so that
+    r01+r02+r03 driver rows jointly cover every registered query."""
+    names = list(registry.queries())
+    assert tuple(names[:50]) == registry.DRIVER_WINDOW
+    assert len(set(registry.DRIVER_WINDOW)) == 50
