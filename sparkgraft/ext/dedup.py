@@ -167,6 +167,15 @@ def jaccard_prefix_candidates(
     )
 
 
+#: auto path selection: use prefix filtering when the plain blocking join
+#: would emit more than this many candidate-pair rows PER shingle row
+#: (pair_rows = sum_sh df*(df-1)/2; blowup = pair_rows / |ds|).  Measured:
+#: the synthetic documents corpus sits at ~0.55 (plain join wins, 2.5 s vs
+#: 5.2 s at sf0.1); a corpus where every doc shares boilerplate shingles
+#: blows up to ~n_docs/2 and the plain join goes quadratic.
+_JACCARD_BLOWUP_LIMIT = 8.0
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     col: str = "text",
@@ -174,14 +183,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, blocked on shared shingles.
 
-    Default path: self-join ALL df>=2 shingle rows and count shared
-    shingles directly — one stage, and the fastest shape when the shingle
-    document-frequency distribution is light-tailed (measured: 2.5 s vs
-    5.2 s for the prefix path at sf0.1, where candidates only shrink 2.8x).
+    ``prefix_filter=None`` (default) AUTO-SELECTS from the measured shingle
+    document-frequency tail: one tiny aggregate over the df relation
+    computes the plain join's candidate-row blowup sum(df*(df-1)/2)/|ds|,
+    and the prefix path is chosen when it exceeds ``_JACCARD_BLOWUP_LIMIT``
+    — i.e. exactly when hot shingles (boilerplate, stopword n-grams) would
+    make the plain self-join quadratic.  Both paths emit identical pairs,
+    so auto-selection never changes results, only the plan.
+
+    ``prefix_filter=False`` path: self-join ALL df>=2 shingle rows and
+    count shared shingles directly — one stage, and the fastest shape when
+    the shingle document-frequency distribution is light-tailed (measured:
+    2.5 s vs 5.2 s for the prefix path at sf0.1, where candidates only
+    shrink 2.8x).
 
     ``prefix_filter=True`` switches to ``jaccard_prefix_candidates`` (exact
     ppjoin prefix filtering — only each doc's ``(1-t)|x|+1`` rarest
@@ -191,12 +209,19 @@ def ngram_jaccard_pairs(
     escape hatch for heavy-tailed corpora (boilerplate/stopword shingles)
     where the plain join goes quadratic — the cases the approximate
     ``max_doc_freq`` cut would otherwise have to handle. The two paths
-    emit identical pairs (pinned by test at three thresholds).
+    emit identical pairs for ANY (threshold, max_doc_freq) combination
+    (pinned by test at three thresholds and with a df-cut).
 
     ``max_doc_freq`` is the approximate scale knob: drop shingles present
     in more than N docs before pairing (bounds hot-shingle fan-out; the
     dropped shingles still count toward set sizes, so Jaccard becomes a
     lower bound — standard df-cut trade-off, OFF by default for exactness).
+    Both paths implement the SAME cut semantics: intersections count only
+    kept shingles, union sizes stay full. Prefix filtering remains exact
+    for this cut-Jaccard J': J' >= t implies the kept overlap o' >= t*|x|
+    (since |y| >= o'), so at least one shared KEPT shingle sits inside the
+    full-order prefix, and the prefix rows are filtered to kept shingles —
+    the candidate join loses no J'-qualifying pair.
 
     df=1 pruning is always on and always exact: a frequency-1 shingle
     cannot contribute to any intersection; sizes still come from the full
@@ -204,6 +229,18 @@ def ngram_jaccard_pairs(
     """
     ds = doc_shingles(df, col, id_col, n)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefix_filter is None:
+        stats = (
+            ds.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_rows"),
+                F.sum("df").alias("n_rows"),
+            )
+            .collect()[0]
+        )
+        blowup = (stats.pair_rows or 0.0) / max(stats.n_rows or 0, 1)
+        prefix_filter = blowup > _JACCARD_BLOWUP_LIMIT
     if prefix_filter:
         cand = jaccard_prefix_candidates(ds, threshold, max_doc_freq)
         # Verify with per-doc shingle-set ARRAYS + array_intersect: one row
@@ -211,7 +248,21 @@ def ngram_jaccard_pairs(
         # which would fan out |cand| x doc-size rows). Array size is the
         # doc's distinct-shingle count — bounded by doc length; chunk
         # pathological docs upstream if that ever isn't true.
-        doc_sets = ds.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
+        #
+        # df-cut parity with the default path: intersect sets drop shingles
+        # with df > max_doc_freq (a shared shingle always has df >= 2, so
+        # the df>=2 side of the cut never changes the intersection), while
+        # union sizes stay FULL — identical cut-Jaccard on both paths.
+        vs = ds
+        if max_doc_freq is not None:
+            freq_cut = (
+                ds.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_doc_freq)
+                .select("sh")
+            )
+            vs = ds.join(F.broadcast(freq_cut), "sh")
+        doc_sets = vs.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
         return (
             cand.join(
                 doc_sets.select(F.col("doc").alias("doc_a"), F.col("__shs").alias("__sa")),
@@ -221,12 +272,14 @@ def ngram_jaccard_pairs(
                 doc_sets.select(F.col("doc").alias("doc_b"), F.col("__shs").alias("__sb")),
                 "doc_b",
             )
+            .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("__na")), "doc_a")
+            .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("__nb")), "doc_b")
             .withColumn("n_inter", F.size(F.array_intersect("__sa", "__sb")))
             .withColumn(
                 "jaccard",
                 F.round(
                     F.col("n_inter")
-                    / (F.size("__sa") + F.size("__sb") - F.col("n_inter")),
+                    / (F.col("__na") + F.col("__nb") - F.col("n_inter")),
                     6,
                 ),
             )

@@ -157,7 +157,11 @@ def cosine_neardup_pairs(
     vecs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.expr(f"CAST(pmod({id_col} * 2654435761, {n_blocks}) AS INT)").alias("blk"),
+        # overflow-free under ANSI mode: hash() never overflows, unlike a
+        # Knuth multiply (id * 2654435761 blows past BIGINT for id >= ~3.5e9,
+        # exactly the hash-derived/snowflake id range).  Block assignment
+        # needs no oracle reproducibility — only a balanced spread.
+        F.expr(f"CAST(pmod(hash({id_col}), {n_blocks}) AS INT)").alias("blk"),
     )
     block_pairs = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],

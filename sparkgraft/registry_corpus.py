@@ -82,7 +82,7 @@ def q_corpus_sample_hash(spark, sf_dir):
     WITH pri AS (
       SELECT doc_id, lang,
              CAST(length(text) AS DOUBLE)
-               / ((CAST({_hash64_d('CAST(doc_id AS VARCHAR)')} AS DOUBLE) + 1)
+               / (CAST(({_hash64_d('CAST(doc_id AS VARCHAR)')}) + 1 AS DOUBLE)
                   / 1152921504606846976.0) AS q
       FROM documents)
     SELECT doc_id, lang FROM pri

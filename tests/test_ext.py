@@ -66,6 +66,23 @@ def test_simhash_banded_equals_brute_force(spark, sf_dir):
     assert banded == brute
 
 
+def test_cosine_neardup_snowflake_scale_ids(spark):
+    """Block assignment must not overflow under ANSI mode for ids past
+    2^33 (hash-derived / snowflake ids) — the Knuth-multiply bucket
+    (id * 2654435761) threw ARITHMETIC_OVERFLOW there. Regression for the
+    hash()-based bucket, which can never overflow."""
+    base = 5_000_000_000  # > 2^32: the old multiply overflowed BIGINT here
+    rows = [
+        (base + i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)
+    ]
+    rows.append((base + 100, rows[0][1]))  # planted exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = simsearch.cosine_neardup_pairs(emb, 0.999, n_blocks=4).collect()
+    assert any(
+        r.vec_a == base and r.vec_b == base + 100 for r in pairs
+    ), "planted dup must surface"
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """ANN top-5 must overlap brute-force top-5 on average (recall@5)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -196,7 +213,9 @@ def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
     for thr in (0.3, 0.5, 0.8):
         fast = {
             (r.doc_a, r.doc_b, r.jaccard)
-            for r in dedup.ngram_jaccard_pairs(docs, threshold=thr).collect()
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=thr, prefix_filter=True
+            ).collect()
         }
         plain = {
             (r.doc_a, r.doc_b, r.jaccard)
@@ -206,6 +225,23 @@ def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
         }
         assert fast == plain, f"threshold {thr}"
     assert fast, "fixture must contain planted near-dups"
+
+    # df-cut parity: with max_doc_freq the paths must share cut semantics
+    # (cut intersections, full union sizes) and still emit identical pairs
+    cut_fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=4, prefix_filter=True
+        ).collect()
+    }
+    cut_plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=4, prefix_filter=False
+        ).collect()
+    }
+    assert cut_fast == cut_plain
+    assert cut_plain, "cut run must still surface the planted near-dups"
 
     ds = dedup.doc_shingles(docs)
     n_prefix_cand = dedup.jaccard_prefix_candidates(ds, 0.5).count()
@@ -220,6 +256,54 @@ def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
         .count()
     )
     assert n_prefix_cand < n_blocked_cand, (n_prefix_cand, n_blocked_cand)
+
+
+def test_jaccard_auto_selects_prefix_on_hot_shingles(spark, sf_dir):
+    """prefix_filter=None must measure the shingle-df tail and flip to the
+    ppjoin path when hot shingles make the plain join quadratic — and the
+    auto pick must still match the forced-plain results exactly."""
+    # normal corpus: light-tailed df (blowup ~0.55) -> auto == plain path
+    docs = read_table(spark, sf_dir, "documents")
+    auto = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert auto == plain
+
+    # hot-shingle corpus: every doc shares one boilerplate phrase, so the
+    # shared shingles have df = n_docs and blowup ~ n_docs/2 >> limit
+    boiler = "standard legal disclaimer applies to all documents here "
+    hot = spark.createDataFrame(
+        [(i, boiler + f"unique body {i} " + "x" * (i % 7)) for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    ds_hot = dedup.doc_shingles(hot)
+    freq = ds_hot.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    stats = freq.agg(
+        (F.sum(F.col("df") * (F.col("df") - 1) / 2) / F.sum("df")).alias("blowup")
+    ).collect()[0]
+    assert stats.blowup > dedup._JACCARD_BLOWUP_LIMIT, stats.blowup
+    auto_hot_df = dedup.ngram_jaccard_pairs(hot, threshold=0.3)
+    # the ppjoin path (and only it) ranks shingles with a window function —
+    # its presence in the plan proves auto actually flipped to prefix
+    assert "Window" in auto_hot_df._jdf.queryExecution().optimizedPlan().toString()
+    auto_hot = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in auto_hot_df.collect()
+    }
+    plain_hot = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            hot, threshold=0.3, prefix_filter=False
+        ).collect()
+    }
+    assert auto_hot == plain_hot
+    assert auto_hot, "boilerplate corpus must contain near-dups at t=0.3"
 
 
 def test_simhash_neighbor_and_banded_paths_agree(spark, sf_dir):
