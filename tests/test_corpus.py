@@ -76,16 +76,48 @@ def test_interleave_round_robin_invariant(spark, sf_dir):
             assert max_rank_at_pos[p] < min_rank_at_pos[p + 1]
 
 
+def test_interleave_chunked_prefix_sum_equals_single_chunk(spark, sf_dir):
+    """The two-level prefix sum must be invisible in the output: a chunk
+    size forcing many chunks (3 positions per chunk) yields bit-identical
+    mix_ranks to the effectively-unchunked default."""
+    docs = _docs(spark, sf_dir)
+    tiny = {
+        (r.doc_id, r.mix_rank)
+        for r in corpus.interleave_sources(docs, chunk=3).collect()
+    }
+    default = {
+        (r.doc_id, r.mix_rank)
+        for r in corpus.interleave_sources(docs).collect()
+    }
+    assert tiny == default
+    assert tiny
+
+
+def _walk_plan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_plan(node.children().apply(i))
+
+
 def test_interleave_no_global_window_on_corpus(spark, sf_dir):
-    """The corpus-sized relations must never hit a partitionless window —
-    only the tiny per-pos offset relation may (bounded by max docs/source)."""
+    """No window whose input scales with a per-source doc count may be
+    unpartitioned (single-task). The two-level prefix sum leaves exactly
+    one global window — over the per-CHUNK totals (max_pos/chunk rows),
+    recognizable by its __ct running-sum expression. Walk the logical plan
+    and check every partitionless Window node is that one."""
     out = corpus.interleave_sources(_docs(spark, sf_dir))
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # windows over the full corpus carry doc_id in their output; the
-    # offsets window is over (pos, __n) only
-    for line in plan.splitlines():
-        if "windowspecdefinition()" in line.lower():
-            raise AssertionError(f"unexpected fully-global window: {line}")
+    plan = out._jdf.queryExecution().optimizedPlan()
+    n_global = 0
+    for node in _walk_plan(plan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if node.partitionSpec().isEmpty():
+            n_global += 1
+            exprs = node.windowExpressions().toString()
+            assert "__ct" in exprs, (
+                f"global window over something other than chunk totals: {exprs}"
+            )
+    assert n_global == 1, f"expected exactly one (chunk-total) global window, saw {n_global}"
 
 
 def test_quality_funnel_monotone_and_single_scan(spark, sf_dir):
