@@ -111,6 +111,7 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     col: str = "text",
+    presplit_chunk: int | None = None,
 ) -> DataFrame:
     """Sequential packing: within each group (deterministic doc_id order),
     assign docs to fixed-capacity token bins by running token total —
@@ -118,16 +119,62 @@ def pack_sequences(
     packing rule (one pass, no lookahead); bins can overflow by at most one
     document, as in standard greedy sequence packing.
 
-    Scale: one shuffle on group_col + one window cumsum. For a corpus with
-    few giant sources, pre-split the group key by a hash salt and offset
-    seq_ids per salt — noted, not needed at test scale.
+    Default: one shuffle on group_col + one window cumsum — a GIANT source
+    (10^9 docs in one group) would serialize into a single window task.
+    ``presplit_chunk=R`` is the scale path: split every source into
+    contiguous doc_id value ranges of width R, cumsum WITHIN each
+    (source, chunk) — a distributed, bounded window — and add each chunk's
+    token-total offset, computed as a running sum over the per-chunk
+    totals (per source: #chunks rows, ~10^3 at 10^9 docs / 2^20-wide
+    chunks — the same two-level prefix-sum shape as interleave_sources).
+    The composition is EXACT: offset + within-chunk exclusive cumsum =
+    global exclusive cumsum, so seq_ids are bit-identical to the default
+    path (property-tested with presplit_chunk=7), unlike salt-and-repack
+    schemes that move bin boundaries.
     """
+    n_tok = token_count(col)
+    if presplit_chunk is not None:
+        base = df.select(group_col, F.col(id_col), n_tok.alias("n_tokens")).withColumn(
+            "__chunk", F.floor(F.col(id_col) / presplit_chunk)
+        )
+        w_in = (
+            Window.partitionBy(group_col, "__chunk")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        chunk_off = (
+            base.groupBy(group_col, "__chunk")
+            .agg(F.sum("n_tokens").alias("__ct"))
+            .withColumn(
+                "__co",
+                F.coalesce(
+                    F.sum("__ct").over(
+                        Window.partitionBy(group_col)
+                        .orderBy("__chunk")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select(group_col, "__chunk", "__co")
+        )
+        return (
+            base.withColumn("__cum", F.sum("n_tokens").over(w_in))
+            .join(chunk_off, [group_col, "__chunk"])
+            .select(
+                group_col,
+                id_col,
+                "n_tokens",
+                F.floor(
+                    (F.col("__co") + F.col("__cum") - F.col("n_tokens")) / capacity
+                ).alias("seq_id"),
+            )
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = token_count(col)
     return (
         df.select(group_col, F.col(id_col), n_tok.alias("n_tokens"))
         .withColumn("__cum", F.sum("n_tokens").over(w))

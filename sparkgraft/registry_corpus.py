@@ -115,9 +115,13 @@ def q_corpus_priority_sample(spark, sf_dir):
 )
 def q_corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: docs → fixed-capacity (256-token) bins per source
-    by exclusive-prefix-sum of token counts (ext/corpus.pack_sequences)."""
+    by exclusive-prefix-sum of token counts (ext/corpus.pack_sequences).
+    Runs the giant-source PRESPLIT path (two-level prefix sum over doc_id
+    chunks) so the driver row proves the scale shape — seq_ids are
+    bit-identical to the single-window form, as the oracle's global
+    cumsum checks directly."""
     docs = _t(spark, sf_dir, "documents")
-    out = corpus.pack_sequences(docs, capacity=256)
+    out = corpus.pack_sequences(docs, capacity=256, presplit_chunk=1 << 20)
     return out.select(
         "source",
         "doc_id",

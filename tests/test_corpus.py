@@ -47,6 +47,46 @@ def test_pack_sequences_capacity_bound(spark, sf_dir):
         assert all(off < 256 for off in entry_offsets)
 
 
+def test_pack_sequences_presplit_equals_default(spark, sf_dir):
+    """Giant-source pre-split must be invisible in the output: chunk width
+    7 (forcing many chunks per source) yields bit-identical seq_ids to the
+    single-window default — the two-level prefix sum composes exactly."""
+    docs = _docs(spark, sf_dir)
+    split = {
+        (r.source, r.doc_id, r.n_tokens, r.seq_id)
+        for r in corpus.pack_sequences(docs, capacity=256, presplit_chunk=7).collect()
+    }
+    plain = {
+        (r.source, r.doc_id, r.n_tokens, r.seq_id)
+        for r in corpus.pack_sequences(docs, capacity=256).collect()
+    }
+    assert split == plain
+    assert split
+
+
+def test_pack_sequences_presplit_bounded_windows(spark, sf_dir):
+    """With presplit on, no window over the DOC relation may partition by
+    bare source (one task per giant source): fact windows partition by
+    (source, __chunk); only the per-chunk totals relation (#chunks rows
+    per source) may window on bare source."""
+    out = corpus.pack_sequences(_docs(spark, sf_dir), presplit_chunk=1 << 20)
+    plan = out._jdf.queryExecution().optimizedPlan()
+    saw_fact_window = False
+    for node in _walk_plan(plan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        spec = node.partitionSpec().toString()
+        assert not node.partitionSpec().isEmpty(), "global window in presplit plan"
+        if "__chunk" in spec:
+            saw_fact_window = True
+        else:
+            # bare-source window: allowed only over the chunk-totals agg
+            assert "__ct" in node.windowExpressions().toString(), (
+                f"bare-source window over the doc relation: {node.toString()[:200]}"
+            )
+    assert saw_fact_window
+
+
 def test_decontaminate_drops_planted_phrase(spark):
     bench = corpus.benchmark_shingles(spark, ("alpha beta gamma delta",), n=4)
     docs = spark.createDataFrame(
