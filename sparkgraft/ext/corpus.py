@@ -47,7 +47,11 @@ def decontaminate(
     The scale shape: corpus-side shingles are exploded ONCE and semi-joined
     against the broadcast benchmark shingles to get contaminated ids (a
     relation ~ |hits|, not |corpus|); the corpus is then anti-joined on id.
-    The corpus never shuffles on text — only on the (small) id set.
+    The corpus never shuffles on text or shingles — only on the id set.
+    The benchmark side keeps a hard broadcast hint (bounded by the eval
+    suite's size by construction); the contaminated-id side is corpus-
+    derived and unbounded under heavy contamination, so it carries NO hint
+    — AQE broadcasts it when it measures small, shuffle-joins otherwise.
     """
     contaminated = (
         doc_shingles(df, col, id_col, n)
@@ -55,7 +59,7 @@ def decontaminate(
         .select(F.col("doc").alias(id_col))
         .distinct()
     )
-    return df.join(F.broadcast(contaminated), id_col, "left_anti")
+    return df.join(contaminated, id_col, "left_anti")
 
 
 def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:

@@ -159,3 +159,95 @@ def payload_digests(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.length("payload").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointer-struct payloads: the 100 TB posture for multimodal columns.
+# Parquet holds (path, offset, length) pointers into large blob files /
+# object storage, so the table stays scan-friendly (column pruning, predicate
+# pushdown, tiny row groups) and bytes are fetched lazily, only by the stages
+# that need them.
+# ---------------------------------------------------------------------------
+
+#: the pointer column convention: struct<path:string, offset:bigint, length:int>
+POINTER_FIELD = "ptr"
+FETCH_SCHEMA = "doc_id bigint, n_bytes bigint, payload_md5 string"
+
+
+def build_pointer_fixture(spark, df: DataFrame, blob_path: str,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """FIXTURE/DEMO TOOLING, not a data-path operator: write one local blob
+    file of concatenated utf-8 payloads and return the pointer table for it.
+
+    In production the blobs already live in object storage and pointers
+    arrive WITH the data (written by the ingest job); a Spark job never
+    builds them by collecting a corpus to the driver — this helper exists
+    so the ranged-read fetch operator has something real to read in tests
+    and in the registered demo query, at fixture scale (hundreds of docs).
+    """
+    import os
+
+    rows = df.select(id_col, text_col).orderBy(id_col).collect()
+    ptrs, off = [], 0
+    os.makedirs(os.path.dirname(blob_path), exist_ok=True)
+    with open(blob_path, "wb") as f:
+        for r in rows:
+            payload = (r[1] or "").encode("utf-8")
+            f.write(payload)
+            ptrs.append((r[0], (blob_path, off, len(payload))))
+            off += len(payload)
+    return spark.createDataFrame(
+        ptrs,
+        f"doc_id bigint, {POINTER_FIELD} struct<path:string, offset:bigint, length:int>",
+    )
+
+
+def fetch_payload_ranges(df: DataFrame, pointer_col: str = POINTER_FIELD) -> DataFrame:
+    """Ranged-read fetch over pointer structs — the lazy-bytes data path.
+
+    Arrow-batched ``mapInPandas``: per batch, group pointers by file and
+    read them in offset order (sequential-friendly seeks; against object
+    storage this becomes ranged GETs, ideally coalesced per file). Emits
+    (doc_id, n_bytes, payload_md5) so correctness is checkable without
+    shipping the bytes anywhere — swap the digest for the decode stage in
+    a real pipeline. Partitioning discipline: repartition the pointer
+    table by path upstream if many tasks would touch the same blobs."""
+    import hashlib
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            ptrs = list(pdf[pointer_col])
+            order = sorted(
+                range(len(ptrs)), key=lambda i: (ptrs[i]["path"], ptrs[i]["offset"])
+            )
+            n_bytes = [0] * len(ptrs)
+            digests = [""] * len(ptrs)
+            open_path, handle = None, None
+            try:
+                for i in order:
+                    p = ptrs[i]
+                    if p["path"] != open_path:
+                        if handle is not None:
+                            handle.close()
+                        open_path = p["path"]
+                        handle = open(open_path, "rb")
+                    handle.seek(p["offset"])
+                    payload = handle.read(p["length"])
+                    if len(payload) != p["length"]:
+                        raise IOError(
+                            f"short read at {open_path}:{p['offset']}: "
+                            f"wanted {p['length']}, got {len(payload)}"
+                        )
+                    n_bytes[i] = len(payload)
+                    digests[i] = hashlib.md5(payload).hexdigest()
+            finally:
+                if handle is not None:
+                    handle.close()
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": n_bytes, "payload_md5": digests}
+            )
+
+    return df.select("doc_id", pointer_col).mapInPandas(_fetch, FETCH_SCHEMA)

@@ -1290,7 +1290,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-green in r01, evicted from r02's window — re-prove (2)
     "dedup_clusters",
     "dedup_minhash_lsh",
-    # already-proven sentinels (12) — regression canaries for the core surface
+    # 11 already-proven sentinels (regression canaries for the core
+    # surface) + the new pointer-fetch demo, which needs its first row
     "wau_user",
     "wau_user_twolevel",
     "sessionize_ids",
@@ -1300,7 +1301,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "case_when_buckets",
     "q1_pricing_summary",
     "left_join_orders_customers",
-    "top_orders",
+    "multimodal_pointer_fetch",
     "latest_event_per_user",
     "cumulative_purchases",
 )

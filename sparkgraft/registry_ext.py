@@ -612,6 +612,35 @@ def q_payload_digests(spark, sf_dir):
 
 
 @register(
+    "multimodal_pointer_fetch",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_pointer_fetch(spark, sf_dir):
+    """Pointer-struct payloads, the 100 TB multimodal posture: parquet
+    carries (path, offset, length) structs into blob storage; bytes are
+    fetched lazily by an Arrow-batched ranged-read mapInPandas
+    (ext/multimodal.fetch_payload_ranges). The demo builds a real local
+    blob from the documents' utf-8 text (fixture tooling), then the
+    OPERATOR does actual seek+read per pointer — so the md5(text) oracle
+    hash-checks that every ranged read returned exactly the right bytes."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    blob = os.path.join(tempfile.gettempdir(), f"sparkgraft_blob_{tag}.bin")
+    ptrs = multimodal.build_pointer_fixture(
+        spark, _t(spark, sf_dir, "documents"), blob
+    )
+    return multimodal.fetch_payload_ranges(ptrs)
+
+
+@register(
     "grouped_demean_applyinpandas",
     """
     SELECT event_id, event_type,

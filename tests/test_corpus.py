@@ -139,6 +139,33 @@ def _walk_plan(node):
         yield from _walk_plan(node.children().apply(i))
 
 
+def test_decontaminate_plan_broadcasts_probe_corpus_never_shuffles_text(
+    spark, sf_dir
+):
+    """Plan contract: the benchmark shingle set reaches the semi-join as a
+    BroadcastExchange, and NO shuffle exchange partitions on the text or
+    shingle columns — the corpus moves only as (small) id sets."""
+    docs = _docs(spark, sf_dir)
+    bench = corpus.benchmark_shingles(spark, ("alpha beta gamma delta",), n=4)
+    out = corpus.decontaminate(docs, bench, n=4)
+    root = out._jdf.queryExecution().executedPlan()
+    assert "BroadcastExchange" in root.toString(), root.toString()
+    # corpus-side only: the benchmark's internal distinct (LocalTableScan
+    # source, KB-sized) may shuffle on sh; any shuffle whose subtree reads
+    # the documents PARQUET must partition on ids, never text/shingles
+    for node in _walk_plan(root):
+        cls = node.getClass().getSimpleName()
+        if not cls.startswith("ShuffleExchange"):
+            continue
+        subtree = node.toString()
+        if "FileScan" not in subtree:
+            continue  # benchmark-side shuffle: tiny by construction
+        head = subtree.splitlines()[0]
+        assert "text#" not in head and "sh#" not in head, (
+            f"corpus text/shingles shuffled: {head}"
+        )
+
+
 def test_interleave_no_global_window_on_corpus(spark, sf_dir):
     """No window whose input scales with a per-source doc count may be
     unpartitioned (single-task). The two-level prefix sum leaves exactly

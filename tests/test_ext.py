@@ -142,6 +142,57 @@ def test_decode_stub_real_path_raises(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
 
 
+def test_pointer_fetch_ranged_reads_planted_bytes(spark, tmp_path):
+    """The ranged-read fetch must return exactly the planted byte ranges —
+    across TWO blob files in one pointer table (exercises the per-file
+    grouping + seek ordering inside the mapInPandas batch)."""
+    import hashlib
+
+    docs_a = spark.createDataFrame(
+        [(1, "alpha payload"), (2, "β-unicode bytes"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(4, "fourth document, other blob"), (5, "fifth")],
+        "doc_id bigint, text string",
+    )
+    ptrs_a = multimodal.build_pointer_fixture(spark, docs_a, str(tmp_path / "a.bin"))
+    ptrs_b = multimodal.build_pointer_fixture(spark, docs_b, str(tmp_path / "b.bin"))
+    out = {
+        r.doc_id: (r.n_bytes, r.payload_md5)
+        for r in multimodal.fetch_payload_ranges(ptrs_a.union(ptrs_b)).collect()
+    }
+    expected = {
+        i: (
+            len(t.encode("utf-8")),
+            hashlib.md5(t.encode("utf-8")).hexdigest(),
+        )
+        for i, t in [
+            (1, "alpha payload"),
+            (2, "β-unicode bytes"),
+            (3, ""),
+            (4, "fourth document, other blob"),
+            (5, "fifth"),
+        ]
+    }
+    assert out == expected
+
+
+def test_pointer_fetch_short_read_raises(spark, tmp_path):
+    """A pointer past EOF must fail loudly (silent truncation would feed
+    corrupt payloads downstream)."""
+    import pytest as _pytest
+
+    blob = tmp_path / "c.bin"
+    blob.write_bytes(b"0123456789")
+    ptrs = spark.createDataFrame(
+        [(1, (str(blob), 8, 100))],
+        "doc_id bigint, ptr struct<path:string, offset:bigint, length:int>",
+    )
+    with _pytest.raises(Exception, match="short read"):
+        multimodal.fetch_payload_ranges(ptrs).collect()
+
+
 def test_cluster_dedup_transitive(spark):
     """A~B and B~C (but A!~C directly) must land in ONE cluster labeled by
     the minimum doc id — connected components, not pairwise grouping."""
