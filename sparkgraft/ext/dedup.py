@@ -227,7 +227,11 @@ def ngram_jaccard_pairs(
     cannot contribute to any intersection; sizes still come from the full
     relation.
     """
-    ds = doc_shingles(df, col, id_col, n)
+    # every path reads the shingle relation several times (df stats, freq,
+    # blocking/prefix legs, set sizes) — materialize the explode once
+    # instead of re-tokenizing the corpus per leg. (On a real cluster with
+    # executor churn, swap for reliable .checkpoint().)
+    ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter is None:
         stats = (
@@ -253,7 +257,6 @@ def ngram_jaccard_pairs(
         # with df > max_doc_freq (a shared shingle always has df >= 2, so
         # the df>=2 side of the cut never changes the intersection), while
         # union sizes stay FULL — identical cut-Jaccard on both paths.
-        vs = ds
         if max_doc_freq is not None:
             freq_cut = (
                 ds.groupBy("sh")
@@ -262,19 +265,38 @@ def ngram_jaccard_pairs(
                 .select("sh")
             )
             vs = ds.join(F.broadcast(freq_cut), "sh")
-        doc_sets = vs.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
+            # cut sets intersect; FULL sizes union (default-path semantics)
+            doc_sets = vs.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
+            verif = (
+                cand.join(
+                    doc_sets.select(F.col("doc").alias("doc_a"), F.col("__shs").alias("__sa")),
+                    "doc_a",
+                )
+                .join(
+                    doc_sets.select(F.col("doc").alias("doc_b"), F.col("__shs").alias("__sb")),
+                    "doc_b",
+                )
+                .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("__na")), "doc_a")
+                .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("__nb")), "doc_b")
+            )
+        else:
+            # no cut: the arrays ARE the full sets, so their size is the
+            # union term directly — no extra sizes joins
+            doc_sets = ds.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
+            verif = (
+                cand.join(
+                    doc_sets.select(F.col("doc").alias("doc_a"), F.col("__shs").alias("__sa")),
+                    "doc_a",
+                )
+                .join(
+                    doc_sets.select(F.col("doc").alias("doc_b"), F.col("__shs").alias("__sb")),
+                    "doc_b",
+                )
+                .withColumn("__na", F.size("__sa"))
+                .withColumn("__nb", F.size("__sb"))
+            )
         return (
-            cand.join(
-                doc_sets.select(F.col("doc").alias("doc_a"), F.col("__shs").alias("__sa")),
-                "doc_a",
-            )
-            .join(
-                doc_sets.select(F.col("doc").alias("doc_b"), F.col("__shs").alias("__sb")),
-                "doc_b",
-            )
-            .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("__na")), "doc_a")
-            .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("__nb")), "doc_b")
-            .withColumn("n_inter", F.size(F.array_intersect("__sa", "__sb")))
+            verif.withColumn("n_inter", F.size(F.array_intersect("__sa", "__sb")))
             .withColumn(
                 "jaccard",
                 F.round(
