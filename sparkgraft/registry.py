@@ -1230,6 +1230,65 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_restart_sessionize",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, ts, session_id FROM sessioned
+    """,
+)
+def q_streaming_restart_sessionize(spark, sf_dir):
+    """Checkpoint-recovery proof for the stateful streaming sessionizer:
+    the events table is split at its midpoint timestamp into two stream
+    batches; run 1 processes the first half to completion (availableNow),
+    then a NEW query object restarts from the SAME checkpoint and
+    processes the second half. Per-user session state must survive the
+    restart — sessions straddling the split keep their ids — so the final
+    output hash-matches the batch window-function sessionization, same
+    oracle as streaming_stateful_sessionize."""
+    import tempfile
+
+    from sparkgraft.streaming.sessions import stateful_sessionize
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_restart_")
+    ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = raw.agg(
+        ((F.min("ts") + F.max("ts")) / 2).cast("long").alias("m")
+    ).collect()[0][0]
+    raw_schema = raw.schema
+
+    def _run():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .parquet(src + "/*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        q = (
+            stateful_sessionize(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("restart sessionize stream did not finish in 300s")
+
+    raw.where(F.col("ts") <= mid).write.parquet(f"{src}/b1")
+    _run()
+    raw.where(F.col("ts") > mid).write.parquet(f"{src}/b2")
+    _run()
+    return spark.read.parquet(out).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1290,8 +1349,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-green in r01, evicted from r02's window — re-prove (2)
     "dedup_clusters",
     "dedup_minhash_lsh",
-    # 11 already-proven sentinels (regression canaries for the core
-    # surface) + the new pointer-fetch demo, which needs its first row
+    # 10 already-proven sentinels (regression canaries for the core
+    # surface) + two new queries needing their first row (pointer fetch,
+    # streaming restart)
     "wau_user",
     "wau_user_twolevel",
     "sessionize_ids",
@@ -1302,7 +1362,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "left_join_orders_customers",
     "multimodal_pointer_fetch",
-    "latest_event_per_user",
+    "streaming_restart_sessionize",
     "cumulative_purchases",
 )
 
