@@ -62,6 +62,71 @@ def decontaminate(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Per-doc contamination score: the fraction of the doc's DISTINCT word
+    n-grams present in the benchmark probe set — the graded signal behind
+    ``decontaminate``'s hard drop (score > 0), for pipelines that instead
+    threshold ("drop if > 5% overlap") or log for audit.
+
+    Same scale shape as decontaminate: shingles explode once, hit counts
+    come from a broadcast semi-join (|hits|-sized relation), and the
+    per-doc aggregation shuffles only (doc, counts). Docs shorter than n
+    tokens contribute their single whole-doc shingle (doc_shingles
+    semantics), so every doc gets a row. The final division is one IEEE
+    op on two integer counts — bit-reproducible in the DuckDB oracle.
+    """
+    ds = doc_shingles(df, col, id_col, n)
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        ds.join(F.broadcast(benchmark), "sh", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return sizes.join(hits, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.col("n_sh").alias("n_shingles"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_contaminated"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    strata: Sequence[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quotas: keep the first ``quota`` docs of every
+    stratum ranked by the portable 64-bit hash of their id — deterministic
+    under repartitioning and engine-portable (unlike seeded sample()),
+    uniform within each stratum, and EXACT counts (unlike Bernoulli
+    sampleBy, whose quotas only hold in expectation). The balanced-mixture
+    cut every corpus recipe needs ("at most N docs per language×source").
+
+    One shuffle on the strata key; skewed strata are bounded by the window
+    rank itself (tasks early-out past ``quota`` only after sorting — for
+    pathological strata sizes, pre-filter with an approximate hash
+    threshold first).
+    """
+    h = F.expr(HASH64_SQL.format(x=f"CAST({id_col} AS STRING)"))
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic pct% sample: md5-derived 60-bit hash of the id, mod 100.
 

@@ -105,3 +105,43 @@ def normalize_text(col: str = "text") -> Column:
 def fingerprint(col: str = "text") -> Column:
     """128-bit content fingerprint of the normalized text (md5 hex)."""
     return F.md5(normalize_text(col))
+
+
+def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-doc repetition signals — the boilerplate/degenerate-text
+    filter every quality pipeline runs (low distinct-token ratio flags
+    keyword-stuffed or looping generations):
+
+    - ``n_tokens`` / ``n_distinct``: total and distinct token counts
+    - ``rep_ratio``: 1 - distinct/total (0 = no repetition), rounded
+    - ``top_token_share``: frequency share of the single most frequent
+      token, doc-locally (max count / total), rounded
+
+    Pure per-row array expressions — zero shuffle, fully codegen'd: the
+    token array is built once per row and all four signals derive from it
+    (aggregate over array_distinct for the mode count). Empty docs emit
+    0-token rows with 0.0 ratios rather than nulls.
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    # count of the most frequent token: for each distinct token, count its
+    # occurrences in the full array; take the max — O(distinct * n) per
+    # row, bounded by doc length, no shuffle
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_dis.cast("bigint").alias("n_distinct"),
+        F.when(n_tok > 0, F.round(1 - n_dis / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+        F.when(n_tok > 0, F.round(top_cnt / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_share"),
+    )

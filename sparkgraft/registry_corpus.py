@@ -206,6 +206,62 @@ def q_corpus_quality_funnel(spark, sf_dir):
     return corpus.quality_funnel(docs, min_tokens=20, lang="en")
 
 
+@register(
+    "corpus_contamination_score",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_shingles_d('t', 4)}) AS sh FROM tok),
+    bench_tok AS (SELECT {_TOK.replace('text', 'phrase')} AS t
+                  FROM (SELECT unnest([{_PHRASE_LIST_SQL}]) AS phrase)),
+    bench AS (SELECT DISTINCT unnest({_shingles_d('t', 4)}) AS sh FROM bench_tok),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    hits AS (SELECT doc_id, count(*) AS n_contaminated FROM sh
+             WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           round(COALESCE(h.n_contaminated, 0) / s.n_shingles, 6) AS contamination
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def q_corpus_contamination_score(spark, sf_dir):
+    """Graded decontamination: per-doc fraction of distinct word 4-grams
+    hitting the benchmark probe set (ext/corpus.contamination_score) —
+    the soft-threshold/audit variant of corpus_decontaminate, same
+    broadcast-probe scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = corpus.benchmark_shingles(spark, BENCHMARK_PHRASES, n=4)
+    return corpus.contamination_score(docs, bench, n=4).orderBy("doc_id")
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY {_hash64_d('CAST(doc_id AS VARCHAR)')}, doc_id
+             ) AS rk
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked
+    WHERE rk <= 20
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quotas (20 docs per lang×source), deterministic
+    via portable id-hash ranking (ext/corpus.stratified_sample) — exact
+    counts where Bernoulli sampleBy only holds in expectation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        corpus.stratified_sample(docs, quota=20, strata=("lang", "source"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # pyspark.ml LSH variants (rows-only: JVM hash families aren't SQL-
 # expressible; recall pinned in tests/test_ml_lsh.py instead)

@@ -154,6 +154,30 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    f"""
+    {_TOK_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(t) > 0
+                THEN round(1 - len(list_distinct(t)) / len(t), 6)
+                ELSE 0.0 END AS rep_ratio,
+           CASE WHEN len(t) > 0
+                THEN round(list_max(list_transform(list_distinct(t),
+                       x -> len(list_filter(t, y -> y = x)))) / len(t), 6)
+                ELSE 0.0 END AS top_token_share
+    FROM tok
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition signals (distinct-token ratio, mode-token
+    share) — degenerate/boilerplate text filter; pure per-row array
+    expressions, zero shuffle (ext/text.repetition_stats)."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -187,6 +187,51 @@ def test_interleave_no_global_window_on_corpus(spark, sf_dir):
     assert n_global == 1, f"expected exactly one (chunk-total) global window, saw {n_global}"
 
 
+def test_contamination_score_planted_overlap(spark):
+    """Score = |doc-shingles ∩ bench| / |doc-shingles| on planted docs."""
+    bench = corpus.benchmark_shingles(spark, ("alpha beta gamma delta",), n=4)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # 1 shingle, hit -> 1.0
+            (2, "x alpha beta gamma delta y"),      # 3 shingles, 1 hit
+            (3, "totally clean words here now"),    # 2 shingles, 0 hits
+            (4, "too short"),                       # <4 tokens: whole-doc shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in corpus.contamination_score(docs, bench, n=4).collect()
+    }
+    assert got == {
+        1: (1, 1, 1.0),
+        2: (3, 1, round(1 / 3, 6)),
+        3: (2, 0, 0.0),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_stratified_sample_exact_quotas(spark, sf_dir):
+    """Every stratum must deliver exactly min(quota, stratum size) rows,
+    and two runs must pick identical docs (determinism)."""
+    docs = _docs(spark, sf_dir)
+    full = {
+        (r.lang, r.source): c
+        for r, c in (
+            (row, row.n)
+            for row in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+        )
+    }
+    out1 = corpus.stratified_sample(docs, quota=5).collect()
+    out2 = {r.doc_id for r in corpus.stratified_sample(docs, quota=5).collect()}
+    per_stratum: dict[tuple, int] = {}
+    for r in out1:
+        per_stratum[(r.lang, r.source)] = per_stratum.get((r.lang, r.source), 0) + 1
+    for key, n_full in full.items():
+        assert per_stratum.get(key, 0) == min(5, n_full), key
+    assert {r.doc_id for r in out1} == out2
+
+
 def test_quality_funnel_monotone_and_single_scan(spark, sf_dir):
     out = corpus.quality_funnel(_docs(spark, sf_dir))
     # plan BEFORE execution — post-collect AQE toString prints the initial
