@@ -302,6 +302,58 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then drop near-duplicates WITHIN clusters
+    only — the O(N²/C) restriction that makes embedding dedup tractable at
+    corpus scale, at the cost of missing cross-cluster dups (the paper's
+    accepted trade-off).
+
+    Here clusters are the deterministic IVF cells (fixed seeded centroids,
+    cross-engine reproducible — at production scale swap in centroids
+    trained on a sample). Within each cell, a vector is DROPPED when it
+    has cosine >= threshold with any lower-id vector of the same cell
+    (keep-lowest-id policy, deterministic). Output: one row per vector
+    (id, cell, is_kept).
+
+    Plan shape: one shuffle on cell for the self-join; candidate volume is
+    sum over cells of |cell|² — governed by centroid count, so scale C
+    with N (the knob the paper tunes). No driver materialization.
+    """
+    sig = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("n"),
+        F.expr(ivf_bucket_sql(vec_col)).alias("cell"),
+    )
+    dropped = (
+        sig.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("n").alias("na"), "cell")
+        .join(
+            sig.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                       F.col("n").alias("nb"), "cell"),
+            "cell",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(_paired_cosine(_dot_sql("va", "vb"), "na", "nb") >= threshold)
+        .select(F.col("vec_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        sig.join(dropped.withColumn("__drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def probe_buckets_sql(bucket: str, n_planes: int = N_PLANES) -> str:
     """Multi-probe bucket list: the bucket itself + every 1-bit flip.
 

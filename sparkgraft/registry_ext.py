@@ -495,6 +495,37 @@ def q_embed_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(emb, F.col("vec_id") < 8, k=5)
 
 
+def _semantic_dedup_oracle(thr: float) -> str:
+    cents = simsearch.centroids_duckdb_literal()
+    dist = (
+        f"list_transform({cents}, c -> list_sum(list_transform("
+        "generate_series(1, len({v})), i -> ({v}[i]::DOUBLE - c[i]) * ({v}[i]::DOUBLE - c[i]))))"
+    )
+    cell = f"list_position({dist}, list_min({dist}))".replace("{v}", "embedding")
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    a AS (SELECT vec_id AS vec_a, embedding AS va, cell FROM sig),
+    b AS (SELECT vec_id AS vec_b, embedding AS vb, cell FROM sig),
+    dropped AS (
+      SELECT DISTINCT vec_b AS vec_id
+      FROM a JOIN b USING (cell)
+      WHERE vec_a < vec_b AND {_cos_d('va', 'vb')} >= {thr})
+    SELECT s.vec_id, s.cell,
+           s.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+    FROM sig s
+    ORDER BY s.vec_id
+    """
+
+
+@register("embed_semantic_dedup", _semantic_dedup_oracle(0.45))
+def q_embed_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
+    cosine near-dup drop, keep-lowest-id (ext/simsearch.semantic_dedup) —
+    the O(N²/C) embedding-dedup shape for corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.semantic_dedup(emb, 0.45).orderBy("vec_id")
+
+
 @register(
     "salted_user_event_totals",
     """

@@ -83,6 +83,34 @@ def test_cosine_neardup_snowflake_scale_ids(spark):
     ), "planted dup must surface"
 
 
+def test_semantic_dedup_matches_within_cell_brute_force(spark, sf_dir):
+    """A vector is dropped iff some lower-id vector in the SAME IVF cell
+    has cosine >= threshold with it — check against a driver-side brute
+    force on the fixture."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: (r.cell, r.is_kept)
+           for r in simsearch.semantic_dedup(emb, 0.45).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cells = {vid: got[vid][0] for vid in vecs}
+    for vid, v in vecs.items():
+        has_lower_dup = any(
+            ovid < vid
+            and cells[ovid] == cells[vid]
+            and round(
+                float(np.dot(ov, v) / (np.linalg.norm(ov) * np.linalg.norm(v))), 8
+            )
+            >= 0.45
+            for ovid, ov in vecs.items()
+        )
+        assert got[vid][1] == (not has_lower_dup), vid
+    assert any(not kept for _, kept in got.values()), (
+        "fixture must contain planted near-dup embeddings"
+    )
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """ANN top-5 must overlap brute-force top-5 on average (recall@5)."""
     emb = read_table(spark, sf_dir, "embeddings")
