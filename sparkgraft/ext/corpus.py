@@ -127,6 +127,34 @@ def stratified_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket of ``key_col``
+    — the leakage-safe split: key on the GROUPING unit (user id, source
+    domain, dedup cluster id) rather than the row, and every row of a unit
+    lands in the same split, so near-duplicates inside a unit can never
+    straddle train/test. Stable across reruns, repartitioning, and engines
+    (portable md5-derived hash, not seeded rand()); split fractions hold in
+    expectation per bucket percent.
+
+    Zero shuffle: one projection. Output adds a ``split`` column
+    ('test' | 'val' | 'train').
+    """
+    bucket = F.expr(
+        f"pmod({HASH64_SQL.format(x=f'CAST({key_col} AS STRING)')}, 100)"
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic pct% sample: md5-derived 60-bit hash of the id, mod 100.
 

@@ -207,6 +207,30 @@ def q_corpus_quality_funnel(spark, sf_dir):
 
 
 @register(
+    "corpus_split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_hash64_d('CAST(doc_id AS VARCHAR)')} % 100 < 5 THEN 'test'
+                WHEN {_hash64_d('CAST(doc_id AS VARCHAR)')} % 100 < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test assignment by portable hash bucket of
+    the split key (ext/corpus.split_assign) — key on the grouping unit
+    (user, domain, dedup cluster) in production so near-dups never
+    straddle splits; zero shuffle, stable across reruns and engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        corpus.split_assign(docs, val_pct=5, test_pct=5)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_contamination_score",
     f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -187,6 +187,19 @@ def test_interleave_no_global_window_on_corpus(spark, sf_dir):
     assert n_global == 1, f"expected exactly one (chunk-total) global window, saw {n_global}"
 
 
+def test_split_assign_group_keyed_no_straddle(spark, sf_dir):
+    """Keyed on source, every row of a source must land in ONE split, and
+    all three splits must be populated when keyed per-doc."""
+    docs = _docs(spark, sf_dir)
+    by_source = corpus.split_assign(docs, key_col="source").collect()
+    seen: dict[str, set] = {}
+    for r in by_source:
+        seen.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in seen.values()), seen
+    per_doc = {r.split for r in corpus.split_assign(docs, 10, 10).collect()}
+    assert per_doc == {"train", "val", "test"}
+
+
 def test_contamination_score_planted_overlap(spark):
     """Score = |doc-shingles ∩ bench| / |doc-shingles| on planted docs."""
     bench = corpus.benchmark_shingles(spark, ("alpha beta gamma delta",), n=4)
