@@ -354,6 +354,31 @@ def interleave_sources(
     )
 
 
+def ngram_topk(
+    df: DataFrame,
+    k: int = 50,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams by DOCUMENT frequency — the
+    boilerplate-mining query behind every dedup/df-cut tuning session
+    ("which shingles are hot enough to block on?"). Returns (sh, df,
+    rank), rank dense over df desc with shingle-text tiebreak.
+
+    Scale: the explode+count is one map-side-combinable groupBy; the
+    top-k is a TakeOrderedAndProject (per-partition heaps, no global
+    sort). This is exactly the relation the jaccard auto-selector's
+    blowup statistic summarizes — materialized for humans.
+    """
+    ds = doc_shingles(df, col, id_col, n)
+    freq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    topk = freq.orderBy(F.col("df").desc(), F.col("sh")).limit(k)
+    return topk.select(
+        "sh", "df", F.dense_rank().over(Window.orderBy(F.col("df").desc())).alias("rank")
+    )
+
+
 def curation_topk(
     df: DataFrame,
     k: int = 3,

@@ -231,6 +231,28 @@ def q_corpus_split_assign(spark, sf_dir):
 
 
 @register(
+    "corpus_ngram_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_shingles_d('t', 3)}) AS sh FROM tok),
+    freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    topk AS (SELECT sh, df FROM freq ORDER BY df DESC, sh LIMIT 50)
+    SELECT sh, df, dense_rank() OVER (ORDER BY df DESC) AS rank
+    FROM topk
+    ORDER BY df DESC, sh
+    """,
+)
+def q_corpus_ngram_topk(spark, sf_dir):
+    """Corpus-wide hottest word 3-grams by document frequency
+    (ext/corpus.ngram_topk) — the boilerplate-mining relation the jaccard
+    auto-selector summarizes; map-side-combined count + top-k heap."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.ngram_topk(docs, k=50, n=3).orderBy(
+        F.col("df").desc(), "sh"
+    )
+
+
+@register(
     "corpus_contamination_score",
     f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
