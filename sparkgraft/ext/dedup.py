@@ -371,7 +371,10 @@ def minhash_lsh_pairs(
     set stays near-linear in corpus size at any scale.
     """
     rows = k // bands
-    sigs = minhash_signatures(df, col, id_col, k, n)
+    # both bucket-join legs (and nothing else) read the signature relation;
+    # materialize it once instead of re-running the shingle explode + k-way
+    # min aggregation per leg
+    sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
     band_cols = [
         F.md5(F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])).alias(f"band_{b}")
         for b in range(bands)
@@ -390,7 +393,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ds = doc_shingles(df, col, id_col, n)
+    ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
