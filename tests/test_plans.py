@@ -92,6 +92,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_clustered_write_makes_rowgroup_stats_selective(spark, sf_dir, tmp_path):
+    """save_clustered must produce files whose row-group [min, max] value
+    ranges are narrow slices — a range predicate then overlaps only a
+    fraction of groups (that is the IO pushdown actually skips), and the
+    files must hold disjoint value ranges (repartitionByRange)."""
+    import pyarrow.parquet as pq
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    out = str(tmp_path / "clustered")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    catalog.save_clustered(ev, out, "value", n_files=8)
+
+    import glob
+
+    spans = []          # (min, max) per row group, all files
+    file_ranges = []    # (min, max) per file
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        fmin, fmax = None, None
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.row_group(g).num_columns)
+                if md.row_group(g).column(i).path_in_schema == "value"
+            )
+            lo, hi = col.statistics.min, col.statistics.max
+            spans.append((lo, hi))
+            fmin = lo if fmin is None else min(fmin, lo)
+            fmax = hi if fmax is None else max(fmax, hi)
+        file_ranges.append((fmin, fmax))
+
+    assert len(spans) >= 8, f"need multiple row groups to prove pruning, got {len(spans)}"
+    # files hold (near-)disjoint ranges: sorted by min, each file's min >=
+    # the previous file's max (range partitioning guarantees it exactly)
+    file_ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(file_ranges, file_ranges[1:]):
+        assert b_lo >= a_hi, f"file ranges overlap: {(a_lo, a_hi)} vs {(b_lo, b_hi)}"
+    # a mid-range point query overlaps only a small fraction of row groups
+    all_lo = min(lo for lo, _ in spans)
+    all_hi = max(hi for _, hi in spans)
+    probe = all_lo + (all_hi - all_lo) / 2
+    overlapping = sum(1 for lo, hi in spans if lo <= probe <= hi)
+    assert overlapping <= max(1, len(spans) // 4), (
+        f"{overlapping}/{len(spans)} row groups overlap a point probe — "
+        "stats are not selective"
+    )
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The as-of join (union + forward-fill) must plan exactly one exchange."""
     from pyspark.sql import functions as F
