@@ -1303,9 +1303,10 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # artifact, not an accident of module layout.  Round 3's window: the 36
 # queries that never had a driver row in rounds 1-2, plus dedup_clusters /
 # dedup_minhash_lsh (driver-green in r01, evicted from r02's window by two
-# front-inserted queries), plus 12 already-proven sentinels.  Rounds 1+2+3
-# together then driver-prove all 88.  tests/test_registry_parity.py pins the
-# window composition so future insertions can't silently evict proof again.
+# front-inserted queries), plus the 8 queries ADDED in round 3, plus 4
+# already-proven sentinels.  Rounds 1+2+3 together then driver-prove every
+# registered query.  tests/test_registry_parity.py pins the window
+# composition so future insertions can't silently evict proof again.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -1349,20 +1350,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-green in r01, evicted from r02's window — re-prove (2)
     "dedup_clusters",
     "dedup_minhash_lsh",
-    # 10 already-proven sentinels (regression canaries for the core
-    # surface) + two new queries needing their first row (pointer fetch,
-    # streaming restart)
-    "wau_user",
-    "wau_user_twolevel",
-    "sessionize_ids",
-    "sessionize_skew_split",
-    "wau_session",
-    "filter_time_range",
-    "case_when_buckets",
-    "q1_pricing_summary",
-    "left_join_orders_customers",
+    # the 8 round-3 queries needing their FIRST driver row
     "multimodal_pointer_fetch",
     "streaming_restart_sessionize",
+    "text_repetition",
+    "corpus_contamination_score",
+    "corpus_stratified_sample",
+    "corpus_split_assign",
+    "corpus_ngram_topk",
+    "embed_semantic_dedup",
+    # 4 already-proven sentinels (regression canaries: the reference WAU
+    # query, the signature sessionize, the heaviest TPC-H agg, and the
+    # round-1 oracle-defect query)
+    "wau_user",
+    "sessionize_ids",
+    "q1_pricing_summary",
     "cumulative_purchases",
 )
 
