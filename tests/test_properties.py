@@ -116,3 +116,58 @@ def test_skew_split_equals_plain_sessionize(spark_global, raw):
         ).collect()
     }
     assert split == plain
+
+
+corpus_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),           # source idx
+        st.integers(min_value=1, max_value=30),          # token count
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy)
+def test_interleave_two_level_prefix_sum_property(spark_global, raw):
+    """For ARBITRARY source-size shapes (including one giant source and
+    empty cohorts), chunked-offset interleave must produce a dense
+    1..N mix_rank permutation equal to the unchunked form, with the
+    round-robin invariant (all of position p before any of p+1)."""
+    from sparkgraft.ext.corpus import interleave_sources
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, f"s{s}") for i, (s, _) in enumerate(raw)],
+        "doc_id long, source string",
+    )
+    tiny = {(r.doc_id, r.mix_rank) for r in interleave_sources(df, chunk=2).collect()}
+    plain = {(r.doc_id, r.mix_rank) for r in interleave_sources(df).collect()}
+    assert tiny == plain
+    ranks = sorted(rk for _, rk in tiny)
+    assert ranks == list(range(1, len(raw) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy)
+def test_pack_presplit_property(spark_global, raw):
+    """For ARBITRARY doc/token shapes, presplit packing must equal the
+    single-window form bit-for-bit, and bins must respect the greedy
+    entry-offset bound."""
+    from sparkgraft.ext.corpus import pack_sequences
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, f"s{s}", "w " * n) for i, (s, n) in enumerate(raw)],
+        "doc_id long, source string, text string",
+    )
+    split = {
+        (r.source, r.doc_id, r.seq_id)
+        for r in pack_sequences(df, capacity=16, presplit_chunk=3).collect()
+    }
+    plain = {
+        (r.source, r.doc_id, r.seq_id)
+        for r in pack_sequences(df, capacity=16).collect()
+    }
+    assert split == plain
