@@ -162,6 +162,36 @@ def range_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Inner equi-join that survives a pathologically hot join key.
+
+    A plain shuffle join sends every row of a hot key (the bot user, the
+    null-ish default id) to ONE reducer. Salting splits it: each big-side
+    row gets a deterministic salt in [0, n_salts) — from ``salt_source``
+    (a unique-ish column, e.g. the event id) so the hot key's rows spread
+    evenly — and the small side is replicated once per salt (explode of a
+    literal range, n_salts× the SMALL relation only). The join key becomes
+    (key, salt): the hot key now occupies n_salts reducers. Results are
+    exactly the plain join's (equality-tested); use when the skew is too
+    extreme for AQE's skew-join splitting or the engine lacks it.
+
+    Prefer ``F.broadcast(small)`` outright when the small side fits in
+    memory — salting is for the mid-size dim / fact⋈fact case.
+    """
+    src = F.col(salt_source) if salt_source else F.col(on)
+    b = big.withColumn("__salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, on=[on, "__salt"]).drop("__salt")
+
+
 def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-insensitive SUM for double columns.
 

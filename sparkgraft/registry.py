@@ -1231,6 +1231,53 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
 
 
 @register(
+    "salted_join_user_events",
+    """
+    WITH totals AS (SELECT user_id, count(*) AS n_events
+                    FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, t.n_events
+    FROM events e JOIN totals t USING (user_id)
+    ORDER BY e.event_id
+    """,
+)
+def q_salted_join_user_events(spark, sf_dir):
+    """Hot-key-proof equi-join: the big side salts deterministically on
+    event_id, the small side replicates once per salt, and the join runs
+    on (user_id, salt) so a bot user's rows spread over 16 reducers
+    (ops/relational.salted_join). The oracle states the PLAIN join —
+    salting must be invisible in the results."""
+    from sparkgraft.ops.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    totals = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        salted_join(ev, totals, "user_id", n_salts=16, salt_source="event_id")
+        .select("event_id", "user_id", "n_events")
+        .orderBy("event_id")
+    )
+
+
+@register("wau_sketch_weekly", None)  # rows-only: HLL sketches are engine-specific
+def q_wau_sketch_weekly(spark, sf_dir):
+    """Incremental WAU from MERGEABLE daily HyperLogLog sketches: one
+    aggregation of raw events into per-day sketches, then every window
+    query (weekly here) unions sketch bytes instead of rescanning events
+    (queries/wau.wau_sketches_daily + wau_from_sketches). Estimate
+    accuracy vs the exact count is pinned in tests (±5%); no DuckDB
+    oracle because sketch encodings are engine-specific."""
+    from sparkgraft.queries.wau import wau_from_sketches, wau_sketches_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return wau_from_sketches(wau_sketches_daily(ev)).select(
+        "event_week", F.col("wau_estimate").cast("bigint").alias("wau_estimate")
+    )
+
+
+@register(
     "streaming_restart_sessionize",
     _SESSIONIZE_CTE
     + """
@@ -1350,7 +1397,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-green in r01, evicted from r02's window — re-prove (2)
     "dedup_clusters",
     "dedup_minhash_lsh",
-    # the 8 round-3 queries needing their FIRST driver row
+    # the 10 round-3 queries needing their FIRST driver row
     "multimodal_pointer_fetch",
     "streaming_restart_sessionize",
     "text_repetition",
@@ -1359,12 +1406,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_split_assign",
     "corpus_ngram_topk",
     "embed_semantic_dedup",
-    # 4 already-proven sentinels (regression canaries: the reference WAU
-    # query, the signature sessionize, the heaviest TPC-H agg, and the
-    # round-1 oracle-defect query)
+    "salted_join_user_events",
+    "wau_sketch_weekly",
+    # 2 already-proven sentinels (regression canaries: the reference WAU
+    # query and the round-1 oracle-defect query)
     "wau_user",
-    "sessionize_ids",
-    "q1_pricing_summary",
     "cumulative_purchases",
 )
 

@@ -78,6 +78,48 @@ def spark_global(spark):
     return spark
 
 
+def test_wau_sketches_match_exact_within_tolerance(spark, sf_dir):
+    """Weekly WAU from merged DAILY HLL sketches must land within 5% of
+    the exact distinct count for every week — the mergeability contract
+    that makes the incremental dashboard path usable."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.queries.wau import user_wau, wau_from_sketches, wau_sketches_daily
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {r.event_week: r.wau for r in user_wau(ev).collect()}
+    est = {
+        r.event_week: r.wau_estimate
+        for r in wau_from_sketches(wau_sketches_daily(ev)).collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(2, 0.05 * n), (wk, n, est[wk])
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible: identical rows to the plain inner join,
+    including a planted pathologically hot key."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.relational import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    hot = spark.createDataFrame(
+        [(10_000_000 + i, 424242) for i in range(500)], "event_id long, user_id long"
+    )
+    big = ev.union(hot)
+    totals = big.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    salted = {
+        (r.event_id, r.user_id, r.n_events)
+        for r in salted_join(big, totals, "user_id", salt_source="event_id").collect()
+    }
+    plain = {
+        (r.event_id, r.user_id, r.n_events)
+        for r in big.join(totals, "user_id").collect()
+    }
+    assert salted == plain
+    assert any(u == 424242 for _, u, _n in salted)
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """The documented 100 TB escape hatch (HyperLogLog++) must land within
     its advertised error of the exact distinct count."""
