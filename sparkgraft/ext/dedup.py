@@ -138,6 +138,16 @@ def jaccard_prefix_candidates(
     so df=1 prefix rows are dropped exactly; ``max_doc_freq`` additionally
     drops hot shingles (that cut IS approximate, off by default).
 
+    The POSITIONAL filter (the "pp" of ppjoin) then prunes candidates
+    before the expensive verification joins: for the rarest shared prefix
+    shingle, sitting at ranks (i, j) of the two docs' orders, the true
+    overlap is at most ``1 + min(|x|-i, |y|-j)`` (everything else shared
+    must live in both suffixes). jaccard >= t forces overlap >=
+    ``ceil(t'*(|x|+|y|)/(1+t'))``, so pairs whose best positional bound
+    misses that are EXACTLY refuted — no verification needed. Same
+    shuffle as the former plain ``.distinct()`` (a groupBy on the pair),
+    strictly fewer surviving rows.
+
     Output: (doc_a, doc_b) distinct, doc_a < doc_b.
     """
     from pyspark.sql import Window
@@ -148,22 +158,48 @@ def jaccard_prefix_candidates(
         keep = keep & (F.col("df") <= max_doc_freq)
     wdoc = Window.partitionBy("doc")
     worder = wdoc.orderBy("df", "sh")
-    prefix_len = (
-        F.col("__n") - F.ceil(F.lit(threshold - 1e-6) * F.col("__n")) + 1
-    )
+    tq = threshold - 1e-6
+    prefix_len = F.col("__n") - F.ceil(F.lit(tq) * F.col("__n")) + 1
     prefix = (
         ds.join(freq, "sh")
         .withColumn("__n", F.count(F.lit(1)).over(wdoc))
         .withColumn("__rk", F.row_number().over(worder))
         .where((F.col("__rk") <= prefix_len) & keep)
-        .select("doc", "sh")
+        .select("doc", "sh", "__rk", "__n")
     )
     return (
-        prefix.select(F.col("doc").alias("doc_a"), "sh")
-        .join(prefix.select(F.col("doc").alias("doc_b"), "sh"), "sh")
+        prefix.select(
+            F.col("doc").alias("doc_a"),
+            "sh",
+            F.col("__rk").alias("__rka"),
+            F.col("__n").alias("__na"),
+        )
+        .join(
+            prefix.select(
+                F.col("doc").alias("doc_b"),
+                "sh",
+                F.col("__rk").alias("__rkb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "sh",
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.least(
+                    F.col("__na") - F.col("__rka"), F.col("__nb") - F.col("__rkb")
+                )
+                + 1
+            ).alias("__ub"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+        .where(
+            F.col("__ub")
+            >= F.ceil(F.lit(tq) * (F.col("__na") + F.col("__nb")) / F.lit(1 + tq))
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
