@@ -107,6 +107,88 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(normalize_text(col))
 
 
+#: PII patterns — a Java-regex/RE2 common-subset so Spark and DuckDB find
+#: byte-identical matches (no backrefs, no lookaround, plain classes only)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # (pattern, replacement-tag), applied in this order
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_scrub(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — the pre-training scrub pass every corpus pipeline
+    runs before tokenization: emails, IPv4 addresses, and phone-shaped
+    digit runs are replaced with typed tags, and per-category match counts
+    are emitted for audit dashboards.
+
+    Counts are measured on the ORIGINAL text (categories are disjoint by
+    construction: '@' anchors email, dots anchor IPv4, '-'/' ' separators
+    anchor phone), then tags are substituted sequentially in the fixed
+    PII_PATTERNS order so the output text is deterministic.
+
+    Scale: pure per-row regexp map work, zero shuffle, fully codegen'd —
+    identical posture to quality_features. The regexes are written in the
+    Java-regex/RE2 common subset so the DuckDB oracle matches byte-for-byte.
+    """
+    scrubbed = F.col(col)
+    counts = []
+    for name, (pat, tag) in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def unigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style unigram LM quality score: mean per-token negative log
+    probability under the corpus's own unigram distribution. Low scores =
+    common/fluent text; high scores = rare-token gibberish. The standard
+    cheap perplexity proxy for corpus filtering.
+
+    Per doc: ``lm_score = avg_t( -ln( count(t) / total_tokens ) )`` over
+    the doc's tokens (with duplicates), rounded to 6 places.
+
+    Cross-engine parity design: each per-token logprob is rounded to 6
+    decimals and cast to DECIMAL(28,8) BEFORE the per-doc sum, so the
+    aggregate is an exact decimal sum (shuffle-order-invariant) and any
+    sub-ulp ln() divergence between the JVM and libm is absorbed by the
+    pre-round. The count/total division is a single IEEE double op —
+    bit-identical in both engines.
+
+    Scale: one explode (corpus tokens), one groupBy(token) for the vocab
+    (vocabulary-sized output — sublinear in corpus), one join back on
+    token (vocab side is the small side — AQE broadcasts it), one
+    groupBy(doc) for the final score. Two shuffles total, both on keys
+    with natural partial aggregation; no window, no driver materialization.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(-F.log(F.col("cnt").cast("double") / F.col("total")), 6)
+            .cast("decimal(28,8)")
+            .alias("nlp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            # cast the exact decimal sum to double BEFORE dividing: decimal
+            # division scale rules differ across engines, double division
+            # is IEEE exact-rounded and bit-identical
+            F.round(F.sum("nlp").cast("double") / F.count("*"), 6).alias("lm_score"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-doc repetition signals — the boilerplate/degenerate-text
     filter every quality pipeline runs (low distinct-token ratio flags

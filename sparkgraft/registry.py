@@ -1203,16 +1203,17 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
     # the streaming file source wants a directory — link the single file in
     os.makedirs(src)
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-    # stream sees the raw footer schema (ts = INT64 nanos under
-    # nanosAsLong); convert to timestamp in-stream like the batch reader.
+    # stream sees the raw footer schema; like the batch reader, adapt to the
+    # footer's ts encoding (INT64 nanos read as long under nanosAsLong, or
+    # plain micros read as timestamp_ntz) instead of assuming either.
+    from sparkgraft.io.readers import _nanos_fields
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if "ts" in _nanos_fields(f"{sf_dir}/events.parquet"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     q = (
         stateful_sessionize(stream)
         .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
@@ -1299,20 +1300,17 @@ def q_streaming_restart_sessionize(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="sparkgraft_restart_")
     ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    mid = raw.agg(
-        ((F.min("ts") + F.max("ts")) / 2).cast("long").alias("m")
-    ).collect()[0][0]
+    # normalize ONCE via the footer-adaptive batch reader (ts ->
+    # TIMESTAMP_NTZ whatever the parquet encoding), write the two split
+    # batches already normalized, and stream those — the stream side then
+    # has no encoding cases at all.
+    raw = _t(spark, sf_dir, "events")
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
     raw_schema = raw.schema
 
     def _run():
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(src + "/*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        stream = spark.readStream.schema(raw_schema).parquet(src + "/*")
         q = (
             stateful_sessionize(stream)
             .writeStream.foreachBatch(
@@ -1327,9 +1325,10 @@ def q_streaming_restart_sessionize(spark, sf_dir):
             q.stop()
             raise TimeoutError("restart sessionize stream did not finish in 300s")
 
-    raw.where(F.col("ts") <= mid).write.parquet(f"{src}/b1")
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    raw.where(F.col("ts") <= mid_lit).write.parquet(f"{src}/b1")
     _run()
-    raw.where(F.col("ts") > mid).write.parquet(f"{src}/b2")
+    raw.where(F.col("ts") > mid_lit).write.parquet(f"{src}/b2")
     _run()
     return spark.read.parquet(out).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"

@@ -178,6 +178,50 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in text.PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for _, (pat, tag) in text.PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    return f"SELECT doc_id, {counts}, {scrub} AS scrubbed FROM documents"
+
+
+@register("text_pii_scrub", _pii_oracle())
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone-shaped runs -> typed tags) with
+    per-category audit counts — per-row regexp map, zero shuffle
+    (ext/text.pii_scrub)."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_score",
+    _TOK_CTE
+    + """,
+    tkn AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tkn GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    s AS (SELECT doc_id,
+                 CAST(round(-ln(CAST(cnt AS DOUBLE) / total), 6)
+                      AS DECIMAL(28,8)) AS nlp
+          FROM tkn JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS lm_score
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    """Unigram LM quality score (CCNet-style mean -ln p(token) under the
+    corpus's own unigram distribution): explode -> vocab groupBy ->
+    broadcast-joined score -> per-doc exact-decimal mean
+    (ext/text.unigram_logprob; parity design in its docstring)."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
