@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sparkgraft.io.readers import read_table
-from sparkgraft.ops.relational import left_join, top_k, union_all
+from sparkgraft.ops.relational import exact_sum, left_join, top_k, union_all
 from sparkgraft.ops.sessionize import sessionize, sessionize_skew_split
 from sparkgraft.ops.temporal import local_date
 from sparkgraft.ops.windows import forward_fill, lag_over, partition_max
@@ -1332,6 +1332,134 @@ def q_streaming_restart_sessionize(spark, sf_dir):
     _run()
     return spark.read.parquet(out).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    u2 AS (
+      SELECT e.user_id, any_value(u1.t1) AS t1,
+             min(CASE WHEN e.event_type = 'view' AND e.ts >= u1.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id),
+    u3 AS (
+      SELECT e.user_id, any_value(u2.t1) AS t1, any_value(u2.t2) AS t2,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= u2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id),
+    u4 AS (
+      SELECT e.user_id, any_value(u3.t1) AS t1, any_value(u3.t2) AS t2,
+             any_value(u3.t3) AS t3,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u3.t3
+                      THEN e.ts END) AS t4
+      FROM events e JOIN u3 USING (user_id) GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_signup,
+           CAST(count(t2) AS BIGINT) AS n_view,
+           CAST(count(t3) AS BIGINT) AS n_click,
+           CAST(count(t4) AS BIGINT) AS n_purchase
+    FROM u4
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-step funnel (signup -> view -> click -> purchase): per user,
+    step k's completion time is the earliest step-k event AT OR AFTER the
+    completion of step k-1; the output is one row of per-step user counts.
+
+    Spark-first shape: four chained min-over-window expressions with the
+    SAME (user_id, ts-range) window spec, so Catalyst plans ONE
+    Exchange+Sort and stacks the Window operators on top (the range frame
+    includes ts-ties, making step inclusion deterministic under equal
+    timestamps); the per-user groupBy reuses the user_id hash partitioning
+    (no second events-sized exchange). The naive formulation is k
+    self-joins of events with itself — k corpus-sized shuffles at 100 TB;
+    this is one.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = _t(spark, sf_dir, "events")
+    steps = [("t1", "signup", None), ("t2", "view", "t1"), ("t3", "click", "t2"), ("t4", "purchase", "t3")]
+    for col, etype, prev in steps:
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            # prev non-null at row r  <=>  step prev completed at ts <= r.ts
+            # <=>  r.ts >= global completion time (range frame = ts-peers in)
+            cond = cond & F.col(prev).isNotNull()
+        ev = ev.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+    per_user = ev.groupBy("user_id").agg(
+        *[F.min(c).alias(c) for c, _, _ in steps]
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("n_signup"),
+        F.count("t2").cast("bigint").alias("n_view"),
+        F.count("t3").cast("bigint").alias("n_click"),
+        F.count("t4").cast("bigint").alias("n_purchase"),
+    )
+
+
+@register(
+    "merge_upsert_customers",
+    """
+    WITH upd AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id)
+    SELECT coalesce(c.c_custkey, u.user_id) AS custkey,
+           c.c_name AS name,
+           CASE WHEN c.c_custkey IS NOT NULL AND u.user_id IS NOT NULL
+                THEN 'updated'
+                WHEN c.c_custkey IS NOT NULL THEN 'unchanged'
+                ELSE 'inserted' END AS merge_action,
+           coalesce(u.n_events, 0) AS n_events,
+           u.last_seen AS last_seen,
+           coalesce(u.total_value, 0.0) AS total_value
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.user_id
+    """,
+)
+def q_merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO semantics (the CDC/upsert pattern every lakehouse engine
+    exposes): a change set aggregated from events is merged into the
+    customer dimension — matched keys update activity fields, unmatched
+    change-set keys insert, untouched base rows pass through unchanged,
+    and every row is tagged with its merge action.
+
+    Spark-first: the change set is a partial-aggregated groupBy (exact
+    decimal sum for order-invariant totals), then ONE full-outer
+    shuffle join on the merge key — the same plan a Delta/Iceberg MERGE
+    compiles to when the change set is too big to broadcast. At 100 TB
+    the base side would additionally prune to the partitions named by the
+    change-set keys (partition-overwrite sink in catalog.py); no driver
+    materialization anywhere.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    upd = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_events"),
+        exact_sum("value").alias("total_value"),
+    )
+    both = F.col("c_custkey").isNotNull() & F.col("user_id").isNotNull()
+    return cust.join(upd, cust.c_custkey == upd.user_id, "full_outer").select(
+        F.coalesce("c_custkey", "user_id").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.when(both, "updated")
+        .when(F.col("c_custkey").isNotNull(), "unchanged")
+        .otherwise("inserted")
+        .alias("merge_action"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("last_seen"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
 
 

@@ -341,6 +341,36 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "dedup_incremental_bloom",
+    """
+    WITH batch AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' __changed__'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT b.doc_id
+    FROM batch b
+    WHERE EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Incremental batch-vs-history dedup (re-crawl scenario: 1/3 of docs
+    deterministically 'changed'): a broadcast Bloom filter built in one
+    history scan prefilters the batch, survivors are exactly verified with
+    a semi join — exact semantics, bloom only prunes
+    (ext/dedup.incremental_bloom_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' __changed__' ELSE text END"
+        ).alias("text"),
+    )
+    return dedup.incremental_bloom_dedup(docs, batch)
+
+
 def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
     rows = k // bands
     p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B

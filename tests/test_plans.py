@@ -284,3 +284,29 @@ def test_embed_neardup_distributed_no_driver_collect(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_funnel_single_events_exchange(spark, sf_dir):
+    """The 4-step funnel must plan ONE events-sized shuffle: all four
+    min-over-window steps share a (user_id, ts-range) window spec — one
+    Exchange + one Sort, stacked Windows — and the per-user groupBy reuses
+    the user_id partitioning. The naive form is 4 self-joins = 4 shuffles."""
+    import re
+
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert plan.count("Window ") == 4, plan
+    # exactly one sort feeding the window stack
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
+def test_merge_upsert_no_nested_loop(spark, sf_dir):
+    """MERGE INTO compiles to a single equi-keyed full-outer join of base
+    and change set — never a nested loop, and the change set aggregates
+    partially before the shuffle."""
+    plan = _plan(spark, sf_dir, "merge_upsert_customers")
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
