@@ -416,3 +416,81 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("qid", "cid", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) similarity search
+# ---------------------------------------------------------------------------
+
+def quantized_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 32,
+) -> DataFrame:
+    """Cosine top-k over int8 scalar-quantized vectors — the production
+    memory/bandwidth lever for ANN at corpus scale: 4x smaller vectors
+    (int8 vs float32) means 4x less scan + shuffle + cache footprint, and
+    the scoring inner loop is exact integer arithmetic.
+
+    Quantization: one global symmetric scale s = max|x| / 127 (a single
+    scalar aggregate over the corpus, broadcast), q = round(x / s) in
+    [-127, 127]. Scoring: cosine of the QUANTIZED vectors — the scale
+    cancels, so scores derive from integer dot products only, which makes
+    the whole path bit-exact across engines (no float-sum ordering
+    anywhere; the final sqrt/divide is one IEEE op per pair).
+
+    Same plan shape as brute_force_topk (broadcast query side, partitioned
+    candidates, per-vector self-dots precomputed); swap in the IVF/LSH
+    bucketing for the sublinear candidate set at scale — quantization
+    composes with either.
+    """
+    amax = emb.agg(
+        F.max(F.expr(f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"))
+        .alias("amax")
+    )
+    quant = (
+        emb.crossJoin(F.broadcast(amax))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col},"
+                " x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))"
+            ).alias("qv"),
+        )
+    )
+    self_dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+    q = quant.where(query_filter).select(
+        F.col(id_col).alias("qid"),
+        F.col("qv").alias("qa"),
+        F.expr(self_dot.format(a="qv", b="qv")).alias("qn"),
+    )
+    c = quant.repartition(parallelism).select(
+        F.col(id_col).alias("cid"),
+        F.col("qv").alias("ca"),
+        F.expr(self_dot.format(a="qv", b="qv")).alias("cn"),
+    )
+    pair_dot = self_dot.format(a="qa", b="ca")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "qcosine",
+            F.expr(
+                f"round(CAST({pair_dot} AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 8)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("qcosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "qcosine")
+    )

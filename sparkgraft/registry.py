@@ -1463,6 +1463,56 @@ def q_merge_upsert_customers(spark, sf_dir):
     )
 
 
+@register(
+    "scd2_type_history",
+    """
+    WITH chg AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    vers AS (
+      SELECT user_id, event_type, ts AS effective_from, event_id
+      FROM chg WHERE prev IS NULL OR prev != event_type)
+    SELECT user_id, event_type, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY effective_from, event_id)
+               AS effective_to,
+           lead(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY effective_from, event_id)
+               IS NULL AS is_current
+    FROM vers
+    """,
+)
+def q_scd2_type_history(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) history build: compress the
+    event stream into versioned validity intervals of each user's
+    event_type — a new version opens only when the type CHANGES
+    (lag-based change detection), effective_to = next version's start,
+    open interval flagged is_current. The standard dimension-versioning
+    pattern every warehouse ETL ships.
+
+    Spark-first: both windows partition on user_id, so the whole operator
+    is ONE events-sized shuffle; the change-filter runs between them
+    without re-exchanging (filters preserve partitioning). Ties are broken
+    by event_id so versions are deterministic under equal timestamps.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w_ev)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w_ver)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.

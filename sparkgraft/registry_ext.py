@@ -505,6 +505,47 @@ def q_embed_neardup(spark, sf_dir):
     return simsearch.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.45)
 
 
+@register(
+    "embed_quantized_topk",
+    """
+    WITH amax AS (
+      SELECT max(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))))) AS amax
+      FROM embeddings),
+    quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))
+               AS qv
+      FROM embeddings CROSS JOIN amax),
+    q AS (SELECT vec_id AS qid, qv AS qa,
+                 list_sum(list_transform(qv, x -> x * x)) AS qn
+          FROM quant WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, qv AS ca,
+                 list_sum(list_transform(qv, x -> x * x)) AS cn
+          FROM quant),
+    scored AS (
+      SELECT qid, cid,
+             round(CAST(list_sum(list_transform(generate_series(1, len(qa)),
+                        i -> qa[i] * ca[i])) AS DOUBLE)
+                   / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 8)
+               AS qcosine
+      FROM q CROSS JOIN c WHERE qid <> cid)
+    SELECT qid, cid, qcosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY qcosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_embed_quantized_topk(spark, sf_dir):
+    """int8 scalar-quantized cosine top-5 (global symmetric scale; scoring
+    is pure integer dot products, so the path is bit-exact cross-engine) —
+    the 4x memory/bandwidth ANN lever (ext/simsearch.quantized_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.quantized_topk(emb, F.col("vec_id") < 8, k=5)
+
+
 def _lsh_oracle() -> str:
     planes = simsearch.planes_duckdb_literal()
     bucket = (

@@ -463,3 +463,15 @@ def test_incremental_bloom_prefilter_prunes(spark):
     # count bloom hits directly with the same probe scheme
     res = dedup.incremental_bloom_dedup(hist, batch, n_bits=1 << 20)
     assert [r.doc_id for r in res.collect()] == [1000 + i for i in range(20)]
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve neighbor structure: recall@5 of the
+    quantized top-k against exact float cosine top-k stays high (int8 SQ
+    perturbs cosines by ~1/127 — far below typical neighbor gaps)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = simsearch.brute_force_topk(emb, F.col("vec_id") < 8, k=5)
+    quant = simsearch.quantized_topk(emb, F.col("vec_id") < 8, k=5)
+    ex = {(r.qid, r.cid) for r in exact.collect()}
+    qz = {(r.qid, r.cid) for r in quant.collect()}
+    assert len(ex & qz) / len(ex) >= 0.8, (ex, qz)
