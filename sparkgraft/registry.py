@@ -1513,6 +1513,116 @@ def q_scd2_type_history(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_event_margins",
+    """
+    SELECT event_type,
+           CAST(ts + INTERVAL 9 HOUR AS DATE) AS event_date_kst,
+           count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (event_date_kst))
+    """,
+)
+def q_grouping_sets_event_margins(spark, sf_dir):
+    """Explicit GROUPING SETS — the two one-dimensional margins ONLY
+    ((type), (kst-date)), a set selection neither CUBE nor ROLLUP can
+    express. One scan expands to both groupings map-side (Spark's Expand
+    operator), one shuffle — vs two scans + a union by hand."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", local_date("ts").alias("event_date_kst"))
+        .groupingSets(
+            [["event_type"], ["event_date_kst"]], "event_type", "event_date_kst"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "wau_wow_growth",
+    """
+    WITH wau AS (
+      SELECT date_trunc('week', ts) AS event_week,
+             count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1)
+    SELECT event_week, wau,
+           lag(wau) OVER (ORDER BY event_week) AS prev_wau,
+           round((wau - lag(wau) OVER (ORDER BY event_week))
+                 / CAST(lag(wau) OVER (ORDER BY event_week) AS DOUBLE), 6)
+               AS wow_growth
+    FROM wau ORDER BY event_week
+    """,
+)
+def q_wau_wow_growth(spark, sf_dir):
+    """Week-over-week WAU growth: the reference's WAU query (SURVEY §2.2)
+    extended with a trend column — lag over the weekly aggregate.
+
+    The unpartitioned lag window runs on the POST-AGGREGATE relation,
+    whose cardinality is the number of distinct weeks (bounded: 52/year)
+    — the single-task window is over dozens of rows, not events. The
+    events-sized work is the same one-shuffle distinct-count as wau_user.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wau = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("event_week"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    w = Window.orderBy("event_week")
+    prev = F.lag("wau").over(w)
+    return (
+        wau.withColumn("prev_wau", prev)
+        .withColumn(
+            "wow_growth",
+            F.round((F.col("wau") - prev) / prev.cast("double"), 6),
+        )
+        .orderBy("event_week")
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_week AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+               AS week_number,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first_week f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per subsequent active week — the classic product-analytics triangle.
+
+    Spark-first: first_week and activity both aggregate events on user_id
+    (one shuffle, shared scan), the join is user-keyed (co-partitioned —
+    AQE broadcasts the smaller per-user relation at low SF), and the final
+    (cohort, week)-grouped count is a partial-aggregated shuffle over a
+    relation already reduced to |users| * |weeks| upper-bounded rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    first_week = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_number"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_number")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
