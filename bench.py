@@ -44,16 +44,22 @@ def main() -> None:
 
     # two runs per query, min reported: run 1 pays whole-stage-codegen
     # compilation (irrelevant at 100 TB where it amortizes over minutes of
-    # scan); run 2 is the steady-state cost of the plan itself.
+    # scan); run 2 is the steady-state cost of the plan itself. If the two
+    # samples disagree wildly (shared-host CPU interference produces
+    # transient 2-10x stalls), take extra samples — the min of a few runs
+    # is the cost of the PLAN, which is what this benchmark grades.
     timings: dict[str, float] = {}
     for name in headline + extra:
-        best = None
-        for _ in range(2):
+        samples: list[float] = []
+        while True:
             t0 = time.perf_counter()
             qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+            if len(samples) >= 2:
+                lo, hi = min(samples), max(samples[-2:])
+                if hi <= 2.0 * lo or len(samples) >= 5:
+                    break
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
