@@ -227,3 +227,78 @@ def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
         .otherwise(F.lit(0.0))
         .alias("top_token_share"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the standard lexical search
+    scorer (Robertson/Sparck-Jones):
+
+        score(d) = sum_t idf(t) * tf(t,d)*(k1+1) /
+                               (tf(t,d) + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Cross-engine parity design: idf is rounded to 6 decimals before use
+    (absorbs any JVM-vs-libm ln() ulp), every other step is integer counts
+    and single IEEE ops, and the final score sums the per-term products in
+    FIXED expression order (no aggregate over floats anywhere) — so the
+    whole path is bit-identical in any engine.
+
+    Scale: term frequencies filter to the query terms BEFORE grouping
+    (the per-(doc,term) relation is |matching docs| x |terms|, not corpus
+    tokens); doc lengths are one groupBy; global stats and per-term dfs
+    collapse to broadcast one-row relations; ranking is TakeOrdered top-k,
+    not a global sort.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("tok"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    tf_piv = tf.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    df_row = dft.agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("df"))).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    joined = (
+        tf_piv.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(df_row))
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf_i = f"CAST(coalesce(tf_{i}, 0) AS DOUBLE)"
+        df_i = f"CAST(coalesce(df_{i}, 0) AS DOUBLE)"
+        idf = f"round(ln((n_docs - {df_i} + 0.5) / ({df_i} + 0.5) + 1), 6)"
+        tfn = (
+            f"{tf_i} * {k1 + 1} / ({tf_i} + {k1} * (1 - {b} + {b} *"
+            f" CAST(dl AS DOUBLE) / avgdl))"
+        )
+        parts.append(f"{idf} * {tfn}")
+    score = "round(" + " + ".join(parts) + ", 6)"
+    return (
+        joined.select(F.col(id_col), F.expr(score).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -1623,6 +1623,50 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+               AS p
+    FROM cnt ORDER BY event_type, next_type
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types: for each
+    (current, next) pair within a user's time-ordered stream, the count
+    and the row-normalized transition probability — the behavioral-model
+    fingerprint (and anomaly baseline) of the event stream.
+
+    Spark-first: ONE events-sized shuffle (the user_id window for lead,
+    ties broken by event_id), then a groupBy on the 25-row pair relation;
+    the normalizing window runs over |event types| rows. The probability
+    is one integer-over-integer IEEE division — deterministic cross-engine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    cnt = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    w_norm = Window.partitionBy("event_type")
+    return (
+        cnt.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(w_norm).cast("double"), 6)
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.

@@ -222,6 +222,58 @@ def q_text_lm_score(spark, sf_dir):
     return text.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS = ("join", "scan", "window")
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k1=1.2, b=0.75, top_k=20) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"max(CASE WHEN tok = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"max(CASE WHEN tok = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf_i = f"CAST(coalesce(tf_{i}, 0) AS DOUBLE)"
+        df_i = f"CAST(coalesce(df_{i}, 0) AS DOUBLE)"
+        idf = f"round(ln((n_docs - {df_i} + 0.5) / ({df_i} + 0.5) + 1), 6)"
+        tfn = (
+            f"{tf_i} * {k1 + 1} / ({tf_i} + {k1} * (1 - {b} + {b} *"
+            f" CAST(dl AS DOUBLE) / avgdl))"
+        )
+        parts.append(f"{idf} * {tfn}")
+    score = "round(" + " + ".join(parts) + ", 6)"
+    return (
+        _TOK_CTE
+        + f""",
+    tkn AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tkn GROUP BY doc_id),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tkn
+           WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    piv AS (SELECT doc_id, {tf_cols} FROM tf GROUP BY doc_id),
+    dfr AS (SELECT {df_cols} FROM dft)
+    SELECT doc_id, {score} AS bm25
+    FROM piv JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfr
+    ORDER BY bm25 DESC, doc_id LIMIT {top_k}
+    """
+    )
+
+
+@register("text_bm25_search", _bm25_oracle())
+def q_text_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (query: join/scan/window, k1=1.2 b=0.75,
+    top-20): the standard lexical search scorer, computed with fixed-order
+    float arithmetic and pre-rounded idf so both engines agree bit-for-bit
+    (ext/text.bm25_scores)."""
+    return text.bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
