@@ -1667,6 +1667,52 @@ def q_event_transition_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "value_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)), 6) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((e.value - s / n) / sqrt(sq / n - (s / n) * (s / n))) > 3
+    ORDER BY event_id
+    """,
+)
+def q_value_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score outlier detection (|z| > 3) — the simplest
+    anomaly baseline every metrics pipeline runs.
+
+    Mean and variance derive from EXACT decimal first/second moments
+    (sum, sum-of-squares), so they are shuffle-order-invariant; the
+    per-row z is then a fixed chain of IEEE ops — deterministic
+    cross-engine with no float aggregation anywhere.
+
+    Scale: the moments aggregate partial-combines map-side down to
+    |event types| rows (no events-sized shuffle), broadcasts back, and the
+    scoring pass is pure map work — two scans, zero big exchanges.
+    """
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact_sum("value").alias("s"),
+        exact_sum(F.col("value") * F.col("value")).alias("sq"),
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        F.col("sq") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1683,8 +1729,17 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # dedup_minhash_lsh (driver-green in r01, evicted from r02's window by two
 # front-inserted queries), plus the 8 queries ADDED in round 3, plus 4
 # already-proven sentinels.  Rounds 1+2+3 together then driver-prove every
-# registered query.  tests/test_registry_parity.py pins the window
-# composition so future insertions can't silently evict proof again.
+# query registered as of the r03 window freeze.  tests/test_registry_parity.py
+# pins the window composition so future insertions can't silently evict proof
+# again.
+#
+# ROUND 4 ROTATION: the 13 queries added after the r03 freeze have pytest
+# parity (sf0.001 + sf0.01) but no driver row yet — next round's window
+# should lead with them plus ~2 proven sentinels:
+#   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
+#   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
+#   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
+#   retention_cohorts, event_transition_matrix, value_zscore_outliers
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
