@@ -475,3 +475,25 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     ex = {(r.qid, r.cid) for r in exact.collect()}
     qz = {(r.qid, r.cid) for r in quant.collect()}
     assert len(ex & qz) / len(ex) >= 0.8, (ex, qz)
+
+
+def test_pii_scrub_planted_patterns(spark):
+    """Planted PII must be tagged exactly; clean text untouched."""
+    from sparkgraft.ext import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 10.0.255.1 now"),
+            (2, "call +82 123-4567 8901 nothing"),
+            (3, "phone 010-1234-5678 and email a@b.io"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in t.pii_scrub(df).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1
+    assert rows[1].scrubbed == "contact <EMAIL> or <IP> now"
+    assert rows[3].n_phone == 1 and rows[3].n_email == 1
+    assert rows[3].scrubbed == "phone <PHONE> and email <EMAIL>"
+    assert rows[4].scrubbed == "clean text with no identifiers at all"
+    assert rows[4].n_email == rows[4].n_ipv4 == rows[4].n_phone == 0

@@ -310,3 +310,21 @@ def test_merge_upsert_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25 ranking must be TakeOrdered top-k (not a global sort), with the
+    corpus stats and per-term df relations broadcast — the only shuffles
+    are the doc-length and term-frequency groupBys."""
+    plan = _plan(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zscore_moments_broadcast_no_big_shuffle(spark, sf_dir):
+    """z-score scoring joins the 5-row moments relation via broadcast; the
+    events side must NOT sort-merge or re-exchange for the join."""
+    plan = _final_plan(spark, sf_dir, "value_zscore_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
