@@ -1733,13 +1733,14 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 13 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 14 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
 #   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
-#   retention_cohorts, event_transition_matrix, value_zscore_outliers
+#   retention_cohorts, event_transition_matrix, value_zscore_outliers,
+#   corpus_e2e_curation
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -330,3 +330,89 @@ def q_ml_ann_neighbors(spark, sf_dir):
     from sparkgraft.ext import ml_lsh
 
     return ml_lsh.ml_ann_neighbors(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def _e2e_oracle() -> str:
+    from sparkgraft.registry_ext import _STOP_D
+
+    return rf"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    feat AS (
+      SELECT d.doc_id,
+             len(t) AS n_tok,
+             length(trim(text)) AS n_chars,
+             length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g')) AS alpha,
+             len(list_filter(t, x -> list_contains({_STOP_D}, x))) AS stop_hits,
+             len(list_distinct(t)) AS n_dis,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents d JOIN tok USING (doc_id)),
+    scored AS (
+      SELECT doc_id, fp,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             round(0.4 * (alpha / CAST(n_chars AS DOUBLE))
+                   + 0.3 * least(1.0, n_tok / 100.0)
+                   + 0.3 * least(1.0, 3.0 * (stop_hits / CAST(n_tok AS DOUBLE))), 6)
+                 AS quality_score,
+             CASE WHEN n_tok > 0 THEN round(1 - n_dis / n_tok, 6)
+                  ELSE 0.0 END AS rep_ratio
+      FROM feat),
+    keep AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp)
+    SELECT s.doc_id, s.n_tokens, s.quality_score, s.rep_ratio
+    FROM scored s JOIN keep USING (doc_id)
+    WHERE s.n_tokens >= 40 AND s.quality_score >= 0.3 AND s.rep_ratio <= 0.9
+    ORDER BY s.doc_id
+    """
+
+
+@register("corpus_e2e_curation", _e2e_oracle())
+def q_corpus_e2e_curation(spark, sf_dir):
+    """End-to-end training-data curation in ONE query: tokenize -> quality
+    score -> repetition screen -> normalized exact dedup -> filter chain,
+    emitting the kept docs with their audit features.
+
+    The flagship composability demo: every per-doc feature (tokens,
+    quality, repetition, fingerprint) is computed in ONE select, so the
+    whole screen fuses into a single codegen'd map over each scan; the
+    only shuffle is the fingerprint dedup groupBy plus its broadcast
+    keep-min semi join (both on the md5 fingerprint, not text). Plan:
+    two scan passes (screen + dedup build), one hash exchange — the same
+    pipeline a multi-job curation DAG runs, minus the intermediate
+    materializations.
+    """
+    from sparkgraft.ext import text as textmod
+    from sparkgraft.ext.text import _TOKENS_SQL, STOPWORDS, _count_in_set
+
+    docs = _t(spark, sf_dir, "documents")
+    # every feature in ONE select so the screen is a single fused map pass
+    # (joining quality_features/repetition_stats outputs would scan the
+    # corpus three times)
+    t = _TOKENS_SQL.format(col="text")
+    n_tok = f"size({t})"
+    alpha = "length(regexp_replace(lower(trim(text)), '[^a-z]', ''))"
+    stop_hits = _count_in_set(t, STOPWORDS)
+    feats = docs.select(
+        "doc_id",
+        F.expr(f"CAST({n_tok} AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"round(0.4 * ({alpha} / CAST(length(trim(text)) AS DOUBLE))"
+            f" + 0.3 * least(1.0, {n_tok} / 100.0)"
+            f" + 0.3 * least(1.0, 3.0 * ({stop_hits} / CAST({n_tok} AS DOUBLE))), 6)"
+        ).alias("quality_score"),
+        F.expr(
+            f"CASE WHEN {n_tok} > 0"
+            f" THEN round(1 - size(array_distinct({t})) / {n_tok}, 6)"
+            " ELSE 0.0 END"
+        ).alias("rep_ratio"),
+        textmod.fingerprint().alias("fp"),
+    )
+    keep = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        feats.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .where(
+            (F.col("n_tokens") >= 40)
+            & (F.col("quality_score") >= 0.3)
+            & (F.col("rep_ratio") <= 0.9)
+        )
+        .select("doc_id", "n_tokens", "quality_score", "rep_ratio")
+        .orderBy("doc_id")
+    )
