@@ -1713,6 +1713,47 @@ def q_value_zscore_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "session_window_stats",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 300 SECOND AS session_end,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_stats(spark, sf_dir):
+    """Spark's built-in ``session_window`` (batch form) checked against the
+    relational sessionization oracle: per (user, session) the builtin's
+    [start, end) = [min ts, max ts + gap) and event count must equal what
+    the lag/running-max window-function sessionizer derives — i.e. the
+    engine's two session definitions (builtin operator vs composed
+    windows) are provably the same. The streaming twin
+    (streaming/sessions.session_counts_stream) rides the identical
+    operator with a watermark; tested in test_streaming.
+
+    Scale: session_window is ONE shuffle on user_id + a sort-based merge
+    of adjacent windows — same exchange count as the window-function form.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "300 seconds"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1733,14 +1774,14 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 14 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 15 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
 #   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
-#   corpus_e2e_curation
+#   corpus_e2e_curation, session_window_stats
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
