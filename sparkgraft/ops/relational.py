@@ -209,3 +209,41 @@ def exact_avg(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-insensitive AVG: exact decimal sum, then one double division."""
     c = F.col(col) if isinstance(col, str) else col
     return exact_sum(c, scale, precision) / F.count(c)
+
+
+def ordered_funnel(
+    ev: "DataFrame",
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "DataFrame":
+    """Per-user completion times of an ordered step funnel.
+
+    Step k completes at the earliest step-k event AT OR AFTER step (k-1)'s
+    completion; output is one row per user with columns t1..tk (null =
+    step never completed).
+
+    One shuffle total: all k min-over-window expressions share the same
+    (user, ts-range) window spec — range frames include ts-peers, so a
+    step-k event at the same timestamp as step k-1's completion counts,
+    deterministically. The groupBy reuses the window's partitioning.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols = []
+    prev = None
+    for i, etype in enumerate(steps, start=1):
+        name = f"t{i}"
+        cond = F.col(type_col) == etype
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull()
+        ev = ev.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        cols.append(name)
+        prev = name
+    return ev.groupBy(user_col).agg(*[F.min(c).alias(c) for c in cols])

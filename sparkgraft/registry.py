@@ -1380,23 +1380,10 @@ def q_funnel_conversion(spark, sf_dir):
     self-joins of events with itself — k corpus-sized shuffles at 100 TB;
     this is one.
     """
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    from sparkgraft.ops.relational import ordered_funnel
+
     ev = _t(spark, sf_dir, "events")
-    steps = [("t1", "signup", None), ("t2", "view", "t1"), ("t3", "click", "t2"), ("t4", "purchase", "t3")]
-    for col, etype, prev in steps:
-        cond = F.col("event_type") == etype
-        if prev is not None:
-            # prev non-null at row r  <=>  step prev completed at ts <= r.ts
-            # <=>  r.ts >= global completion time (range frame = ts-peers in)
-            cond = cond & F.col(prev).isNotNull()
-        ev = ev.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
-    per_user = ev.groupBy("user_id").agg(
-        *[F.min(c).alias(c) for c, _, _ in steps]
-    )
+    per_user = ordered_funnel(ev, ("signup", "view", "click", "purchase"))
     return per_user.agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.count("t1").cast("bigint").alias("n_signup"),

@@ -213,3 +213,63 @@ def test_pack_presplit_property(spark_global, raw):
         for r in pack_sequences(df, capacity=16).collect()
     }
     assert split == plain
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel vs sequential reference
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("s1", "s2", "s3")
+
+
+def _reference_funnel(rows):
+    """Sequential per-user reference: step k completes at the earliest
+    step-k event at-or-after step k-1's completion."""
+    by_user: dict[int, list[tuple[datetime, str]]] = {}
+    for user, ts, etype in rows:
+        by_user.setdefault(user, []).append((ts, etype))
+    out = {}
+    for user, evs in by_user.items():
+        evs.sort(key=lambda e: e[0])
+        times = []
+        prev = None
+        for step in FUNNEL_STEPS:
+            t = min(
+                (ts for ts, et in evs if et == step and (prev is None or ts >= prev)),
+                default=None,
+            )
+            times.append(t)
+            if t is None:
+                break
+            prev = t
+        times += [None] * (len(FUNNEL_STEPS) - len(times))
+        out[user] = tuple(times)
+    return out
+
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                    # user
+        st.integers(min_value=0, max_value=20),                   # ts offset (ties likely)
+        st.sampled_from(FUNNEL_STEPS + ("noise",)),               # event type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(funnel_strategy)
+def test_ordered_funnel_matches_sequential_reference(spark_global, raw):
+    from sparkgraft.ops.relational import ordered_funnel
+
+    spark = spark_global
+    rows = [(u, T0 + timedelta(seconds=s), et) for u, s, et in raw]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in ordered_funnel(df, FUNNEL_STEPS).collect()
+    }
+    assert got == _reference_funnel(rows)
