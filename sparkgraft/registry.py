@@ -1741,6 +1741,46 @@ def q_session_window_stats(spark, sf_dir):
     )
 
 
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH long AS (
+      SELECT 'l_discount' AS measure, l_discount AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', l_quantity FROM lineitem)
+    SELECT measure,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
+def q_unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (wide -> long): melt three lineitem measure columns into
+    (measure, value) rows, then aggregate per measure — the inverse of
+    pivot_daily_event_types, completing the reshape surface.
+
+    Spark-first: ``DataFrame.unpivot`` plans a single Expand over one scan
+    (each input row emits 3 long rows map-side) — not 3 scans UNION'd like
+    the naive (and the oracle's) formulation; the aggregate partial-
+    combines to 3 rows before the only exchange. Totals are exact decimal
+    sums, order-invariant.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_discount", "l_extendedprice", "l_quantity"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("total"))
+        .orderBy("measure")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1761,14 +1801,14 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 15 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 16 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
 #   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
-#   corpus_e2e_curation, session_window_stats
+#   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
