@@ -1781,6 +1781,60 @@ def q_unpivot_lineitem_measures(spark, sf_dir):
     )
 
 
+@register(
+    "custom_source_jsonl",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_custom_source_jsonl(spark, sf_dir):
+    """Custom Python DataSource end-to-end (the Spark 4 source extension
+    point, io/jsonl_source.py): the documents table is materialized as
+    JSONL, then scanned through the registered ``sparkgraft_jsonl`` format
+    — a PARTITIONED reader (byte slabs with Hadoop line-ownership
+    semantics, proven boundary-safe in tests) with the lang = 'en'
+    predicate PUSHED INTO the Python scan (EqualTo pushdown; rows drop
+    before reaching the engine) — and aggregated per source. The oracle
+    reads the same rows straight from parquet, so the custom scan's
+    correctness (no lost/duplicate lines, pushdown soundness) is
+    hash-checked end-to-end.
+    """
+    import json
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sparkgraft.io import jsonl_source
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_jsonl_")
+    path = f"{work}/documents.jsonl"
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    with open(path, "w") as fh:
+        for rec in tbl.to_pylist():
+            fh.write(json.dumps(rec) + "\n")
+    jsonl_source.register(spark)
+    df = (
+        spark.read.format(jsonl_source.FORMAT_NAME)
+        .schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+        .where(F.col("lang") == "en")
+    )
+    return (
+        df.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1801,14 +1855,15 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 16 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 17 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
 #   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
-#   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures
+#   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
+#   custom_source_jsonl
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
