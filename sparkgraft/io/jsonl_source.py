@@ -29,8 +29,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -64,19 +66,27 @@ class JsonlReader(DataSourceReader):
         return remaining
 
     def partitions(self) -> Sequence[InputPartition]:
+        import glob
         import os
 
-        size = os.path.getsize(self.path)
-        if size == 0:
-            return [_Slab(self.path, 0, 0)]
-        n = max(1, self.n_parts)
-        step = max(1, size // n)
-        bounds = list(range(0, size, step)) + [size]
-        return [
-            _Slab(self.path, bounds[i], bounds[i + 1])
-            for i in range(len(bounds) - 1)
-            if bounds[i] < bounds[i + 1]
-        ]
+        if os.path.isdir(self.path):
+            files = sorted(glob.glob(os.path.join(self.path, "*.jsonl")))
+        else:
+            files = [self.path]
+        n_per_file = max(1, self.n_parts // max(1, len(files)))
+        slabs: list[_Slab] = []
+        for path in files:
+            size = os.path.getsize(path)
+            if size == 0:
+                continue
+            step = max(1, size // n_per_file)
+            bounds = list(range(0, size, step)) + [size]
+            slabs.extend(
+                _Slab(path, bounds[i], bounds[i + 1])
+                for i in range(len(bounds) - 1)
+                if bounds[i] < bounds[i + 1]
+            )
+        return slabs or [_Slab(files[0], 0, 0)]
 
     def read(self, partition: _Slab) -> Iterator[tuple]:
         # Hadoop LineRecordReader ownership: this reader owns every line
@@ -106,6 +116,62 @@ class JsonlReader(DataSourceReader):
                 yield tuple(rec.get(f) for f in fields)
 
 
+class _Committed(WriterCommitMessage):
+    def __init__(self, temp_path: str):
+        self.temp_path = temp_path
+
+
+class JsonlWriter(DataSourceWriter):
+    """Task-isolated JSONL sink with a temp+rename commit protocol.
+
+    Each task streams its rows to ``_temporary/part-<uuid>.jsonl``; only
+    the driver-side ``commit`` renames the temp files into the output
+    directory (rename is atomic on a POSIX fs), then removes the staging
+    dir. A failed/speculative task's file stays in ``_temporary`` and is
+    dropped by ``abort`` (or by the next overwrite) — readers never
+    observe partial output. Same protocol shape as Hadoop
+    FileOutputCommitter v1; on object stores, swap rename for a manifest
+    commit (the message plumbing here is where that lives).
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.fields = [f.name for f in schema.fields]
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                rec = {f: row[f] for f in self.fields}
+                fh.write(json.dumps(rec) + "\n")
+        return _Committed(tmp)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.rename(
+                m.temp_path, os.path.join(self.path, os.path.basename(m.temp_path))
+            )
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -119,6 +185,12 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlReader:
         return JsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
+        import os
+
+        os.makedirs(self.options["path"], exist_ok=True)
+        return JsonlWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

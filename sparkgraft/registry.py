@@ -1835,6 +1835,49 @@ def q_custom_source_jsonl(spark, sf_dir):
     )
 
 
+@register(
+    "custom_sink_jsonl_roundtrip",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_custom_sink_jsonl_roundtrip(spark, sf_dir):
+    """Custom Python data SINK end-to-end: the documents table is written
+    through the ``sparkgraft_jsonl`` writer (task-isolated part files,
+    temp+rename commit — readers never see partial output), read back
+    through the partitioned jsonl reader, and aggregated. The oracle reads
+    the same rows straight from parquet, so the whole write-commit-read
+    path is hash-checked: any lost task file, duplicated rename, or
+    boundary-split defect changes the counts.
+    """
+    import tempfile
+
+    from sparkgraft.io import jsonl_source
+
+    jsonl_source.register(spark)
+    out = tempfile.mkdtemp(prefix="sparkgraft_sink_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(4).write.format(jsonl_source.FORMAT_NAME).mode(
+        "overwrite"
+    ).option("path", out).save()
+    back = (
+        spark.read.format(jsonl_source.FORMAT_NAME)
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .option("path", out)
+        .option("numPartitions", "8")
+        .load()
+    )
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1855,7 +1898,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 17 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 18 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -1863,7 +1906,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
-#   custom_source_jsonl
+#   custom_source_jsonl, custom_sink_jsonl_roundtrip
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

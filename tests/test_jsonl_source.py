@@ -57,3 +57,40 @@ def test_exact_boundary_lines(spark, tmp_path):
         )
         got = sorted(r.doc_id for r in df.collect())
         assert got == [1000 + i for i in range(400)], (n, len(got))
+
+
+def test_sink_roundtrip_and_commit_protocol(spark, tmp_path):
+    """df.write through the Python sink -> read back through the Python
+    source equals the input; no _temporary staging dir survives commit."""
+    import os
+    from sparkgraft.io import jsonl_source
+
+    jsonl_source.register(spark)
+    out = str(tmp_path / "sinkdir")
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('doc ', id) AS text", "CAST(id % 7 AS STRING) AS source"
+    ).repartition(5)
+    df.write.format("sparkgraft_jsonl").mode("append").option("path", out).save()
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(parts) == 5
+    back = (
+        spark.read.format("sparkgraft_jsonl")
+        .schema("doc_id bigint, text string, source string")
+        .option("path", out)
+        .load()
+    )
+    got = sorted((r.doc_id, r.text, r.source) for r in back.collect())
+    want = sorted((i, f"doc {i}", str(i % 7)) for i in range(300))
+    assert got == want
+    # overwrite mode replaces previous parts
+    df.limit(10).repartition(1).write.format("sparkgraft_jsonl").mode(
+        "overwrite"
+    ).option("path", out).save()
+    back2 = (
+        spark.read.format("sparkgraft_jsonl")
+        .schema("doc_id bigint, text string, source string")
+        .option("path", out)
+        .load()
+    )
+    assert back2.count() == 10
