@@ -1878,6 +1878,96 @@ def q_custom_sink_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_stream_join",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 300 SECOND
+    ORDER BY view_id, purchase_id
+    """,
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (the remaining Structured Streaming join
+    type): the view stream joins the purchase stream per user, purchases
+    within [view_ts, view_ts + 5 min]. Both sides carry watermarks, so
+    each side's buffered state is bounded by the watermark delay + the
+    join's time bound — the constraint that makes an unbounded two-stream
+    join feasible at all. Run as one-shot availableNow streams over the
+    same events table split by type; the result must hash-match the batch
+    range-join oracle exactly.
+    """
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_ssjoin_")
+    out, src = f"{work}/out", f"{work}/src"
+    ev = _t(spark, sf_dir, "events")
+    ev.write.parquet(src)  # normalized ts for a case-free stream schema
+    schema = ev.schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+        )
+
+    views = (
+        _stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        _stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 300 SECOND")),
+    )
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-stream join did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1898,7 +1988,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 18 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 19 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -1906,7 +1996,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
-#   custom_source_jsonl, custom_sink_jsonl_roundtrip
+#   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
