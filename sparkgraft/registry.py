@@ -1968,6 +1968,61 @@ def q_streaming_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q_streaming_static_enrich(spark, sf_dir):
+    """STREAM-STATIC join (the dimension-enrichment streaming pattern):
+    the event stream joins the static customer table per micro-batch —
+    the static side needs no watermark and no state; Spark broadcasts it
+    into each batch like any small dimension. Aggregated per market
+    segment via foreachBatch into an exactly-once parquet target, then
+    re-aggregated: partial per-batch counts sum to the batch-oracle totals
+    because the batches partition the stream.
+    """
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_enrich_")
+    out, src = f"{work}/out", f"{work}/src"
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "ts").write.parquet(src)
+    static = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp_ntz"
+    ).parquet(src)
+    enriched = stream.join(static, stream.user_id == static.c_custkey).select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment")
+    )
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-static enrich did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("segment")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -1988,7 +2043,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 19 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 20 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -1996,7 +2051,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
-#   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join
+#   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
+#   streaming_static_enrich
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
