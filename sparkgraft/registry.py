@@ -2023,6 +2023,61 @@ def q_streaming_static_enrich(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_replay_dedup",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_streaming_replay_dedup(spark, sf_dir):
+    """Exactly-once FROM at-least-once: the event stream is fed its entire
+    input TWICE (a full replay — what a Kafka consumer restart or retried
+    batch does), deduplicated in-stream on event_id (``dropDuplicates``
+    state spans micro-batches), and aggregated. The result hash-matches
+    the batch aggregate over the ORIGINAL events — the replay is fully
+    absorbed. The watermark-bounded variant
+    (streaming/dedup.dedup_within_watermark) bounds the same state by the
+    lateness horizon; covered in test_streaming.
+    """
+    import tempfile
+
+    from sparkgraft.streaming.dedup import dedup_exact_stream
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_replay_")
+    out, src = f"{work}/out", f"{work}/src"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.parquet(f"{src}/b1")
+    ev.write.parquet(f"{src}/b2")  # the replay
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).parquet(src + "/*")
+    q = (
+        dedup_exact_stream(stream, ["event_id"])
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("replay dedup stream did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2043,7 +2098,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 20 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 21 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2052,7 +2107,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
-#   streaming_static_enrich
+#   streaming_static_enrich, streaming_replay_dedup
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
