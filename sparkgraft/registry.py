@@ -2078,6 +2078,80 @@ def q_streaming_replay_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "dq_constraint_report",
+    """
+    SELECT 'events_type_accepted' AS check_name,
+           (SELECT count(*) FROM events
+            WHERE event_type NOT IN ('click','view','purchase','signup'))
+               AS n_violations
+    UNION ALL
+    SELECT 'events_user_not_null',
+           (SELECT count(*) FROM events WHERE user_id IS NULL)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    ORDER BY check_name
+    """,
+)
+def q_dq_constraint_report(spark, sf_dir):
+    """Data-quality constraint validation (the Deequ/dbt-test pattern):
+    one report of violation counts for primary-key uniqueness, non-null,
+    accepted-values, numeric-range, and referential-integrity checks
+    across the star schema — the audit gate a production pipeline runs
+    before publishing a partition.
+
+    Spark-first: same-table checks share one scan via conditional
+    aggregation (count + countDistinct + filtered counts in a single
+    agg); the FK check is a left-anti join on the join key the tables
+    would be co-bucketed on (catalog.save_bucketed -> zero-exchange).
+    The accepted-values check is deliberately strict enough to fire
+    (the 'error' event type counts as a violation) so the report's
+    non-zero path is exercised at every SF.
+    """
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def _row(name, df):
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n").cast("bigint").alias("n_violations"))
+
+    ev_checks = ev.agg(
+        F.count(F.when(~F.col("event_type").isin("click", "view", "purchase", "signup"), 1)).alias("bad_type"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user"),
+    )
+    orders_check = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
+    )
+    qty_check = li.agg(
+        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)).alias("n")
+    )
+    fk_check = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    report = (
+        _row("events_type_accepted", ev_checks.select(F.col("bad_type").alias("n")))
+        .union(_row("events_user_not_null", ev_checks.select(F.col("null_user").alias("n"))))
+        .union(_row("lineitem_fk_orders", fk_check))
+        .union(_row("lineitem_qty_range", qty_check))
+        .union(_row("orders_pk_unique", orders_check))
+    )
+    return report.orderBy("check_name")
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2098,7 +2172,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 21 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 22 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2107,7 +2181,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
-#   streaming_static_enrich, streaming_replay_dedup
+#   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
