@@ -2152,6 +2152,49 @@ def q_dq_constraint_report(spark, sf_dir):
     return report.orderBy("check_name")
 
 
+@register(
+    "pseudonymous_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q_pseudonymous_join(spark, sf_dir):
+    """Privacy-preserving join on PSEUDONYMIZED keys: both sides replace
+    the raw user key with sha2(salt || key) before the join, so the raw
+    identifier never appears in the joined relation or the shuffle files
+    — the standard pattern for joining user data across trust boundaries
+    (the salt is the shared secret; without it the pseudonyms are
+    unlinkable). The oracle is the PLAINTEXT join: identical results
+    prove pseudonymization is join-lossless (sha2 is injective on this
+    key space — no silent collision-induced row inflation).
+
+    Scale: hashing is per-row codegen'd map work; the join/shuffle
+    behaves exactly as on raw keys (same cardinalities, same skew
+    profile), just on 32-byte keys.
+    """
+    salt = "sparkgraft-demo-salt"  # shared secret: both sides must agree
+    ev = _t(spark, sf_dir, "events").select(
+        F.sha2(F.concat(F.lit(salt), F.col("user_id").cast("string")), 256).alias(
+            "user_pseudo"
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.sha2(F.concat(F.lit(salt), F.col("c_custkey").cast("string")), 256).alias(
+            "cust_pseudo"
+        ),
+        "c_mktsegment",
+    )
+    return (
+        ev.join(cust, ev.user_pseudo == cust.cust_pseudo)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("segment")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2172,7 +2215,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 22 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 23 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2181,7 +2224,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   retention_cohorts, event_transition_matrix, value_zscore_outliers,
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
-#   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report
+#   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
+#   pseudonymous_join
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
