@@ -2195,6 +2195,37 @@ def q_pseudonymous_join(spark, sf_dir):
     )
 
 
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT c.c_nationkey, c.c_mktsegment, count(*) AS n
+      FROM customer c GROUP BY c.c_nationkey, c.c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, n
+    FROM cells WHERE n < 10
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (nation, segment):
+    report every equivalence class with fewer than k=10 members — the
+    cells where a release would risk re-identification and generalization
+    or suppression is required before publishing. The release gate that
+    pairs with pseudonymous_join in a privacy-preserving pipeline.
+
+    Scale: one partial-aggregated groupBy on the quasi-identifier (the
+    output relation is |QI domain|-sized, tiny), then a residual filter —
+    nothing scales with the table beyond the single scan.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") < 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2215,7 +2246,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 23 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 24 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2225,7 +2256,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
 #   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
-#   pseudonymous_join
+#   pseudonymous_join, k_anonymity_audit
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
