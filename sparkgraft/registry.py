@@ -2226,6 +2226,101 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_view_merge",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY CAST(ts AS DATE) ORDER BY event_date
+    """,
+)
+def q_incremental_view_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: a daily aggregate built
+    from the base data is REFRESHED with a delta batch by merging partial
+    aggregate states — count adds, exact-decimal sums add, min/max take
+    least/greatest — instead of rescanning the base. The merged view must
+    hash-match the full recompute (the oracle), which is exactly the
+    property that makes the aggregate incrementally maintainable
+    (avg/stddev derive from the mergeable sum/count/sumsq, same pattern
+    as the HLL-sketch WAU lane for distincts).
+
+    Scale: the nightly refresh touches |delta| rows + |affected days| view
+    rows — not the 100 TB base. The split date here is a fixed literal so
+    the query is deterministic.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    day = F.col("ts").cast("date").alias("event_date")
+
+    def _partial(df):
+        return df.groupBy(day).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = _partial(ev.where(F.col("ts") < cut))
+    delta = _partial(ev.where(F.col("ts") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, "event_date", "full_outer").select(
+        "event_date",
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("total_value"),
+        F.least(F.col("b.mn"), F.col("d.mn")).alias("min_value"),
+        F.greatest(F.col("b.mx"), F.col("d.mx")).alias("max_value"),
+    )
+    return merged.orderBy("event_date")
+
+
+@register(
+    "value_decile_bins",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM binned
+    GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """,
+)
+def q_value_decile_bins(spark, sf_dir):
+    """Equi-depth feature binning: ntile(10) deciles of value per event
+    type with per-bin bounds — the discretization step feature pipelines
+    run before training. event_id tiebreak makes bin assignment total-
+    ordered and deterministic. One window shuffle on event_type (bounded
+    partitions), then a groupBy on the already-partitioned relation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2246,7 +2341,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 24 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 26 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2256,7 +2351,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
 #   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
-#   pseudonymous_join, k_anonymity_audit
+#   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
+#   value_decile_bins
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
