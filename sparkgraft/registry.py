@@ -2341,7 +2341,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 26 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 27 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2352,7 +2352,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
 #   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
 #   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
-#   value_decile_bins
+#   value_decile_bins, text_hybrid_rrf
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -274,6 +274,68 @@ def q_text_bm25_search(spark, sf_dir):
     return text.bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def _rrf_oracle(k_rrf=60, pool=100, top=20) -> str:
+    bm25 = _bm25_oracle(top_k=pool)
+    return f"""
+    WITH bm AS ({bm25}),
+    bm_ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+      FROM bm),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * (length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g'))
+                          / CAST(length(trim(text)) AS DOUBLE))
+                   + 0.3 * least(1.0, len({_TOK}) / 100.0)
+                   + 0.3 * least(1.0, 3.0 * (len(list_filter({_TOK},
+                         x -> list_contains({{stop}}, x))) / CAST(len({_TOK}) AS DOUBLE))), 6)
+                 AS quality_score
+      FROM documents),
+    q_ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY quality_score DESC, doc_id) AS r2
+      FROM (SELECT * FROM q ORDER BY quality_score DESC, doc_id LIMIT {pool})),
+    fused AS (
+      SELECT coalesce(b.doc_id, qq.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({k_rrf} + b.r1), 0.0)
+                   + coalesce(1.0 / ({k_rrf} + qq.r2), 0.0), 6) AS rrf
+      FROM bm_ranked b FULL OUTER JOIN q_ranked qq USING (doc_id))
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {top}
+    """.replace("{stop}", _STOP_D)
+
+
+@register("text_hybrid_rrf", _rrf_oracle())
+def q_text_hybrid_rrf(spark, sf_dir):
+    """Hybrid ranking via reciprocal-rank fusion (RRF, k=60): the BM25
+    relevance list fuses with the quality-prior list — the standard way
+    to combine heterogeneous rankers without score calibration
+    (score = sum 1/(k + rank_i), missing list membership contributes 0).
+
+    Scale-safe ranking: each leg is first cut to a top-100 pool with
+    TakeOrdered (never a corpus-sized unpartitioned window); row_number
+    then runs on the bounded pool. Rank integers make the fusion
+    arithmetic deterministic cross-engine; fixed-order sum, round 6.
+    """
+    from pyspark.sql import Window
+
+    pool, k_rrf = 100, 60
+    docs = _t(spark, sf_dir, "documents")
+    bm = text.bm25_scores(docs, _BM25_TERMS, top_k=pool)
+    w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm_ranked = bm.withColumn("r1", F.row_number().over(w1)).select("doc_id", "r1")
+    q = text.quality_features(docs).select("doc_id", "quality_score")
+    q_pool = q.orderBy(F.col("quality_score").desc(), F.col("doc_id")).limit(pool)
+    w2 = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    q_ranked = q_pool.withColumn("r2", F.row_number().over(w2)).select("doc_id", "r2")
+    fused = bm_ranked.join(q_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r2")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
