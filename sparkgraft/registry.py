@@ -2321,6 +2321,66 @@ def q_value_decile_bins(spark, sf_dir):
     )
 
 
+@register(
+    "gdpr_erasure_report",
+    """
+    WITH tombstones AS (
+      SELECT c_custkey AS subject FROM customer WHERE c_custkey % 50 = 0)
+    SELECT 'customer_rows_erased' AS item,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey IN (SELECT subject FROM tombstones)) AS n
+    UNION ALL
+    SELECT 'events_rows_erased',
+           (SELECT count(*) FROM events
+            WHERE user_id IN (SELECT subject FROM tombstones))
+    UNION ALL
+    SELECT 'orders_rows_erased',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IN (SELECT subject FROM tombstones))
+    UNION ALL
+    SELECT 'events_rows_retained',
+           (SELECT count(*) FROM events
+            WHERE user_id NOT IN (SELECT subject FROM tombstones))
+    ORDER BY item
+    """,
+)
+def q_gdpr_erasure_report(spark, sf_dir):
+    """Right-to-erasure propagation: a tombstone set of data subjects
+    (deterministic demo predicate: every 50th customer key) is propagated
+    across every table referencing the subject — semi-join counts per
+    table quantify the blast radius, the anti-join count is the retained
+    set a rewrite would produce. The compliance triad closes: pseudonymize
+    (pseudonymous_join), audit (k_anonymity_audit), erase (this).
+
+    Scale: the tombstone relation is tiny and broadcasts into every
+    semi/anti probe — each affected table is ONE scan with a broadcast
+    filter, no table-to-table shuffle; the physical delete rides the
+    partition-overwrite sink (catalog.py) on just the partitions the
+    semi join names.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    tomb = cust.where(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("subject")
+    )
+
+    def _count(name, df, key, how):
+        return (
+            df.join(F.broadcast(tomb), F.col(key) == F.col("subject"), how)
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(F.lit(name).alias("item"), "n")
+        )
+
+    report = (
+        _count("customer_rows_erased", cust, "c_custkey", "left_semi")
+        .union(_count("events_rows_erased", ev, "user_id", "left_semi"))
+        .union(_count("orders_rows_erased", orders, "o_custkey", "left_semi"))
+        .union(_count("events_rows_retained", ev, "user_id", "left_anti"))
+    )
+    return report.orderBy("item")
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2341,7 +2401,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # pins the window composition so future insertions can't silently evict proof
 # again.
 #
-# ROUND 4 ROTATION: the 27 queries added after the r03 freeze have pytest
+# ROUND 4 ROTATION: the 28 queries added after the r03 freeze have pytest
 # parity (sf0.001 + sf0.01) but no driver row yet — next round's window
 # should lead with them plus ~2 proven sentinels:
 #   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
@@ -2352,7 +2412,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
 #   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
 #   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
-#   value_decile_bins, text_hybrid_rrf
+#   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
