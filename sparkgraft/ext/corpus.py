@@ -354,6 +354,81 @@ def interleave_sources(
     )
 
 
+def chunk_boilerplate_scrub(
+    df: DataFrame,
+    chunk: int = 3,
+    min_df: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style segment-level boilerplate removal: split each document
+    into consecutive ``chunk``-word segments, count each distinct segment's
+    document frequency across the corpus, drop segments appearing in
+    ``min_df`` or more documents (headers, footers, nav bars, license
+    blurbs), and reassemble the survivors in original order.  Returns
+    (id, n_chunks, n_removed, clean_text) — every input doc appears, even
+    fully-scrubbed ones (clean_text = '').
+
+    This is the line-level dedup step of CCNet/RefinedWeb adapted to a
+    corpus without newlines: the segmentation is deterministic (fixed-width
+    over the token array), so the whole operator is shuffle-order-invariant
+    and oracle-checkable.
+
+    Scale: the segment relation is |corpus tokens| / chunk rows; its df
+    count is one map-side-combinable groupBy on the segment text.  The
+    boilerplate set (df >= min_df) is the heavy-hitter tail — small by
+    Zipf — but corpus-derived and unbounded, so it carries NO broadcast
+    hint; AQE broadcasts it when it measures small.  Reassembly shuffles
+    (id, ci, segment) once on id — the corpus never shuffles full texts.
+    """
+    tok = df.select(id_col, tokens(col).alias("__t"))
+    ch = tok.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.size("__t") / F.lit(float(chunk))).cast("long"),
+                    F.lit(1),
+                )
+                - 1,
+            )
+        ).alias("ci"),
+        F.col("__t"),
+    ).select(
+        id_col,
+        "ci",
+        F.array_join(
+            F.expr(f"slice(__t, ci * {chunk} + 1, {chunk})"), " "
+        ).alias("__chunk"),
+    )
+    bp = (
+        ch.groupBy("__chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__chunk", F.lit(True).alias("__bp"))
+    )
+    marked = ch.join(bp, "__chunk", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("__bp"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__bp").isNull(),
+                            F.struct(F.col("ci"), F.col("__chunk").alias("chunk")),
+                        )
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     k: int = 50,

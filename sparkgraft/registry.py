@@ -2381,6 +2381,194 @@ def q_gdpr_erasure_report(spark, sf_dir):
     return report.orderBy("item")
 
 
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    mx AS (SELECT max(d) AS mx FROM ud),
+    contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM ud)
+    SELECT day, count(DISTINCT user_id) AS active_7d
+    FROM contrib, mx
+    WHERE day <= mx
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_rolling_7d_active_users(spark, sf_dir):
+    """Exact rolling 7-day active users per day (trailing window ending at
+    each day) — the sliding-MAU/WAU primitive that SQL windows can't
+    express (COUNT(DISTINCT) OVER RANGE is unsupported everywhere).
+
+    Shape: dedupe to (user, day), then each user-day CONTRIBUTES itself to
+    the 7 target days it covers (explode factor = window/step = 7), then
+    one count-distinct per target day.  At 100 TB this beats the 7-way
+    self-join (one shuffle on day, map-side explode) and stays exact;
+    the approximate path at extreme cardinality is the mergeable-sketch
+    variant (wau_sketch_weekly).  The max-day scalar broadcasts into a
+    1-row nested-loop prune of partial trailing windows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    mx = ud.agg(F.max("d").alias("mx"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day")
+    )
+    return (
+        contrib.join(F.broadcast(mx), F.col("day") <= F.col("mx"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "peak_concurrent_sessions",
+    """
+    WITH b AS (
+      SELECT ts AS bts, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1 FROM events),
+    d AS (SELECT CAST(bts AS DATE) AS day, bts, delta FROM b),
+    daily AS (SELECT day, sum(delta) AS day_delta FROM d GROUP BY day),
+    opening AS (
+      SELECT day,
+             COALESCE(sum(day_delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS opening
+      FROM daily),
+    sw AS (
+      SELECT d.day,
+             o.opening + sum(d.delta) OVER (
+               PARTITION BY d.day ORDER BY d.bts, d.delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM d JOIN opening o ON d.day = o.day)
+    SELECT day, CAST(max(open) AS BIGINT) AS peak_concurrent
+    FROM sw GROUP BY day ORDER BY day
+    """,
+)
+def q_peak_concurrent_sessions(spark, sf_dir):
+    """Peak concurrency per day via the classic +1/-1 interval sweep: each
+    event opens a 5-minute presence interval; boundaries carry +1/-1
+    deltas and the running sum's daily max is the answer (capacity
+    planning / license-seat sizing).
+
+    Exactness + scale via the SAME two-level prefix-sum trick as
+    pack_sequences: the heavy running sum is PARTITIONED BY day (midnight-
+    crossing intervals are handed to the next day via its opening
+    balance), and only the per-day totals — one row per day, bounded by
+    the calendar — flow through the tiny unpartitioned window.  No global
+    sort of boundaries ever happens.  Ties (+1 and -1 at the same
+    instant) order +1 first, so touching intervals count as overlapping
+    in both engines; per-row running sums under equal-key ties are
+    order-ambiguous but the daily MAX is tie-invariant.
+    """
+    ev = _t(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("bts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("bts"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionAll(ends).withColumn("day", F.to_date("bts"))
+    daily = b.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    opening = daily.select(
+        "day",
+        F.coalesce(
+            F.sum("day_delta").over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("opening"),
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("bts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sw = b.join(F.broadcast(opening), "day").withColumn(
+        "open", F.col("opening") + F.sum("delta").over(w_day)
+    )
+    return (
+        sw.groupBy("day")
+        .agg(F.max("open").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type, ts AS tts
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT c.conv_id, t.event_type
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tts < c.cts
+       AND t.tts >= c.cts - INTERVAL 7 DAY),
+    cr AS (
+      SELECT conv_id, event_type,
+             CAST(floor(1000000.0 / count(*) OVER (PARTITION BY conv_id))
+                  AS BIGINT) AS w_ppm
+      FROM pairs)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS touches,
+           count(DISTINCT conv_id) AS conversions_touched,
+           CAST(sum(w_ppm) AS BIGINT) / 1000000.0 AS credit
+    FROM cr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every click/view in the 7 days
+    before a purchase by the same user shares the conversion credit
+    equally (1/n per touch).  The marketing-analytics workhorse the
+    reference's relational surface composes toward.
+
+    Float-determinism: per-touch credit is floor(1e6/n) in INTEGER ppm —
+    the integer sum is associativity-proof under any shuffle order, and
+    the single final division is exact IEEE, so the double hash-matches
+    the oracle (same scaled-integer pattern as q1_pricing_summary).
+
+    Scale: equi-join on user_id with a bounded 7-day range predicate —
+    shuffles both sides once on user_id; per-conversion fan-in is bounded
+    by a user's 7-day touch volume.  Skewed power-users take the salted-
+    join pattern (salted_join_user_events) unchanged.
+    """
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("cts")
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", F.col("ts").alias("tts")
+    )
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("conv_id", "event_type")
+    cr = pairs.withColumn(
+        "w_ppm",
+        F.floor(F.lit(1000000.0) / F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+        .cast("bigint"),
+    )
+    return (
+        cr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.count_distinct("conv_id").alias("conversions_touched"),
+            (F.sum("w_ppm").cast("bigint") / F.lit(1000000.0)).alias("credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2412,7 +2600,9 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
 #   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
 #   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
-#   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report
+#   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
+#   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
+#   corpus_chunk_dedup
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -308,6 +308,37 @@ def q_corpus_stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_chunk_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ch AS (SELECT doc_id, i AS ci,
+                  array_to_string(t[(i*3+1):(i*3+3)], ' ') AS chunk
+           FROM tok,
+                unnest(range(greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1))) AS u(i)),
+    bp AS (SELECT chunk FROM (
+             SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+           WHERE df >= 3),
+    mk AS (SELECT ch.doc_id, ch.ci, ch.chunk, (bp.chunk IS NOT NULL) AS is_bp
+           FROM ch LEFT JOIN bp ON ch.chunk = bp.chunk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN chunk END, ' ' ORDER BY ci),
+                    '') AS clean_text
+    FROM mk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_corpus_chunk_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate scrub: fixed-width 3-word segments,
+    drop segments whose document frequency >= 3, reassemble survivors in
+    order (ext/corpus.chunk_boilerplate_scrub).  The line-level-dedup step
+    of every web-corpus build, adapted to newline-free docs; every doc
+    survives (possibly with clean_text = '')."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.chunk_boilerplate_scrub(docs, chunk=3, min_df=3).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # pyspark.ml LSH variants (rows-only: JVM hash families aren't SQL-
 # expressible; recall pinned in tests/test_ml_lsh.py instead)
