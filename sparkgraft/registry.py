@@ -14,6 +14,7 @@ Registry sections map to SURVEY.md §2 rows (cited per query).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -2569,6 +2570,225 @@ def q_attribution_linear(spark, sf_dir):
     )
 
 
+#: PageRank iteration count / damping / fixed-point scale shared by the
+#: Spark loop and the generated oracle — integer micro-units (1e12) make the
+#: per-iteration sums associativity-proof, so 10 chained iterations still
+#: hash-match bit-for-bit (same scaled-integer discipline as
+#: q1_pricing_summary / attribution_linear).
+_PR_ITERS = 10
+_PR_SCALE = "1000000000000.0"
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration weighted-PageRank oracle.
+
+    Recursive CTEs can't carry aggregation in the recursive term (ANSI +
+    DuckDB restriction), so the 10 iterations are UNROLLED into chained
+    CTEs by this generator — same trick as _e2e_oracle's staged funnel.
+    Every arithmetic step mirrors the Spark expression left-to-right so
+    the doubles agree exactly: contributions are floor()'d to BIGINT
+    before summing (order-invariant), and only the final rank is divided
+    back to a double.
+    """
+    iters = []
+    for k in range(_PR_ITERS):
+        iters.append(
+            f"""
+    it{k + 1} AS (
+      SELECT n.node,
+             base.b + COALESCE(s.contrib, 0) AS r
+      FROM nodes n CROSS JOIN base
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(floor(0.85 * CAST(p.r AS DOUBLE) * e.wf) AS BIGINT))
+                    AS BIGINT) AS contrib
+        FROM it{k} p JOIN edges e ON e.src = p.node
+        GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    return f"""
+    WITH rev AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      GROUP BY sn.n_name, cn.n_name),
+    edges AS (
+      SELECT src, dst,
+             CAST(rev_cents AS DOUBLE)
+               / CAST(sum(rev_cents) OVER (PARTITION BY src) AS DOUBLE) AS wf
+      FROM rev),
+    nodes AS (SELECT n_name AS node FROM nation),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    base AS (SELECT CAST(floor(0.15 * {_PR_SCALE} / CAST(n AS DOUBLE)) AS BIGINT)
+                    AS b FROM nn),
+    it0 AS (SELECT node, CAST(floor({_PR_SCALE} / CAST(n AS DOUBLE)) AS BIGINT)
+                   AS r FROM nodes, nn),{",".join(iters)}
+    SELECT node, r AS rank_scaled, r / {_PR_SCALE} AS rank
+    FROM it{_PR_ITERS}
+    ORDER BY rank_scaled DESC, node
+    """
+
+
+@register("trade_pagerank", _pagerank_oracle())
+def q_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank (d=0.85, 10 fixed iterations) over the nation
+    trade graph: supplier-nation → customer-nation edges weighted by
+    revenue share — the iterative-graph-algorithm lane (centrality /
+    influence scoring) the DataFrame API covers without GraphX.
+
+    Exact cross-engine parity for an ITERATIVE float algorithm: ranks live
+    in integer micro-units; each edge contribution floor()s an identical
+    left-associated double expression to a BIGINT, so per-iteration sums
+    are shuffle-order-invariant and 10 iterations stay bit-identical.
+
+    Scale: the edge relation (≤|nations|², here ≤625 rows) is built ONCE
+    from the q5-shaped join and localCheckpoint()ed — the big join never
+    re-executes across iterations, and lineage stays O(1).  Each iteration
+    is one equi-join ranks⋈edges on src + one groupBy dst; on a billion-
+    edge graph both shuffle on the same key, so co-partitioning carries
+    across iterations (AQE reuses the exchange).  Dangling nodes keep the
+    (1-d)/N floor; their out-mass leak is the standard 'leaky' variant,
+    mirrored exactly by the oracle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    edges = rev.select(
+        "src",
+        "dst",
+        (
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(Window.partitionBy("src")).cast("double")
+        ).alias("wf"),
+    ).localCheckpoint()
+    nodes = nation.select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()
+    base = int(math.floor(0.15 * float(_PR_SCALE) / float(n_nodes)))
+    ranks = nodes.select(
+        "node",
+        F.lit(int(math.floor(float(_PR_SCALE) / float(n_nodes))))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.lit(0.85) * F.col("r").cast("double") * F.col("wf"))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"),
+    ).orderBy(F.col("rank_scaled").desc(), "node")
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, day FROM users, days),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n, max(value) AS mx_v
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           last_value(d.mx_v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_peak
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ORDER BY g.user_id, g.day
+    """,
+)
+def q_timeseries_gapfill(spark, sf_dir):
+    """Calendar densification + gap-fill: a complete user × day grid over
+    the observed date range, daily event counts zero-filled, and the
+    last-seen daily peak value forward-filled across silent days — the
+    resample/ffill step every time-series feature pipeline runs before
+    training (sequence models want dense, aligned series).
+
+    max(value) (not sum) is the carried statistic, so every number is
+    shuffle-order-invariant — no float-sum hazard.  Scale: the grid is
+    |users| × |days| (generated, never shuffled: sequence+explode on the
+    broadcast date bounds); the ffill window partitions BY USER, ordered
+    by the bounded calendar — thousands of rows per partition at most.
+    The left join hits the grid's own (user, day) partitioning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("mx_v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("mx_v", ignorenulls=True).over(w).alias("last_seen_peak"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -2602,7 +2822,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
 #   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
-#   corpus_chunk_dedup
+#   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
