@@ -328,3 +328,70 @@ def test_zscore_moments_broadcast_no_big_shuffle(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "value_zscore_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_peak_concurrent_two_level_sweep(spark, sf_dir):
+    """The interval-sweep's heavy running sum must partition BY DAY; the
+    only single-partition exchange allowed is the per-day-totals window
+    (one row per calendar day) — the two-level prefix-sum contract.  A
+    regression to one global boundary sort would print a second
+    SinglePartition exchange or a day-less sweep windowspec."""
+    import re
+
+    plan = _plan(spark, sf_dir, "peak_concurrent_sessions")
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    sweeps = re.findall(r"windowspecdefinition\(day#\d+, bts#\d+", plan)
+    assert sweeps, f"day-partitioned sweep window missing: {plan}"
+
+
+def test_rolling_7d_no_self_join(spark, sf_dir):
+    """Rolling 7-day actives must be the explode-contribution shape: no
+    CartesianProduct, and the only nested-loop join is the 1-row max-day
+    scalar prune."""
+    plan = _plan(spark, sf_dir, "rolling_7d_active_users")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "explode" in plan, plan
+
+
+def test_trade_pagerank_edges_materialized_once(spark, sf_dir):
+    """The q5-shaped edge build must run ONCE (localCheckpoint): the final
+    iterated plan may reference the checkpointed RDD 10 times but must
+    never re-scan lineitem, and iteration joins must stay equi-joins."""
+    plan = _plan(spark, sf_dir, "trade_pagerank")
+    assert "lineitem" not in plan, "edge join re-executes per iteration"
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_equi_join_on_user(spark, sf_dir):
+    """Touch-to-conversion matching must plan as an equi-join on user_id
+    with the 7-day range as a residual filter — never a nested-loop over
+    the full touch x conversion product."""
+    plan = _plan(spark, sf_dir, "attribution_linear")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_ffill_partitioned_by_user(spark, sf_dir):
+    """The forward-fill window must partition by user (bounded by the
+    calendar), and the user x day grid must come from the broadcast date
+    bounds — exactly one nested-loop join (the broadcast cross), no
+    cartesian."""
+    import re
+
+    plan = _plan(spark, sf_dir, "timeseries_gapfill")
+    assert re.search(r"windowspecdefinition\(user_id#\d+L?, day#\d+ ASC", plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_dedup_no_bp_broadcast_hint(spark, sf_dir):
+    """Boilerplate scrub: segment df-count is one hash aggregate and the
+    boilerplate set joins WITHOUT a hard broadcast hint (it is corpus-
+    derived and unbounded — AQE decides); reassembly shuffles ids, never
+    full texts twice."""
+    plan = _plan(spark, sf_dir, "corpus_chunk_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
