@@ -2080,6 +2080,103 @@ def q_streaming_replay_dedup(spark, sf_dir):
 
 
 @register(
+    "streaming_windowed_counts",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000)
+             AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q_streaming_windowed_counts(spark, sf_dir):
+    """WATERMARKED tumbling-window aggregation in append mode — the
+    canonical Structured Streaming op (the streaming twin of
+    tumbling_15min_counts): 15-minute event-time windows with a 10-minute
+    watermark; a window emits exactly once, when the watermark passes its
+    end.  A far-future sentinel row advances the watermark past every real
+    window so the one-shot availableNow run flushes them all (the
+    sentinel's own window stays open and is never emitted — append mode's
+    contract).  State is bounded by windows inside the watermark horizon:
+    ~2 per key regardless of stream length — the property that makes this
+    run forever on an unbounded stream.
+
+    count(DISTINCT) is not a streaming-mergeable aggregate, so the second
+    statistic is a conditional count (purchases) — the mergeable-sketch
+    route for distincts is wau_sketch_weekly's.
+    """
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_swin_")
+    out, src = f"{work}/out", f"{work}/src"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    ev.write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [(-1, -1, "sentinel", "2024-01-07T00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts_s string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+    ).write.parquet(f"{src}/b2")
+    # watermarks require TIMESTAMP (not NTZ); read_table pinned the session
+    # tz to UTC, so the cast is epoch-preserving — same pattern as
+    # streaming_stream_join
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz"
+        )
+        .parquet(src + "/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_purchases"
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("windowed-count stream did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .where(F.col("window_start") < F.lit("2024-01-06").cast("timestamp_ntz"))
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "n_purchases",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -2822,7 +2919,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
 #   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
-#   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill
+#   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
+#   streaming_windowed_counts
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
