@@ -2177,6 +2177,43 @@ def q_streaming_windowed_counts(spark, sf_dir):
 
 
 @register(
+    "window_rank_zoo",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(value) OVER w AS lowest,
+           nth_value(value, 2) OVER w AS second_lowest
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_id
+    """,
+)
+def q_window_rank_zoo(spark, sf_dir):
+    """The remaining ANSI window-function family in one relation:
+    percent_rank / cume_dist (relative standing — the normalized-rank
+    features scoring pipelines join back), first_value / nth_value
+    (per-group reference points).  (value, event_id) ordering is total,
+    so ranks and frames are deterministic; percent_rank's k/(n-1) and
+    cume_dist's k/n are single exact IEEE divisions.  One shuffle on
+    event_type (bounded partitions), all four functions share the same
+    window — Spark evaluates them in a single Window operator, no extra
+    exchange per function.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("value").over(w).alias("lowest"),
+        F.nth_value("value", 2).over(w).alias("second_lowest"),
+    ).orderBy("event_id")
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -2920,7 +2957,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
-#   streaming_windowed_counts
+#   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -880,6 +880,58 @@ def q_text_weighted_score(spark, sf_dir):
     )
 
 @register(
+    "grouped_weighted_mean_pandas",
+    """
+    WITH sc AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CAST(user_id % 10 + 1 AS BIGINT) AS w
+      FROM events)
+    SELECT event_type,
+           CAST(sum(iv * w) AS BIGINT) / CAST(sum(w) AS BIGINT) AS wmean_centi
+    FROM sc GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_grouped_weighted_mean_pandas(spark, sf_dir):
+    """GROUPED_AGG pandas UDF — the third Arrow UDF class (scalar:
+    text_weighted_score, grouped map: grouped_demean_applyinpandas):
+    a custom aggregate (weighted mean) evaluated as one Arrow batch per
+    group, the escape hatch for aggregates Spark can't express natively
+    (trimmed means, custom estimators).
+
+    Float-determinism: inputs are pre-scaled to int64 centi-units, the
+    UDF does an integer numpy dot (exact, shuffle-order-invariant) and
+    ONE final IEEE division — hash-identical to the SQL oracle, which is
+    also the proof the UDF computes what the declarative form states.
+    Scale: grouped-agg ships only (event_type, iv, w) through Arrow —
+    same single-shuffle shape as a native agg, with per-group working
+    set bounded by group size (use the two-level salt split for monster
+    groups, cf. wau_user_twolevel).
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        (F.col("user_id") % 10 + 1).cast("bigint").alias("w"),
+    )
+
+    def _wmean(iv, w):
+        # un-annotated on purpose (PEP 563 strings break pandas_udf here);
+        # exact int64 dot product, then one IEEE division
+        a = iv.to_numpy(dtype="int64")
+        b = w.to_numpy(dtype="int64")
+        return int((a * b).sum()) / int(b.sum())
+
+    wmean = pandas_udf(_wmean, "double", PandasUDFType.GROUPED_AGG)
+    return (
+        ev.groupBy("event_type")
+        .agg(wmean("iv", "w").alias("wmean_centi"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "multimodal_payload_digests",
     """
     SELECT doc_id,
