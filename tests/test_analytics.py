@@ -1,0 +1,173 @@
+"""Independent brute-force checks for the round-3 analytics lane.
+
+The DuckDB oracles mirror each query's construction; these tests instead
+recompute the answers from first principles in plain Python (sets, sweeps,
+fractions), so a shared construction bug between query and oracle can't
+hide.  Planted-fixture tests pin the operator semantics on known inputs.
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from sparkgraft import registry
+from sparkgraft.ext.corpus import chunk_boilerplate_scrub
+from sparkgraft.io.readers import read_table
+
+
+def test_rolling_7d_matches_bruteforce(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    rows = ev.collect()
+    by_day: dict[datetime.date, set] = collections.defaultdict(set)
+    for r in rows:
+        by_day[r.d].add(r.user_id)
+    mx = max(by_day)
+    expected = {}
+    day = min(by_day)
+    while day <= mx:
+        users: set = set()
+        for k in range(7):
+            users |= by_day.get(day - datetime.timedelta(days=k), set())
+        if users:
+            expected[day] = len(users)
+        day += datetime.timedelta(days=1)
+    got = {
+        r.day: r.active_7d
+        for r in registry.queries()["rolling_7d_active_users"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_peak_concurrent_matches_global_sweep(spark, sf_dir):
+    """The two-level (per-day + opening-balance) sweep must equal ONE
+    global brute-force sweep over all boundaries — proving the midnight
+    carry logic, which the mirrored oracle alone cannot."""
+    ev = read_table(spark, sf_dir, "events").select("ts").collect()
+    bounds = []
+    for r in ev:
+        bounds.append((r.ts, -1, +1))  # (-1 sort key ranks +1 before -1 ties)
+        bounds.append((r.ts + datetime.timedelta(minutes=5), 1, -1))
+    bounds.sort(key=lambda t: (t[0], t[1]))
+    open_now = 0
+    peak: dict[datetime.date, int] = {}
+    for ts, _, delta in bounds:
+        open_now += delta
+        d = ts.date()
+        peak[d] = max(peak.get(d, -(10**9)), open_now)
+    got = {
+        r.day: r.peak_concurrent
+        for r in registry.queries()["peak_concurrent_sessions"](spark, sf_dir).collect()
+    }
+    assert got == peak
+
+
+def test_attribution_matches_bruteforce(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    convs = [r for r in ev if r.event_type == "purchase"]
+    touches = [r for r in ev if r.event_type in ("click", "view")]
+    by_user: dict[int, list] = collections.defaultdict(list)
+    for t in touches:
+        by_user[t.user_id].append(t)
+    week = datetime.timedelta(days=7)
+    agg: dict[str, list] = collections.defaultdict(lambda: [0, set(), 0])
+    for c in convs:
+        window = [
+            t
+            for t in by_user.get(c.user_id, [])
+            if c.ts - week <= t.ts < c.ts
+        ]
+        if not window:
+            continue
+        ppm = math.floor(1_000_000.0 / len(window))
+        for t in window:
+            row = agg[t.event_type]
+            row[0] += 1
+            row[1].add(c.event_id)
+            row[2] += ppm
+    got = {
+        r.event_type: (r.touches, r.conversions_touched, r.credit)
+        for r in registry.queries()["attribution_linear"](spark, sf_dir).collect()
+    }
+    expected = {
+        et: (n, len(cset), ppm_sum / 1_000_000.0)
+        for et, (n, cset, ppm_sum) in agg.items()
+    }
+    assert got == expected
+
+
+def test_gapfill_planted(spark, sf_dir):
+    df = registry.queries()["timeseries_gapfill"](spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    mn, mx = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    n_days = (mx - mn).days + 1
+    rows = df.collect()
+    # grid is complete and dense
+    assert len(rows) == n_users * n_days
+    # forward-fill: any zero-event day after a user's first activity carries
+    # the previous peak; before first activity it is NULL
+    by_user: dict[int, list] = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.day)):
+        by_user[r.user_id].append(r)
+    for series in by_user.values():
+        last_peak = None
+        for r in series:
+            if r.n_events == 0:
+                assert (
+                    (r.last_seen_peak is None and last_peak is None)
+                    or r.last_seen_peak == last_peak
+                )
+            else:
+                last_peak = r.last_seen_peak
+                assert last_peak is not None
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    res = registry.queries()["trade_pagerank"](spark, sf_dir).collect()
+    scale = 10**12
+    n = len(res)
+    base = math.floor(0.15 * scale / n)
+    total = sum(r.rank_scaled for r in res)
+    # floor() truncation and dangling leak only ever REMOVE mass
+    assert total <= scale
+    # every node keeps at least the teleport floor
+    assert all(r.rank_scaled >= base for r in res)
+    # ranks must not have collapsed to the uniform floor everywhere
+    assert any(r.rank_scaled > base for r in res)
+
+
+def test_chunk_scrub_planted(spark):
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma one two three"),
+            (2, f"{boiler} delta epsilon zeta four five six"),
+            (3, f"{boiler} eta theta iota seven eight nine"),
+            (4, "unique words only here nothing shared at all nine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in chunk_boilerplate_scrub(docs, chunk=3, min_df=3).collect()
+    }
+    # the shared leading 3-word segment is boilerplate (df=3) and removed
+    for i in (1, 2, 3):
+        assert out[i].n_removed == 1
+        assert boiler not in out[i].clean_text
+        assert out[i].n_chunks == 3
+    # the unique doc is untouched
+    assert out[4].n_removed == 0
+    assert out[4].clean_text == "unique words only here nothing shared at all nine"
+    # survivors keep original order
+    assert out[1].clean_text == "alpha beta gamma one two three"
