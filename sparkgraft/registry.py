@@ -2213,6 +2213,30 @@ def q_window_rank_zoo(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@register("value_quantiles_approx", None)  # rows-only: sketch algorithms differ
+def q_value_quantiles_approx(spark, sf_dir):
+    """approx_percentile p50/p90/p99 per event type — the quantile path
+    that actually scales: Greenwald–Khanna sketches merge map-side in one
+    partial-aggregate pass, vs the exact percentile's per-group sort
+    (percentile_value_by_type, which is this query's accuracy oracle in
+    tests/test_analytics.py — |approx − exact| is pinned within the
+    1/accuracy rank-error bound).  Rows-only for the driver: DuckDB's
+    approx_quantile is a t-digest, a different sketch with different
+    outputs by design.
+    """
+    ev = _t(spark, sf_dir, "events")
+    acc = 10000
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+            F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+            F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "dq_constraint_report",
     """
@@ -2957,7 +2981,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
-#   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas
+#   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
+#   value_quantiles_approx
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

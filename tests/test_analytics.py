@@ -171,3 +171,24 @@ def test_chunk_scrub_planted(spark):
     assert out[4].clean_text == "unique words only here nothing shared at all nine"
     # survivors keep original order
     assert out[1].clean_text == "alpha beta gamma one two three"
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """approx_percentile(accuracy=10000) guarantees rank error <= n/10000;
+    check the returned values sit within the corresponding VALUE bracket
+    of the exactly-sorted per-type samples."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    exact: dict[str, list] = collections.defaultdict(list)
+    for r in ev.collect():
+        exact[r.event_type].append(r.value)
+    got = registry.queries()["value_quantiles_approx"](spark, sf_dir).collect()
+    for row in got:
+        vals = sorted(exact[row.event_type])
+        n = len(vals)
+        for p, v in (("p50", row.p50), ("p90", row.p90), ("p99", row.p99)):
+            q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[p]
+            rank = q * (n - 1)
+            eps = max(1, math.ceil(n / 10000))
+            lo = vals[max(0, math.floor(rank) - eps)]
+            hi = vals[min(n - 1, math.ceil(rank) + eps)]
+            assert lo <= v <= hi, (row.event_type, p, v, lo, hi)

@@ -54,3 +54,55 @@ def test_hive_catalog_roundtrip(tmp_path):
         cwd=str(tmp_path),
     )
     assert "HIVE_OK" in proc.stdout, f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-3000:]}"
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """50 tiny part files compact to the size-derived target; contents are
+    byte-equal and the swap is atomic (original dir name preserved)."""
+    import os
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    path = str(tmp_path / "frag")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(50).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 50
+    before = sorted(ev.collect())
+    n_after = catalog.compact_small_files(spark, path, target_mb=128)
+    assert n_after < n_before
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_after
+    after = sorted(spark.read.parquet(path).collect())
+    assert before == after
+
+
+def test_compact_small_files_clustered(spark, sf_dir, tmp_path):
+    """With sort_cols the compaction re-clusters: footer min/max stats of
+    the output files must cover disjoint-ish event_id ranges."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    path = str(tmp_path / "frag2")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(20).write.parquet(path)
+    catalog.compact_small_files(spark, path, target_mb=1, sort_cols=["event_id"])
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        if md.num_rows == 0:
+            continue
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+        spans.append((lo, hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"clustered files overlap: {spans}"
