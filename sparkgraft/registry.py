@@ -2847,6 +2847,12 @@ def q_trade_pagerank(spark, sf_dir):
             / F.sum("rev_cents").over(Window.partitionBy("src")).cast("double")
         ).alias("wf"),
     ).localCheckpoint()
+    # the checkpoint preserves the build's shuffle partitioning; when the
+    # edge relation is small (count is free — it's materialized), collapse
+    # it so 10 iterations don't each schedule |shuffle partitions| near-
+    # empty tasks.  A billion-edge graph keeps its partitioning.
+    if edges.count() < 100_000:
+        edges = edges.coalesce(1)
     nodes = nation.select(F.col("n_name").alias("node"))
     n_nodes = nodes.count()
     base = int(math.floor(0.15 * float(_PR_SCALE) / float(n_nodes)))
@@ -2982,7 +2988,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
-#   value_quantiles_approx
+#   value_quantiles_approx, text_fuzzy_probe_match
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

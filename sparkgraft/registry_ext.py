@@ -879,6 +879,65 @@ def q_text_weighted_score(spark, sf_dir):
         "doc_id", score(tokens("text")).alias("score_centi")
     )
 
+#: typo'd probe terms for the fuzzy-match lane — distances 1-2 from real
+#: corpus vocabulary, so every probe exercises a non-trivial match
+FUZZY_PROBES: tuple[str, ...] = ("qurey", "scann", "merg", "streem", "vallue")
+
+
+@register(
+    "text_fuzzy_probe_match",
+    _TOK_CTE
+    + f""",
+    vocab AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM tok),
+    probes AS (SELECT unnest([{", ".join(f"'{p}'" for p in FUZZY_PROBES)}]) AS probe),
+    hits AS (
+      SELECT p.probe, v.tok, v.doc_id
+      FROM vocab v JOIN probes p
+        ON abs(length(v.tok) - length(p.probe)) <= 2
+       AND levenshtein(v.tok, p.probe) <= 2)
+    SELECT probe,
+           count(DISTINCT tok) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM hits GROUP BY probe ORDER BY probe
+    """,
+)
+def q_text_fuzzy_probe_match(spark, sf_dir):
+    """Fuzzy probe matching (edit distance <= 2) — the entity-resolution /
+    spell-robust-decontamination primitive: typo'd probe terms still find
+    their corpus tokens.  Both engines implement classic Levenshtein, so
+    the match sets are identical.
+
+    Scale shape: the corpus side collapses to DISTINCT (doc, token) first
+    — the fuzzy comparison runs against the VOCABULARY, not the token
+    stream; the probe set is bounded (broadcast side, like
+    decontaminate's); and the length-band predicate prefilters the
+    nested-loop to the classic fuzzy-blocking band.  |vocab| x |probes|
+    comparisons, never |corpus| x |probes|.
+    """
+    from sparkgraft.ext.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    )
+    probes = spark.createDataFrame([(p,) for p in FUZZY_PROBES], "probe string")
+    hits = vocab.join(
+        F.broadcast(probes),
+        (
+            F.abs(F.length("tok") - F.length("probe")) <= 2
+        )
+        & (F.levenshtein("tok", "probe") <= 2),
+    )
+    return (
+        hits.groupBy("probe")
+        .agg(
+            F.count_distinct("tok").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("probe")
+    )
+
+
 @register(
     "grouped_weighted_mean_pandas",
     """
