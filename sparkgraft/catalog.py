@@ -29,7 +29,7 @@ import math
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
@@ -129,6 +129,72 @@ def save_clustered(
         .format("parquet")
         .option("compression", "snappy")
         .save(path)
+    )
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 16,
+) -> None:
+    """Write parquet clustered on a Z-ORDER (Morton) curve over ``cols`` —
+    multi-dimensional data layout (Delta OPTIMIZE ZORDER BY / Iceberg
+    sort-order analogue), built from plain column expressions.
+
+    ``save_clustered`` prunes ONE dimension perfectly and the others not
+    at all; interleaving the bits of several dimensions gives every
+    dimension locality, so a query filtering on ANY subset of
+    the z-columns skips files/row groups via footer min/max stats.  The
+    classic trade: per-dimension pruning is a bit worse than a dedicated
+    sort, but it works for all of them at once — the right layout when a
+    100 TB table serves both user-keyed and time-keyed scans.
+
+    Mechanics: each column is min/max-normalized (one tiny agg job) onto
+    ``bits``-bit integers JVM-side, bits are interleaved with
+    shift/and/or expressions (whole-stage codegen — no UDF), and the
+    write range-partitions + sorts on the z-value, which is dropped from
+    the stored schema.  Normalization bounds come from the data; persist
+    them beside the table when appending later batches so the curve stays
+    stable.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    for c in cols:
+        mn = bounds[f"__mn_{c}"]
+        mx = bounds[f"__mx_{c}"]
+        span = (
+            (F.lit(mx).cast("double") - F.lit(mn).cast("double"))
+            if mx != mn
+            else F.lit(1.0)
+        )
+        norm = (F.col(c).cast("double") - F.lit(mn).cast("double")) / span
+        scaled.append(
+            F.least(
+                F.floor(norm * F.lit(float(1 << bits))).cast("bigint"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                ).cast("bigint")
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
     )
 
 

@@ -11,6 +11,8 @@ import subprocess
 import sys
 import textwrap
 
+from pyspark.sql import functions as F
+
 
 def test_hive_catalog_roundtrip(tmp_path):
     script = textwrap.dedent(
@@ -106,3 +108,87 @@ def test_compact_small_files_clustered(spark, sf_dir, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"clustered files overlap: {spans}"
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout vs 1-D time clustering, measured by footer min/max
+    stats.  The honest trade the docstring states: a dedicated sort prunes
+    its own dimension best, but gives ZERO pruning on any other; z-order
+    gives every interleaved dimension real locality.  So: a user-range
+    filter must skip nothing under time clustering and most files under
+    z-order; a time-range filter must still prune under z-order (coarser
+    than the dedicated sort — that part is expected and asserted too)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+        )
+    )
+    lo_u, hi_u = 2, 3
+    stats = ev.agg(F.min("epoch"), F.max("epoch")).first()
+    span = stats[1] - stats[0]
+    lo_t, hi_t = stats[0] + span // 3, stats[0] + span // 3 + span // 20
+    n_files = 16
+
+    def touched(path, box):
+        n_total, n_hit = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            n_total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            names = md.schema.names
+            hit = True
+            for col, lo, hi in box:
+                idx = names.index(col)
+                c_lo = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                c_hi = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                if c_hi < lo or c_lo > hi:
+                    hit = False
+                    break
+            if hit:
+                n_hit += 1
+        return n_hit, n_total
+
+    p_time = str(tmp_path / "by_time")
+    p_z = str(tmp_path / "by_z")
+    catalog.save_clustered(ev, p_time, "epoch", n_files=n_files)
+    catalog.save_zordered(ev, p_z, ["user_id", "epoch"], bits=12, n_files=n_files)
+
+    # exact round-trip
+    assert sorted(spark.read.parquet(p_z).collect()) == sorted(ev.collect())
+
+    user_box = [("user_id", lo_u, hi_u)]
+    time_box = [("epoch", lo_t, hi_t)]
+    both_box = user_box + time_box
+
+    # user filter: the time sort is blind (touches everything); z-order prunes
+    t_user, t_n = touched(p_time, user_box)
+    z_user, z_n = touched(p_z, user_box)
+    assert t_user == t_n, "time clustering cannot prune a user predicate"
+    assert z_user <= z_n // 2, f"z-order should skip most files: {z_user}/{z_n}"
+
+    # time filter: dedicated sort prunes best; z-order must still prune
+    t_time, _ = touched(p_time, time_box)
+    z_time, _ = touched(p_z, time_box)
+    assert t_time <= z_time, "dedicated sort is the per-dimension optimum"
+    assert z_time < z_n, f"z-order must still prune time: {z_time}/{z_n}"
+
+    # combined box: z-order at least matches its weaker dimension alone
+    z_both, _ = touched(p_z, both_box)
+    assert z_both <= min(z_user, z_time)
