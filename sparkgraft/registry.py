@@ -2238,6 +2238,70 @@ def q_value_quantiles_approx(spark, sf_dir):
 
 
 @register(
+    "session_window_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 15 MINUTE
+                       ELSE INTERVAL 5 MINUTE END AS e_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, e_end,
+             max(e_end) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e),
+    g AS (
+      SELECT user_id, ts, e_end,
+             sum(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(e_end) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_dynamic_gap(spark, sf_dir):
+    """DYNAMIC-gap session windows: ``session_window`` with a per-event
+    gap EXPRESSION (purchases hold the session open 15 minutes, everything
+    else 5) — interval-union semantics, where each event contributes
+    [ts, ts+gap) and overlapping intervals merge.  The behavioral lane
+    fixed-gap sessionize can't express: high-intent events extend
+    session lifetime.
+
+    The oracle derives the same sessions relationally: running max of
+    interval ends per user, an island break wherever the next event
+    starts at-or-after every previous end, prefix-sum island ids — i.e.
+    the builtin operator is PROVEN equal to the composed-window
+    formulation, like session_window_stats does for fixed gaps.
+
+    Scale: one shuffle on user_id + sort-merge of adjacent windows —
+    identical exchange count to the fixed-gap form; the gap expression
+    is evaluated row-wise inside codegen.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("15 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -2988,7 +3052,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
-#   value_quantiles_approx, text_fuzzy_probe_match
+#   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
