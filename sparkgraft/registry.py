@@ -2302,6 +2302,120 @@ def q_session_window_dynamic_gap(spark, sf_dir):
 
 
 @register(
+    "value_histogram",
+    """
+    WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    binned AS (
+      SELECT event_type,
+             CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19) AS BIGINT)
+               AS bin,
+             mn, mx
+      FROM events CROSS JOIN bounds)
+    SELECT event_type, bin,
+           count(*) AS n,
+           round(mn + bin * ((mx - mn) / 20.0), 6) AS bin_lo,
+           round(mn + (bin + 1) * ((mx - mn) / 20.0), 6) AS bin_hi
+    FROM binned
+    GROUP BY event_type, bin, mn, mx
+    ORDER BY event_type, bin
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width 20-bin histogram per event type — the equi-WIDTH
+    companion to value_decile_bins' equi-depth: one pass for global
+    min/max (broadcast scalar), one map-side bin assignment, one
+    map-combinable count.  Bin edges are a fixed IEEE chain from the
+    exact min/max, so boundaries are deterministic cross-engine; the
+    least(..., 19) clamp puts value == max into the last bin (the
+    standard closed-right edge case).
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(F.floor((F.col("value") - F.col("mn")) / w), F.lit(19))
+        .cast("bigint")
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return (
+        binned.groupBy("event_type", "bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            F.round(F.col("mn") + F.col("bin") * w, 6).alias("bin_lo"),
+            F.round(F.col("mn") + (F.col("bin") + 1) * w, 6).alias("bin_hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "value_time_correlation",
+    """
+    WITH xy AS (
+      SELECT event_type,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE) AS x,
+             value AS y
+      FROM events),
+    mo AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM xy GROUP BY event_type)
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_time_of_day
+    FROM mo ORDER BY event_type
+    """,
+)
+def q_value_time_correlation(spark, sf_dir):
+    """Pearson correlation between event value and time-of-day, per event
+    type — the feature-screening statistic ("does this metric follow a
+    daily cycle?").  Built-in corr() accumulates float co-moments in
+    shuffle order (non-deterministic last bits), so this computes the five
+    moments as EXACT decimal sums (zscore's discipline extended to
+    co-moments) and derives r in one fixed IEEE chain — bit-stable under
+    any partitioning, hash-equal to the oracle.
+
+    Scale: one map-side-combinable aggregate to |event types| rows; no
+    second pass, no events-sized shuffle at all.
+    """
+    ev = _t(spark, sf_dir, "events")
+    xy = ev.select(
+        "event_type",
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) % 86400)
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    mo = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("x").alias("sx"),
+        exact_sum("y").alias("sy"),
+        exact_sum(F.col("x") * F.col("x")).alias("sxx"),
+        exact_sum(F.col("y") * F.col("y")).alias("syy"),
+        exact_sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mo.select(
+        "event_type", "n", F.round(r, 6).alias("corr_time_of_day")
+    ).orderBy("event_type")
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -3052,7 +3166,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
-#   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap
+#   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap,
+#   value_histogram, value_time_correlation
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
