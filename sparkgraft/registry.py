@@ -3167,7 +3167,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
 #   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap,
-#   value_histogram, value_time_correlation
+#   value_histogram, value_time_correlation, embed_vector_algebra
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

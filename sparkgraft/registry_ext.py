@@ -939,6 +939,61 @@ def q_text_fuzzy_probe_match(spark, sf_dir):
 
 
 @register(
+    "embed_vector_algebra",
+    """
+    WITH sc AS (
+      SELECT vec_id, label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
+      FROM embeddings)
+    SELECT vec_id, label, dim,
+           CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS norm2_sc,
+           CAST(len(list_filter(s, x -> x * dim > list_sum(s))) AS BIGINT)
+             AS n_above_mean
+    FROM sc ORDER BY vec_id
+    """,
+)
+def q_embed_vector_algebra(spark, sf_dir):
+    """Higher-order array functions as first-class citizens: transform
+    (element-wise scaling), aggregate (fold — squared norm), filter with
+    an OUTER-COLUMN lambda (components above the vector's own mean) — the
+    expression family that keeps per-vector math JVM-side instead of in a
+    UDF.  Elements are scaled to milli-integers first, so every fold is
+    exact and order-free regardless of how either engine iterates the
+    list.
+
+    Scale: zero shuffles — pure row-wise codegen over the embedding
+    column; this is the template for feature-engineering passes
+    (normalization, clipping, sparsification) at any corpus size.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("s"),
+    ).withColumn(
+        "total",
+        F.aggregate("s", F.lit(0).cast("bigint"), lambda acc, x: acc + x),
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        "dim",
+        F.aggregate("s", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+        .alias("norm2_sc"),
+        F.size(
+            F.filter("s", lambda x: (x * F.col("dim")) > F.col("total"))
+        )
+        .cast("bigint")
+        .alias("n_above_mean"),
+    ).orderBy("vec_id")
+
+
+@register(
     "grouped_weighted_mean_pandas",
     """
     WITH sc AS (
