@@ -2416,6 +2416,45 @@ def q_value_time_correlation(spark, sf_dir):
 
 
 @register(
+    "props_map_stats",
+    """
+    WITH kv AS (
+      SELECT event_type, props, unnest(json_keys(props)) AS key FROM events)
+    SELECT event_type, key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT)
+             AS sum_val
+    FROM kv
+    GROUP BY event_type, key
+    ORDER BY event_type, key
+    """,
+)
+def q_props_map_stats(spark, sf_dir):
+    """MAP-type surface: the JSON props column parses into a real
+    map<string,bigint> (schema-on-read for semi-structured payloads),
+    explodes to (key, value) entries, and aggregates per (event_type,
+    key) — the generic telemetry-attribute rollup that works for ANY key
+    set without schema changes.  The oracle discovers keys the same way
+    (json_keys + extract), so the parity holds as payloads evolve.
+
+    Scale: from_json + explode are row-wise codegen; the only shuffle is
+    the (type, key) aggregate, map-side combinable.  Integer value sums —
+    exact under any shuffle order.
+    """
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    entries = ev.select("event_type", F.explode(m).alias("key", "val"))
+    return (
+        entries.groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .orderBy("event_type", "key")
+    )
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -3167,7 +3206,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
 #   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap,
-#   value_histogram, value_time_correlation, embed_vector_algebra
+#   value_histogram, value_time_correlation, embed_vector_algebra,
+#   props_map_stats
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
