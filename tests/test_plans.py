@@ -395,3 +395,46 @@ def test_chunk_dedup_no_bp_broadcast_hint(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_chunk_dedup")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_window_zoo_single_window_operator(spark, sf_dir):
+    """All four rank/frame functions must evaluate in ONE Window operator
+    over one event_type exchange — no per-function re-shuffle."""
+    plan = _plan(spark, sf_dir, "window_rank_zoo")
+    assert plan.count("Window ") + plan.count("Window\n") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dynamic_gap_session_single_shuffle(spark, sf_dir):
+    """Dynamic-gap session_window = one user shuffle + sort-merge of
+    windows, same exchange count as the fixed-gap form."""
+    plan = _plan(spark, sf_dir, "session_window_dynamic_gap")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vector_algebra_zero_shuffle(spark, sf_dir):
+    """Higher-order array functions must stay pure row-wise codegen —
+    ZERO exchanges of any kind (the whole point of not using a UDF)."""
+    plan = _plan(spark, sf_dir, "embed_vector_algebra")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_stats_lane_single_aggregate_exchange(spark, sf_dir):
+    """Correlation moments and map rollup: one map-side-combinable
+    aggregate exchange each, nothing events-sized beyond it."""
+    for name in ("value_time_correlation", "props_map_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "partial" in plan, (name, "map-side partial aggregate missing")
+
+
+def test_fuzzy_probe_bounded_nested_loop(spark, sf_dir):
+    """The only nested-loop join allowed is against the BROADCAST bounded
+    probe set; the corpus side must collapse to distinct vocab first
+    (an aggregate below the join)."""
+    plan = _plan(spark, sf_dir, "text_fuzzy_probe_match")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
