@@ -2455,6 +2455,105 @@ def q_props_map_stats(spark, sf_dir):
 
 
 @register(
+    "asof_nearest_signup",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+      FROM events),
+    filled AS (
+      SELECT event_id, user_id, ts,
+             last_value(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sig,
+             first_value(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_sig
+      FROM tagged)
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_sig IS NULL THEN next_sig
+             WHEN next_sig IS NULL THEN prev_sig
+             WHEN epoch_us(ts) - epoch_us(prev_sig)
+                  <= epoch_us(next_sig) - epoch_us(ts) THEN prev_sig
+             ELSE next_sig
+           END AS nearest_signup_ts,
+           CASE
+             WHEN prev_sig IS NULL AND next_sig IS NULL THEN NULL
+             WHEN prev_sig IS NULL THEN epoch_us(next_sig) - epoch_us(ts)
+             WHEN next_sig IS NULL THEN epoch_us(ts) - epoch_us(prev_sig)
+             ELSE least(epoch_us(ts) - epoch_us(prev_sig),
+                        epoch_us(next_sig) - epoch_us(ts))
+           END AS gap_us
+    FROM filled
+    ORDER BY event_id
+    """,
+)
+def q_asof_nearest_signup(spark, sf_dir):
+    """NEAREST as-of join (bidirectional): every event aligns to its
+    closest signup by the same user in EITHER direction, ties broken
+    backward — the sensor/series alignment semantics pandas calls
+    merge_asof(direction='nearest'), which the backward-only
+    asof_last_signup can't express.
+
+    No join at all: because the probe side (signups) is a tagged SUBSET
+    of the fact stream, one user-partitioned window pass computes the
+    backward fill (running last) and forward fill (first over the
+    following frame) simultaneously; the nearest pick is a row-local
+    comparison of exact integer microseconds.  One shuffle on user_id,
+    total ordering via (ts, event_id) — deterministic under ties.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("sig_ts"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("sig_ts", ignorenulls=True).over(w_back).alias("prev_sig"),
+        F.first("sig_ts", ignorenulls=True).over(w_fwd).alias("next_sig"),
+    )
+    t, p, n = (
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.unix_micros(F.col("prev_sig").cast("timestamp")),
+        F.unix_micros(F.col("next_sig").cast("timestamp")),
+    )
+    nearest = (
+        F.when(F.col("prev_sig").isNull(), F.col("next_sig"))
+        .when(F.col("next_sig").isNull(), F.col("prev_sig"))
+        .when((t - p) <= (n - t), F.col("prev_sig"))
+        .otherwise(F.col("next_sig"))
+    )
+    gap = (
+        F.when(F.col("prev_sig").isNull() & F.col("next_sig").isNull(), F.lit(None))
+        .when(F.col("prev_sig").isNull(), n - t)
+        .when(F.col("next_sig").isNull(), t - p)
+        .otherwise(F.least(t - p, n - t))
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_signup_ts"),
+        gap.cast("bigint").alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
     "dq_constraint_report",
     """
     SELECT 'events_type_accepted' AS check_name,
@@ -3207,7 +3306,7 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 #   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
 #   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap,
 #   value_histogram, value_time_correlation, embed_vector_algebra,
-#   props_map_stats
+#   props_map_stats, asof_nearest_signup
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
