@@ -2194,23 +2194,54 @@ def q_window_rank_zoo(spark, sf_dir):
     percent_rank / cume_dist (relative standing — the normalized-rank
     features scoring pipelines join back), first_value / nth_value
     (per-group reference points).  (value, event_id) ordering is total,
-    so ranks and frames are deterministic; percent_rank's k/(n-1) and
-    cume_dist's k/n are single exact IEEE divisions.  One shuffle on
-    event_type (bounded partitions), all four functions share the same
-    window — Spark evaluates them in a single Window operator, no extra
-    exchange per function.
+    so ranks and frames are deterministic.
+
+    Re-planned (round-4, verdict item #3): the builtin forms all need
+    ``PARTITION BY event_type ORDER BY ...`` — a single-task multi-TB sort
+    per type at 100 TB.  Under a total ordering rank = row_number, so each
+    function is closed-form from the two-level exact rank
+    (ops/windows.scalable_row_number) plus two tiny broadcast relations:
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n with n from per-type
+    counts; first_value = the rank-1 value, nth_value(·,2) = the rank-2
+    value (NULL on the first row — the default running frame hasn't
+    reached row 2 yet).  Same IEEE divisions as the builtins (Spark
+    evaluates (rank-1).toDouble/(n-1).toDouble), so the oracle hash is
+    unchanged; plan-gated against low-cardinality ordered windows.
     """
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.first("value").over(w).alias("lowest"),
-        F.nth_value("value", 2).over(w).alias("second_lowest"),
-    ).orderBy("event_id")
+    from sparkgraft.ops.windows import group_sizes, scalable_row_number
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    sizes = group_sizes(ev, ["event_type"])
+    heads = (
+        ranked.where(F.col("__rn") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("value"))).alias("lowest"),
+            F.min(F.when(F.col("__rn") == 2, F.col("value"))).alias("__second"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "event_type")
+        .join(F.broadcast(heads), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias("cd"),
+            "lowest",
+            F.when(F.col("__rn") == 1, F.lit(None).cast("double"))
+            .otherwise(F.col("__second"))
+            .alias("second_lowest"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @register("value_quantiles_approx", None)  # rows-only: sketch algorithms differ
@@ -2779,13 +2810,41 @@ def q_value_decile_bins(spark, sf_dir):
     """Equi-depth feature binning: ntile(10) deciles of value per event
     type with per-bin bounds — the discretization step feature pipelines
     run before training. event_id tiebreak makes bin assignment total-
-    ordered and deterministic. One window shuffle on event_type (bounded
-    partitions), then a groupBy on the already-partitioned relation.
+    ordered and deterministic.
+
+    Re-planned (round-4, verdict item #2): ``ntile(10) OVER (PARTITION BY
+    event_type ORDER BY ...)`` puts each event_type — ~6 values — in ONE
+    window task, a multi-TB single-task sort at 100 TB. Instead compute the
+    exact global row number via the two-level range-partitioned rank
+    (ops/windows.scalable_row_number: bounded chunk sorts + tiny per-chunk
+    offset relation) and apply ntile's bucket arithmetic directly: with n
+    rows and k buckets the first n%k buckets take ceil(n/k) rows. Output is
+    bit-identical to the builtin (same oracle hash); the plan gate
+    (tests/test_plans.py) asserts no ordered window partitioned by the raw
+    low-cardinality key survives.
     """
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    from sparkgraft.ops.windows import group_sizes, scalable_row_number
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    sized = (
+        ranked.join(F.broadcast(group_sizes(ev, ["event_type"])), "event_type")
+        .withColumn("__q", F.expr("__n div 10"))
+        .withColumn("__rem", F.col("__n") % 10)
+        .withColumn("__big", F.col("__rem") * (F.col("__q") + 1))
+    )
+    decile = (
+        F.when(
+            F.col("__rn") <= F.col("__big"),
+            F.expr("(__rn - 1) div (__q + 1) + 1"),
+        )
+        # greatest(__q, 1): when __q = 0 every row takes the first branch
+        # (__big = n), so the divisor guard only keeps the expression total
+        .otherwise(F.expr("__rem + (__rn - __big - 1) div greatest(__q, 1) + 1"))
+        .cast("int")
+    )
     return (
-        ev.withColumn("decile", F.ntile(10).over(w))
+        sized.withColumn("decile", decile)
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),

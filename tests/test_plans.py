@@ -438,3 +438,30 @@ def test_fuzzy_probe_bounded_nested_loop(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_decile_bins_two_level_rank_no_lowcard_window(spark, sf_dir):
+    """ntile over a ~6-value partition key is a multi-TB single-task sort
+    at 100 TB. The re-planned form must show the two-level shape: heavy
+    row_number windows partitioned by (event_type, __chunk) — bounded by
+    chunk size — and NO ordered window over raw rows keyed only by
+    event_type. Only the tiny per-chunk counts relation may window on
+    event_type alone (ordered by __chunk)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "value_decile_bins")
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, (value|event_id)#", plan), plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_window_rank_zoo_two_level_rank_no_lowcard_window(spark, sf_dir):
+    """percent_rank/cume_dist/nth_value re-planned as closed forms of the
+    two-level exact rank: same gate as value_decile_bins — no unbounded
+    ordered window over the low-cardinality event_type key."""
+    import re
+
+    plan = _plan(spark, sf_dir, "window_rank_zoo")
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, (value|event_id)#", plan), plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan), plan
+    assert "CartesianProduct" not in plan, plan

@@ -273,3 +273,48 @@ def test_ordered_funnel_matches_sequential_reference(spark_global, raw):
         for r in ordered_funnel(df, FUNNEL_STEPS).collect()
     }
     assert got == _reference_funnel(rows)
+
+
+# ---------------------------------------------------------------------------
+# Two-level exact rank vs the naive single-task window
+# ---------------------------------------------------------------------------
+
+rank_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # low-card group key
+        st.integers(min_value=-50, max_value=50),    # value (ties likely)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rank_rows_strategy)
+def test_scalable_row_number_equals_naive_window(spark_global, raw):
+    """For ARBITRARY group/value shapes (ties, empty groups, single-row
+    groups), the two-level range-chunked rank must equal
+    row_number() OVER (PARTITION BY grp ORDER BY value, id) bit-for-bit,
+    at chunk counts from degenerate (1) to overkill (7)."""
+    from pyspark.sql import Window
+
+    from sparkgraft.ops.windows import scalable_row_number
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(raw)],
+        "id long, grp string, value double",
+    )
+    w = Window.partitionBy("grp").orderBy("value", "id")
+    naive = {
+        (r.id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w).cast("bigint")).collect()
+    }
+    for n_chunks in (1, 3, 7):
+        two_level = {
+            (r.id, r.rn)
+            for r in scalable_row_number(
+                df, ["grp"], ["value", "id"], "rn", n_chunks=n_chunks
+            ).collect()
+        }
+        assert two_level == naive, f"n_chunks={n_chunks}"
