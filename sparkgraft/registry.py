@@ -1263,19 +1263,49 @@ def q_salted_join_user_events(spark, sf_dir):
     )
 
 
-@register("wau_sketch_weekly", None)  # rows-only: HLL sketches are engine-specific
+@register(
+    "wau_sketch_weekly",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+           count(DISTINCT user_id) AS wau_exact,
+           TRUE AS sketch_within_5pct
+    FROM events
+    GROUP BY event_week
+    ORDER BY event_week
+    """,
+)
 def q_wau_sketch_weekly(spark, sf_dir):
     """Incremental WAU from MERGEABLE daily HyperLogLog sketches: one
     aggregation of raw events into per-day sketches, then every window
     query (weekly here) unions sketch bytes instead of rescanning events
-    (queries/wau.wau_sketches_daily + wau_from_sketches). Estimate
-    accuracy vs the exact count is pinned in tests (±5%); no DuckDB
-    oracle because sketch encodings are engine-specific."""
-    from sparkgraft.queries.wau import wau_from_sketches, wau_sketches_daily
+    (queries/wau.wau_sketches_daily + wau_from_sketches).
+
+    Registered as the sketch's ERROR-AUDIT relation (round-4, verdict
+    item #6): sketch encodings are engine-specific, so the raw estimate
+    can never hash-match DuckDB — but the |estimate − exact| ≤ 5% claim
+    is deterministic and hashable. The query computes BOTH the sketch
+    path and the exact distinct, and emits (week, exact, within-tolerance
+    boolean); the oracle asserts the boolean is always true. A sketch
+    regression (wrong union, wrong estimator) flips the boolean and the
+    driver row goes red. Accuracy is additionally pinned ±5% in
+    tests/test_properties.py.
+    """
+    from sparkgraft.queries.wau import user_wau, wau_from_sketches, wau_sketches_daily
 
     ev = _t(spark, sf_dir, "events")
-    return wau_from_sketches(wau_sketches_daily(ev)).select(
-        "event_week", F.col("wau_estimate").cast("bigint").alias("wau_estimate")
+    est = wau_from_sketches(wau_sketches_daily(ev))
+    exact = user_wau(ev).withColumnRenamed("wau", "wau_exact")
+    return (
+        exact.join(est, "event_week")
+        .select(
+            "event_week",
+            "wau_exact",
+            (
+                F.abs(F.col("wau_estimate") - F.col("wau_exact"))
+                <= 0.05 * F.col("wau_exact")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("event_week")
     )
 
 
@@ -2244,28 +2274,52 @@ def q_window_rank_zoo(spark, sf_dir):
     )
 
 
-@register("value_quantiles_approx", None)  # rows-only: sketch algorithms differ
+@register(
+    "value_quantiles_approx",
+    """
+    SELECT event_type, count(*) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_value_quantiles_approx(spark, sf_dir):
     """approx_percentile p50/p90/p99 per event type — the quantile path
     that actually scales: Greenwald–Khanna sketches merge map-side in one
-    partial-aggregate pass, vs the exact percentile's per-group sort
-    (percentile_value_by_type, which is this query's accuracy oracle in
-    tests/test_analytics.py — |approx − exact| is pinned within the
-    1/accuracy rank-error bound).  Rows-only for the driver: DuckDB's
-    approx_quantile is a t-digest, a different sketch with different
-    outputs by design.
+    partial-aggregate pass, vs the exact percentile's per-group sort.
+
+    Registered as the sketch's ERROR-AUDIT relation (round-4, verdict
+    item #6): DuckDB's approx_quantile is a t-digest with different
+    outputs by design, so the raw estimates can never hash-match — but
+    the rank-error contract is deterministic and hashable. GK with
+    accuracy=10000 guarantees rank error ≤ n/10000, far inside a ±0.01
+    quantile window, so each approx value must land between the EXACT
+    percentiles at q∓0.01 (p99's upper bound is the max). The query
+    computes both sides and emits the per-type booleans; the oracle
+    asserts all true. A sketch regression pushes an estimate outside its
+    window and the driver row goes red. |approx − exact| is additionally
+    pinned in tests/test_analytics.py.
     """
     ev = _t(spark, sf_dir, "events")
     acc = 10000
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
-            F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
-            F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(value, array(0.5, 0.9, 0.99), {acc})").alias("ap"),
+        F.expr("percentile(value, array(0.49, 0.51, 0.89, 0.91, 0.98))").alias("pb"),
+        F.max("value").alias("mx"),
     )
+    return agg.select(
+        "event_type",
+        "n",
+        ((F.col("ap")[0] >= F.col("pb")[0]) & (F.col("ap")[0] <= F.col("pb")[1])).alias(
+            "p50_ok"
+        ),
+        ((F.col("ap")[1] >= F.col("pb")[2]) & (F.col("ap")[1] <= F.col("pb")[3])).alias(
+            "p90_ok"
+        ),
+        ((F.col("ap")[2] >= F.col("pb")[4]) & (F.col("ap")[2] <= F.col("mx"))).alias(
+            "p99_ok"
+        ),
+    ).orderBy("event_type")
 
 
 @register(
