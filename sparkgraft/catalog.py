@@ -198,6 +198,26 @@ def save_zordered(
     )
 
 
+def _recover_interrupted_compaction(path: str) -> None:
+    """Heal a compaction that crashed mid-swap (see compact_small_files):
+    if the table path is missing and a ``__old_*`` sibling exists, the
+    crash hit between the two renames — restore the newest ``__old_*``.
+    If the table path EXISTS alongside ``__old_*`` dirs, the crash hit
+    after the swap completed but before cleanup — the leftovers are
+    superseded and are removed."""
+    import glob
+    import os
+    import shutil
+
+    olds = sorted(glob.glob(f"{glob.escape(path.rstrip('/'))}__old_*"))
+    if not olds:
+        return
+    if not os.path.exists(path):
+        os.rename(olds.pop(), path)
+    for d in olds:
+        shutil.rmtree(d)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -212,11 +232,19 @@ def compact_small_files(
 
     Sizing comes from the FILES THEMSELVES (sum of on-disk part sizes /
     target), not a row-count guess, so compression ratios are respected.
-    The rewrite goes through a temp directory + atomic-rename swap: a
-    reader never observes a half-compacted table, and a failed compaction
-    leaves the original intact.  With ``sort_cols`` the rewrite also
-    re-clusters (see save_clustered) so compaction doubles as a stats
-    refresh.  Returns the output file count.
+    The rewrite goes through a temp directory then a TWO-RENAME swap
+    (``path`` → ``__old``, ``tmp`` → ``path``).  Each rename is atomic but
+    the pair is not: between them the table path does not exist, so a
+    concurrent reader can error, and a crash in that window strands the
+    data in the ``__old_*`` dir.  Every call therefore starts with crash
+    recovery — a leftover ``__old_*`` with no live table is renamed back
+    before compacting (and fully-swapped leftovers are GC'd).  A failure
+    BEFORE the first rename leaves the original untouched.  True
+    single-rename atomicity needs manifest/metadata indirection (an
+    Iceberg/Delta-style table format), which is out of scope for a plain
+    parquet directory.  With ``sort_cols`` the rewrite also re-clusters
+    (see save_clustered) so compaction doubles as a stats refresh.
+    Returns the output file count.
 
     At 100 TB run this per PARTITION (the overwrite sink's unit), oldest
     first — compaction is embarrassingly parallel across partitions and
@@ -225,6 +253,7 @@ def compact_small_files(
     import os
     import shutil
 
+    _recover_interrupted_compaction(path)
     parts = [
         os.path.join(path, f)
         for f in os.listdir(path)

@@ -818,9 +818,17 @@ def incremental_bloom_dedup(
     are impossible by construction (step 3 re-checks every candidate).
     Hashing is the engine-portable md5-derived hash64, so the whole
     operator is oracle-checkable as a plain semi join.
+
+    ``n_bits`` MUST be a power of two: the probe scheme reduces hashes
+    with a bitmask (``_bloom_probe_indices``), and a non-power-of-two
+    size would silently skew probe positions — results would stay exact
+    (the verify join re-checks), but prefilter effectiveness would
+    degrade unnoticed, so it is rejected loudly instead.
     """
     import numpy as np
 
+    if n_bits <= 0 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     spark = batch.sparkSession
     h_expr = HASH64_SQL.format(x=text_col)
     hist = history.selectExpr(f"{h_expr} AS __h", f"{text_col} AS __t")

@@ -123,10 +123,14 @@ def pii_scrub(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataF
     digit runs are replaced with typed tags, and per-category match counts
     are emitted for audit dashboards.
 
-    Counts are measured on the ORIGINAL text (categories are disjoint by
-    construction: '@' anchors email, dots anchor IPv4, '-'/' ' separators
-    anchor phone), then tags are substituted sequentially in the fixed
-    PII_PATTERNS order so the output text is deterministic.
+    Counts are measured on the ORIGINAL text: each ``n_<category>`` is the
+    number of pattern occurrences BEFORE any substitution, while tags are
+    substituted sequentially in the fixed PII_PATTERNS order.  Categories
+    can overlap (an IPv4-shaped local part in ``1.2.3.4@example.com``
+    increments both ``n_email`` and ``n_ipv4`` yet the scrub emits only
+    ``<EMAIL>``), so audit counts are per-pattern match counts, not tag
+    counts — the sum of ``n_*`` may exceed the tags visible in
+    ``scrubbed``.  The DuckDB oracle mirrors the same convention.
 
     Scale: pure per-row regexp map work, zero shuffle, fully codegen'd —
     identical posture to quality_features. The regexes are written in the

@@ -71,9 +71,15 @@ class JsonlReader(DataSourceReader):
 
         if os.path.isdir(self.path):
             files = sorted(glob.glob(os.path.join(self.path, "*.jsonl")))
+            if not files:
+                # empty scan: a directory with no *.jsonl files. The Python
+                # DataSource API requires >=1 partition, so emit one
+                # zero-length sentinel slab read() skips (previously this
+                # fell through to files[0] -> IndexError).
+                return [_Slab("", 0, -1)]
         else:
             files = [self.path]
-        n_per_file = max(1, self.n_parts // max(1, len(files)))
+        n_per_file = max(1, self.n_parts // len(files))
         slabs: list[_Slab] = []
         for path in files:
             size = os.path.getsize(path)
@@ -97,6 +103,8 @@ class JsonlReader(DataSourceReader):
         # at any partition count, including line breaks exactly on slab
         # boundaries.
         fields = [f.name for f in self.schema.fields]
+        if not partition.path:  # empty-scan sentinel (no input files)
+            return
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             if partition.start > 0:

@@ -445,10 +445,17 @@ def test_incremental_bloom_exact_under_forced_false_positives(spark):
 
 def test_incremental_bloom_prefilter_prunes(spark):
     """With a properly-sized filter, non-duplicate batch rows must be
-    dropped BEFORE the verify join: the candidate count (bloom hits) stays
-    near the true-dup count, not the batch size."""
-    import pandas as pd  # noqa: F401
+    dropped BEFORE the verify join: replicate the operator's Bloom build
+    over the history hashes, probe the batch hashes with the SAME scheme,
+    and assert the candidate (hit) count stays near the true-dup count —
+    a broken prefilter that passes everything through to the verify join
+    would still produce the exact final answer, so the final result alone
+    cannot prove pruning."""
+    import numpy as np
 
+    from sparkgraft.ext.dedup import HASH64_SQL, _bloom_probe_indices
+
+    n_bits, n_hashes = 1 << 20, 5
     hist = spark.createDataFrame(
         [(i, f"history document number {i} body") for i in range(200)],
         "doc_id bigint, text string",
@@ -457,12 +464,36 @@ def test_incremental_bloom_prefilter_prunes(spark):
         (5000 + i, f"unseen text {i}") for i in range(1000)
     ]
     batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
-    from sparkgraft.ext.dedup import HASH64_SQL, _bloom_probe_indices
-    import numpy as np
 
-    # count bloom hits directly with the same probe scheme
-    res = dedup.incremental_bloom_dedup(hist, batch, n_bits=1 << 20)
+    res = dedup.incremental_bloom_dedup(hist, batch, n_bits=n_bits, n_hashes=n_hashes)
     assert [r.doc_id for r in res.collect()] == [1000 + i for i in range(20)]
+
+    def _hashes(df):
+        rows = df.selectExpr(HASH64_SQL.format(x="text") + " AS h").collect()
+        return np.array([r.h for r in rows], dtype=np.int64).astype(np.uint64)
+
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    for idx in _bloom_probe_indices(_hashes(hist), n_bits, n_hashes):
+        byte = (idx >> np.uint64(3)).astype(np.int64)
+        np.bitwise_or.at(bits, byte, np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    bh = _hashes(batch)
+    hit = np.ones(len(bh), dtype=bool)
+    for idx in _bloom_probe_indices(bh, n_bits, n_hashes):
+        byte = (idx >> np.uint64(3)).astype(np.int64)
+        bit = (idx & np.uint64(7)).astype(np.uint8)
+        hit &= ((bits[byte] >> bit) & np.uint8(1)).astype(bool)
+    n_candidates = int(hit.sum())
+    # 20 planted dups; at 1M bits / 200 entries the FP rate is ~0, so the
+    # prefilter must cut the 1020-row batch to essentially the dup set
+    assert 20 <= n_candidates <= 25, n_candidates
+
+
+def test_incremental_bloom_rejects_non_power_of_two_bits(spark):
+    """Mask-based probing silently skews on a non-power-of-two n_bits, so
+    the operator must reject it loudly."""
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.incremental_bloom_dedup(df, df, n_bits=1000)
 
 
 def test_quantized_topk_recall_vs_exact(spark, sf_dir):

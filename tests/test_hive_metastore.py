@@ -80,6 +80,36 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert before == after
 
 
+def test_compact_crash_recovery(spark, sf_dir, tmp_path):
+    """The two-rename swap is NOT atomic: a crash between renames leaves
+    the table path missing and the data stranded in __old_*. The next
+    compaction call must restore it before proceeding, and must GC
+    superseded __old_* leftovers when the table path survived."""
+    import os
+    import shutil
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    path = str(tmp_path / "crashed")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(10).write.parquet(path)
+    before = sorted(ev.collect())
+
+    # simulate a crash between os.rename(path, old) and os.rename(tmp, path)
+    os.rename(path, f"{path}__old_123")
+    catalog.compact_small_files(spark, path, target_mb=128)
+    assert not os.path.exists(f"{path}__old_123")
+    assert before == sorted(spark.read.parquet(path).collect())
+
+    # simulate a crash after the swap but before rmtree(old): leftover is
+    # superseded and must be GC'd, table contents untouched
+    shutil.copytree(path, f"{path}__old_456")
+    catalog.compact_small_files(spark, path, target_mb=128)
+    assert not os.path.exists(f"{path}__old_456")
+    assert before == sorted(spark.read.parquet(path).collect())
+
+
 def test_compact_small_files_clustered(spark, sf_dir, tmp_path):
     """With sort_cols the compaction re-clusters: footer min/max stats of
     the output files must cover disjoint-ish event_id ranges."""
