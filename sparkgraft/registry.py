@@ -3393,90 +3393,76 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 3's window: the 36
-# queries that never had a driver row in rounds 1-2, plus dedup_clusters /
-# dedup_minhash_lsh (driver-green in r01, evicted from r02's window by two
-# front-inserted queries), plus the 8 queries ADDED in round 3, plus 4
-# already-proven sentinels.  Rounds 1+2+3 together then driver-prove every
-# query registered as of the r03 window freeze.  tests/test_registry_parity.py
-# pins the window composition so future insertions can't silently evict proof
-# again.
+# artifact, not an accident of module layout.  Round 4's window: the 45
+# oracle-backed queries added in round 3 AFTER the r03 window freeze (they
+# have pytest parity at sf0.001 + sf0.01 but never had a driver row), plus
+# wau_sketch_weekly — driver-seen in r03 but only as a rows-only `no_oracle`
+# row; it is now an oracle-backed error-audit relation and needs its first
+# HASH-checked row — plus 4 already-proven sentinels.  Rounds 1+2+3+4
+# together then driver-prove every query registered as of the r04 window
+# freeze.  tests/test_registry_parity.py pins the window composition so
+# future insertions can't silently evict proof again.
 #
-# ROUND 4 ROTATION: the 28 queries added after the r03 freeze have pytest
-# parity (sf0.001 + sf0.01) but no driver row yet — next round's window
-# should lead with them plus ~2 proven sentinels:
-#   text_pii_scrub, text_lm_score, text_bm25_search, funnel_conversion,
-#   merge_upsert_customers, dedup_incremental_bloom, scd2_type_history,
-#   embed_quantized_topk, grouping_sets_event_margins, wau_wow_growth,
-#   retention_cohorts, event_transition_matrix, value_zscore_outliers,
-#   corpus_e2e_curation, session_window_stats, unpivot_lineitem_measures,
-#   custom_source_jsonl, custom_sink_jsonl_roundtrip, streaming_stream_join,
-#   streaming_static_enrich, streaming_replay_dedup, dq_constraint_report,
-#   pseudonymous_join, k_anonymity_audit, incremental_view_merge,
-#   value_decile_bins, text_hybrid_rrf, gdpr_erasure_report,
-#   rolling_7d_active_users, peak_concurrent_sessions, attribution_linear,
-#   corpus_chunk_dedup, trade_pagerank, timeseries_gapfill,
-#   streaming_windowed_counts, window_rank_zoo, grouped_weighted_mean_pandas,
-#   value_quantiles_approx, text_fuzzy_probe_match, session_window_dynamic_gap,
-#   value_histogram, value_time_correlation, embed_vector_algebra,
-#   props_map_stats, asof_nearest_signup
+# ROUND 5 ROTATION: lead with every query added after this freeze (they
+# accumulate below/outside the window) plus ~3 proven sentinels.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-checked in r01/r02 (36)
-    "dedup_jaccard_prefix",
-    "dedup_simhash_sigs",
-    "dedup_simhash_pairs",
-    "embed_cosine_topk",
-    "embed_cosine_neardup",
-    "embed_lsh_topk",
-    "embed_ivf_topk",
-    "salted_user_event_totals",
-    "embedding_stats_by_label",
-    "text_weighted_score",
-    "multimodal_payload_digests",
-    "grouped_demean_applyinpandas",
-    "multimodal_frame_sample",
-    "multimodal_decode_stub",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_priority_split",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_dominant_suppliers",
-    "q21_blocking_suppliers",
-    "q22_dormant_capital",
-    "corpus_decontaminate",
-    "corpus_sample_hash",
-    "corpus_priority_sample",
-    "corpus_pack_sequences",
-    "corpus_interleave",
-    "corpus_curation_topk",
-    "corpus_quality_funnel",
-    "ml_minhash_pairs",
-    "ml_ann_neighbors",
-    # driver-green in r01, evicted from r02's window — re-prove (2)
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    # the 10 round-3 queries needing their FIRST driver row
-    "multimodal_pointer_fetch",
-    "streaming_restart_sessionize",
-    "text_repetition",
-    "corpus_contamination_score",
-    "corpus_stratified_sample",
-    "corpus_split_assign",
-    "corpus_ngram_topk",
-    "embed_semantic_dedup",
-    "salted_join_user_events",
+    # the 45 post-r03-freeze queries needing their FIRST driver row
+    "text_pii_scrub",
+    "text_lm_score",
+    "text_bm25_search",
+    "text_hybrid_rrf",
+    "text_fuzzy_probe_match",
+    "funnel_conversion",
+    "merge_upsert_customers",
+    "scd2_type_history",
+    "grouping_sets_event_margins",
+    "wau_wow_growth",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "value_zscore_outliers",
+    "session_window_stats",
+    "session_window_dynamic_gap",
+    "unpivot_lineitem_measures",
+    "custom_source_jsonl",
+    "custom_sink_jsonl_roundtrip",
+    "streaming_stream_join",
+    "streaming_static_enrich",
+    "streaming_replay_dedup",
+    "streaming_windowed_counts",
+    "dq_constraint_report",
+    "pseudonymous_join",
+    "k_anonymity_audit",
+    "gdpr_erasure_report",
+    "incremental_view_merge",
+    "value_decile_bins",
+    "window_rank_zoo",
+    "value_quantiles_approx",
+    "value_histogram",
+    "value_time_correlation",
+    "rolling_7d_active_users",
+    "peak_concurrent_sessions",
+    "attribution_linear",
+    "trade_pagerank",
+    "timeseries_gapfill",
+    "asof_nearest_signup",
+    "props_map_stats",
+    "embed_vector_algebra",
+    "embed_quantized_topk",
+    "dedup_incremental_bloom",
+    "grouped_weighted_mean_pandas",
+    "corpus_chunk_dedup",
+    "corpus_e2e_curation",
+    # r03 driver row was rows-only (`no_oracle`); now an oracle-backed
+    # sketch error-audit — needs its first hash-checked row
     "wau_sketch_weekly",
-    # 2 already-proven sentinels (regression canaries: the reference WAU
-    # query and the round-1 oracle-defect query)
+    # 4 already-proven sentinels (regression canaries: the reference WAU
+    # query, the reference sessionization composite, the LSH dedup
+    # flagship, and the round-1 oracle-defect query)
     "wau_user",
+    "sessionize_ids",
+    "dedup_minhash_lsh",
     "cumulative_purchases",
 )
 

@@ -46,9 +46,36 @@ def test_registry_contract():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-3 window:
-    the first 50 names must be exactly DRIVER_WINDOW, in order, so that
-    r01+r02+r03 driver rows jointly cover every registered query."""
+    inserts silently evicted driver-proven queries).  Pin the round-4 window:
+    the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
+    registered AFTER this freeze fall outside the window by design — they are
+    the round-5 rotation — so this test does NOT claim full cumulative
+    coverage; test_driver_rows_cumulative_coverage computes that claim from
+    the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
     assert tuple(names[:50]) == registry.DRIVER_WINDOW
     assert len(set(registry.DRIVER_WINDOW)) == 50
+
+
+def test_driver_rows_cumulative_coverage():
+    """Every query present at the r04 window freeze must have a driver row
+    in r01..r03 or sit in the r04 window awaiting one.  Queries added after
+    the freeze are exempt (next round's rotation) but must be listed here
+    EXPLICITLY so the exemption is a conscious act, not a silent hole."""
+    import json
+    import pathlib
+
+    added_after_r04_freeze: set[str] = set()
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(f.read_text()))
+    uncovered = [
+        n
+        for n in registry.queries()
+        if n not in seen
+        and n not in registry.DRIVER_WINDOW
+        and n not in added_after_r04_freeze
+    ]
+    assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
