@@ -219,6 +219,106 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Symmetrized exact kNN graph over the whole embedding table — the
+    edge list SemDeDup-style clustering, label propagation, and
+    graph-based curation consume. Output: one row per UNDIRECTED edge
+    ``(vec_a < vec_b, cosine, mutual)`` where ``mutual`` marks edges in
+    BOTH nodes' top-k (the usual pruning signal for spurious hub edges).
+
+    Same block-matrix shape as :func:`cosine_neardup_pairs` — the flops
+    are inherent to the exact contract, the distribution is what matters —
+    with one extra trick: each block-pair task emits only its LOCAL top-k
+    per node (both orientations), so the shuffle that follows carries
+    ≤ B·k candidate rows per node instead of N. The global per-node top-k
+    is then a bounded window on the high-cardinality node id. No driver
+    collect, no full-table broadcast; at corpus scale raise ``n_blocks``
+    so N/B stays ~10⁵ and swap brute blocks for the IVF cells
+    (:func:`ivf_topk`) when approximate recall is acceptable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(f"CAST(pmod(hash({id_col}), {n_blocks}) AS INT)").alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
+        "ba int, bb int",
+    )
+    left = vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("ba")).select(
+        "ba", "bb", "id", "v"
+    )
+    right = vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bb")).select(
+        "ba", "bb", "id", "v"
+    )
+
+    def _local_topk(key, a_pdf, b_pdf):
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        a_ids = a_pdf["id"].to_numpy()
+        b_ids = b_pdf["id"].to_numpy()
+        a_mat = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 8)
+        self_mask = a_ids[:, None] == b_ids[None, :]
+        out_src, out_dst, out_cos = [], [], []
+
+        def _emit(mat, row_ids, col_ids, mask):
+            # per row: top-k cols by (cosine desc, col id asc), self excluded
+            m = np.where(mask, -np.inf, mat)
+            kk = min(k, m.shape[1])
+            for i in range(m.shape[0]):
+                row = m[i]
+                # lexsort on (-cosine, col id) gives the deterministic order
+                order = np.lexsort((col_ids, -row))[:kk]
+                order = order[np.isfinite(row[order])]
+                out_src.extend([row_ids[i]] * len(order))
+                out_dst.extend(col_ids[order])
+                out_cos.extend(row[order])
+
+        _emit(cos, a_ids, b_ids, self_mask)
+        if key[0] != key[1]:  # cross pair: b-nodes also see a as candidates
+            _emit(cos.T, b_ids, a_ids, self_mask.T)
+        return pd.DataFrame({"src": out_src, "dst": out_dst, "cosine": out_cos})
+
+    cands = (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(_local_topk, "src bigint, dst bigint, cosine double")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    knn = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return (
+        knn.select(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+            "cosine",
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.max("cosine").alias("cosine"),
+            (F.count(F.lit(1)) == 2).alias("mutual"),
+        )
+    )
+
+
 def bucket_sql(vec: str, planes_literal: str | None = None) -> str:
     """LSH bucket id: H sign bits of plane dot products, as a bit string."""
     planes = planes_literal or planes_spark_literal()

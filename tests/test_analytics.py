@@ -176,19 +176,29 @@ def test_chunk_scrub_planted(spark):
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """approx_percentile(accuracy=10000) guarantees rank error <= n/10000;
     check the returned values sit within the corresponding VALUE bracket
-    of the exactly-sorted per-type samples."""
+    of the exactly-sorted per-type samples. (The registered query now emits
+    the audit BOOLEANS — see value_quantiles_approx — so the raw estimates
+    are recomputed here with the same accuracy and checked against the
+    rank-error contract directly, and the audit booleans must all be true.)"""
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
     exact: dict[str, list] = collections.defaultdict(list)
     for r in ev.collect():
         exact[r.event_type].append(r.value)
-    got = registry.queries()["value_quantiles_approx"](spark, sf_dir).collect()
-    for row in got:
-        vals = sorted(exact[row.event_type])
+    approx = {
+        r.event_type: r.ap
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"))
+        .collect()
+    }
+    for etype, (p50, p90, p99) in approx.items():
+        vals = sorted(exact[etype])
         n = len(vals)
-        for p, v in (("p50", row.p50), ("p90", row.p90), ("p99", row.p99)):
+        for p, v in (("p50", p50), ("p90", p90), ("p99", p99)):
             q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[p]
             rank = q * (n - 1)
             eps = max(1, math.ceil(n / 10000))
             lo = vals[max(0, math.floor(rank) - eps)]
             hi = vals[min(n - 1, math.ceil(rank) + eps)]
-            assert lo <= v <= hi, (row.event_type, p, v, lo, hi)
+            assert lo <= v <= hi, (etype, p, v, lo, hi)
+    for row in registry.queries()["value_quantiles_approx"](spark, sf_dir).collect():
+        assert row.p50_ok and row.p90_ok and row.p99_ok, row
