@@ -256,11 +256,25 @@ def knn_graph(
         [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
         "ba int, bb int",
     )
-    left = vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("ba")).select(
-        "ba", "bb", "id", "v"
+    left = (
+        vecs.alias("vl")
+        .join(F.broadcast(block_pairs.alias("pl")), F.col("vl.blk") == F.col("pl.ba"))
+        .select(
+            F.col("pl.ba").alias("ba"),
+            F.col("pl.bb").alias("bb"),
+            F.col("vl.id").alias("id"),
+            F.col("vl.v").alias("v"),
+        )
     )
-    right = vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bb")).select(
-        "ba", "bb", "id", "v"
+    right = (
+        vecs.alias("vr")
+        .join(F.broadcast(block_pairs.alias("pr")), F.col("vr.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("ba"),
+            F.col("pr.bb").alias("bb"),
+            F.col("vr.id").alias("id"),
+            F.col("vr.v").alias("v"),
+        )
     )
 
     def _local_topk(key, a_pdf, b_pdf):

@@ -193,6 +193,60 @@ def unigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def bigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram LM quality score: mean ``-ln P(tok_i | tok_{i-1})`` under the
+    corpus's OWN bigram distribution — the next-quality-rung above
+    :func:`unigram_logprob` (catches locally-plausible-tokens/implausible-
+    sequences text that a unigram model scores as fluent).
+
+    ``P(b|a) = c(a,b) / c(a,·)`` where ``c(a,·)`` sums bigram counts over
+    the context token — every observed bigram therefore has ``p > 0``; no
+    smoothing needed for self-scoring. Docs with fewer than two tokens have
+    no bigrams and drop out (same on both engines).
+
+    Cross-engine parity mirrors unigram_logprob: per-pair logprob rounded
+    to 6 decimals and cast to DECIMAL(28,8) BEFORE the per-doc sum; the
+    count division is one IEEE double op.
+
+    Scale: bigram PAIRS are built row-wise from the token array
+    (``transform`` over a slice with the lambda index — codegen, no
+    shuffle for pair construction), then one explode + groupBy(a, b) for
+    counts (bounded by observed-bigram vocabulary — sublinear in corpus),
+    a derived groupBy(a) for contexts, joins back (count relations are the
+    small sides — AQE broadcasts), one groupBy(doc) for the score.
+    """
+    toked = df.select(F.col(id_col), tokens(col).alias("__t")).where(
+        F.size("__t") >= 2
+    )
+    pairs = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 1, size(__t) - 1),"
+                " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    scored = (
+        pairs.join(c_ab, ["a", "b"])
+        .join(c_a, ["a"])
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(F.col("c_ab").cast("double") / F.col("c_a").cast("double")), 6
+            )
+            .cast("decimal(28,8)")
+            .alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nlp").cast("double") / F.count("*"), 6).alias("lm2_score"),
+    )
+
+
 def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-doc repetition signals — the boilerplate/degenerate-text
     filter every quality pipeline runs (low distinct-token ratio flags

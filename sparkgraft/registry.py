@@ -3390,6 +3390,134 @@ from sparkgraft import registry_tpch  # noqa: E402,F401  (registration side effe
 from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side effect)
 
 
+@register(
+    "value_median_exact",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           round(avg(value), 6) AS median_value,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_value_median_exact(spark, sf_dir):
+    """EXACT per-type median at scale — the aggregate everyone wants and
+    almost everyone approximates, because both classic exact routes fail
+    at 100 TB: ``percentile()`` buffers every group value in one aggregator
+    and an ordered window over a ~6-value key is a multi-TB single-task
+    sort. The two-level exact rank (ops/windows.scalable_row_number) fixes
+    it: bounded chunk sorts give the exact global row number, the median is
+    then the 1-2 middle-ranked rows per type — a filter plus a tiny
+    aggregate. Even n averages ranks (n+1) div 2 and n div 2 + 1; odd n
+    selects the same row twice, so one avg expression covers both (the
+    two-value IEEE mean is order-free, bit-identical cross-engine).
+    The approximate companion is value_quantiles_approx (GK sketch).
+    """
+    from sparkgraft.ops.windows import group_sizes, scalable_row_number
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    return (
+        ranked.join(F.broadcast(group_sizes(ev, ["event_type"])), "event_type")
+        .where(
+            (F.col("__rn") == F.expr("(__n + 1) div 2"))
+            | (F.col("__rn") == F.expr("__n div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("median_value"),
+            F.max("__n").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_session_window",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 300 SECOND AS session_end,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_streaming_session_window(spark, sf_dir):
+    """Built-in ``session_window`` under Structured Streaming — the
+    watermark-merged STATEFUL form of session_window_stats (whose batch
+    twin this must hash-match): per-user 5-minute-gap sessions grow/merge
+    in state as micro-batches arrive and emit exactly once, when the
+    watermark passes their end.  A far-future sentinel row (user -1)
+    advances the final watermark past every real session so the one-shot
+    availableNow run flushes them all; the sentinel's own open session is
+    never emitted (append-mode contract) and is excluded defensively.
+
+    State is bounded by OPEN sessions inside the watermark horizon —
+    ~1 per active user regardless of stream length — which is what lets
+    this run forever on an unbounded stream; the batch oracle is the same
+    relational running-max/island derivation that proves the builtin's
+    semantics in session_window_stats.
+    """
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_ssw_")
+    out, src = f"{work}/out", f"{work}/src"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    ev.write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [(-1,)], "user_id bigint"
+    ).select(
+        "user_id",
+        (F.lit(mx) + F.expr("INTERVAL 1 DAY")).cast("timestamp_ntz").alias("ts"),
+    ).write.parquet(f"{src}/b2")
+    # watermarks require TIMESTAMP (not NTZ); the session tz is pinned UTC
+    # by read_table, so the cast is epoch-preserving
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+        .parquet(src + "/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "300 seconds"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("session-window stream did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated

@@ -1163,3 +1163,68 @@ def q_decode_stub(spark, sf_dir):
     plumbing — schema, batching, partitioning)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_payload(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (post-r04 window freeze -> round-5 driver rotation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_lm_score",
+    _TOK_CTE
+    + """,
+    d AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+    bg AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM d)),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY a),
+    s AS (SELECT doc_id,
+                 CAST(round(-ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)), 6)
+                      AS DECIMAL(28,8)) AS nlp
+          FROM bg JOIN cab USING (a, b) JOIN ca USING (a))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS lm2_score
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark, sf_dir):
+    """Bigram LM quality score (mean -ln P(tok|prev) under the corpus's own
+    bigram counts) — sequence-level fluency signal one rung above the
+    unigram score; row-wise pair construction, vocabulary-bounded count
+    relations (ext/text.bigram_logprob; parity design in its docstring)."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "embed_knn_graph",
+    f"""
+    WITH a AS (SELECT vec_id AS src, embedding AS sv FROM embeddings),
+    b AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings),
+    scored AS (
+      SELECT src, dst, {_cos_d('sv', 'dv')} AS cosine
+      FROM a CROSS JOIN b WHERE src <> dst),
+    knn AS (
+      SELECT src, dst, cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cosine DESC, dst) AS rn
+            FROM scored)
+      WHERE rn <= 3),
+    und AS (SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b, cosine
+            FROM knn)
+    SELECT vec_a, vec_b, max(cosine) AS cosine, count(*) = 2 AS mutual
+    FROM und GROUP BY vec_a, vec_b
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embed_knn_graph(spark, sf_dir):
+    """Symmetrized exact kNN graph (k=3) over the whole embedding table —
+    the edge list semantic clustering / label propagation consume, with
+    the mutual-kNN flag. Block-matrix scoring with per-block partial
+    top-k so the shuffle carries <= B*k candidates per node
+    (ext/simsearch.knn_graph)."""
+    return simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3).orderBy(
+        "vec_a", "vec_b"
+    )

@@ -468,3 +468,27 @@ def test_window_rank_zoo_two_level_rank_no_lowcard_window(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(event_type#\d+, (value|event_id)#", plan), plan
     assert re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_value_median_two_level_rank_no_lowcard_window(spark, sf_dir):
+    """Exact median must ride the two-level rank: no ordered window over
+    raw rows keyed only by event_type, no percentile() buffering aggregate."""
+    import re
+
+    plan = _plan(spark, sf_dir, "value_median_exact")
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, (value|event_id)#", plan), plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan), plan
+    assert "percentile(" not in plan, plan
+
+
+def test_knn_graph_blocked_no_cartesian(spark, sf_dir):
+    """kNN graph must ride the block-matrix cogrouped path with per-block
+    partial top-k — no all-pairs product, no full-table broadcast; the
+    global top-k window partitions on the high-cardinality node id."""
+    import re
+
+    plan = _plan(spark, sf_dir, "embed_knn_graph")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(src#", plan), plan
