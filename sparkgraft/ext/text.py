@@ -193,6 +193,37 @@ def unigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def gopher_repetition(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style duplicate n-gram repetition signals (the published
+    quality-filter family: fraction of n-gram occurrences that repeat an
+    already-seen n-gram) for n = 2 and 3 — catches looping/boilerplate
+    generations whose UNIGRAM stats look healthy (repetition_stats covers
+    n = 1).
+
+    ``dup_{n}gram_ratio = (count - distinct) / count`` over the doc's
+    n-gram multiset; docs with < n tokens collapse to one degenerate
+    shingle (ratio 0). Pure per-row array expressions — the shingle list
+    is built with the same expression the dedup lane uses
+    (ext/dedup.shingle_expr), zero shuffle, fully codegen'd.
+    """
+    from sparkgraft.ext.dedup import shingle_expr
+
+    toked = df.select(F.col(id_col), tokens(col).alias("__t"))
+    cols = [F.col(id_col)]
+    for n in (2, 3):
+        s = shingle_expr("__t", n)
+        cols.append(F.expr(f"CAST(size({s}) AS BIGINT)").alias(f"n_{n}grams"))
+        cols.append(
+            F.expr(
+                f"round((size({s}) - size(array_distinct({s})))"
+                f" / CAST(size({s}) AS DOUBLE), 6)"
+            ).alias(f"dup_{n}gram_ratio")
+        )
+    return toked.select(*cols)
+
+
 def bigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Bigram LM quality score: mean ``-ln P(tok_i | tok_{i-1})`` under the
     corpus's OWN bigram distribution — the next-quality-rung above

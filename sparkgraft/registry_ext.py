@@ -455,6 +455,56 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _canonical_oracle(thr: float = 0.5) -> str:
+    """Keep/drop verdict for EVERY doc: clusters as a CTE (same recursive
+    closure as _clusters_oracle), left-joined back onto the corpus."""
+    base = _clusters_oracle(thr)
+    head, tail = base.split(" SELECT node AS doc_id", 1)
+    assert tail.endswith("GROUP BY node")
+    return (
+        head
+        + """,
+        clusters AS (SELECT node AS doc_id, least(node, min(lab)) AS cluster_id
+                     FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS keep_id,
+               coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    )
+
+
+@register("dedup_keep_canonical", _canonical_oracle())
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The curation pipeline's FINAL dedup verdict — one row per corpus doc
+    with its canonical representative and a keep/drop flag (keep-policy:
+    minimum doc id per near-dup cluster; singletons keep themselves).
+    Downstream this relation is the broadcast/semi-join side of the actual
+    corpus rewrite, so it completes the dedup lane: pairs -> clusters ->
+    per-doc verdict.
+
+    Scale: the cluster relation is dup-docs-only (far smaller than the
+    corpus — empirically 30-50% at web scale, here ~10%); the left join
+    back is corpus-shuffle-free when the verdict relation broadcasts, and
+    the heavy lifting (pair gen, components) reuses the bucketed/blocked
+    machinery already plan-gated in the cluster query."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.dup_clusters(docs, threshold=0.5)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("keep_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "dedup_incremental_bloom",
     """
@@ -1228,3 +1278,28 @@ def q_embed_knn_graph(spark, sf_dir):
     return simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3).orderBy(
         "vec_a", "vec_b"
     )
+
+
+def _dup_ngram_d(n: int) -> str:
+    s = _shingles_d("t", n)
+    return (
+        f"CAST(len({s}) AS BIGINT) AS n_{n}grams,"
+        f" round((len({s}) - len(list_distinct({s})))"
+        f" / CAST(len({s}) AS DOUBLE), 6) AS dup_{n}gram_ratio"
+    )
+
+
+@register(
+    "text_gopher_repetition",
+    _TOK_CTE
+    + f"""
+    SELECT doc_id, {_dup_ngram_d(2)}, {_dup_ngram_d(3)}
+    FROM tok ORDER BY doc_id
+    """,
+)
+def q_text_gopher_repetition(spark, sf_dir):
+    """Gopher-family duplicate n-gram quality signals (n = 2, 3): fraction
+    of n-gram occurrences that repeat — the looping-text filter unigram
+    repetition misses. Per-row array expressions, zero shuffle
+    (ext/text.gopher_repetition)."""
+    return text.gopher_repetition(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -70,6 +70,8 @@ def test_driver_rows_cumulative_coverage():
         "streaming_session_window",
         "text_bigram_lm_score",
         "embed_knn_graph",
+        "text_gopher_repetition",
+        "dedup_keep_canonical",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
