@@ -1303,3 +1303,50 @@ def q_text_gopher_repetition(spark, sf_dir):
     repetition misses. Per-row array expressions, zero shuffle
     (ext/text.gopher_repetition)."""
     return text.gopher_repetition(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "udtf_split_sentences",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(string_split(text, '. '), x -> trim(x) != '') AS ps
+      FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, ps[i] AS sentence
+    FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM parts)
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def q_udtf_split_sentences(spark, sf_dir):
+    """Python UDTF (table function) surface: sentence segmentation as a
+    LATERAL table function — one input doc row fans out to (sent_idx,
+    sentence) rows. Completes the Python-on-Spark API matrix (scalar /
+    grouped-agg pandas UDF, applyInPandas, mapInPandas, cogrouped,
+    applyInPandasWithState, Python DataSource, and now UDTF).
+
+    Scale note: UDTF eval is per-row Python — fine for control-plane
+    fan-outs, NOT the hot path; the production form of this exact
+    computation is the codegen'd ``explode(filter(split(...)))`` (used by
+    the chunking lane), which the oracle mirrors. Registered to prove the
+    API works end-to-end with deterministic output, not as the
+    recommended plan."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            parts = [p for p in (text or "").split(". ") if p.strip()]
+            for i, s in enumerate(parts):
+                yield i, s
+
+    spark.udtf.register("sparkgraft_split_sentences", SplitSentences)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM __udtf_docs d,
+             LATERAL sparkgraft_split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )

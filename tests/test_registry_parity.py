@@ -72,6 +72,7 @@ def test_driver_rows_cumulative_coverage():
         "embed_knn_graph",
         "text_gopher_repetition",
         "dedup_keep_canonical",
+        "udtf_split_sentences",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
