@@ -510,3 +510,42 @@ def quality_funnel(
         )
         .orderBy("stage")
     )
+
+
+def source_datacard(
+    df: DataFrame, col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus data card: the accounting table every dataset
+    release ships (docs, token/char volume, language spread, exact-dup
+    rate, corpus share).
+
+    share_ppm is an exact integer (n_docs * 1e6 floor-div total) so the
+    relation hashes deterministically; dup_rate rounds once at the end.
+
+    Scale: one partial-agg groupBy on the source key + a single-row total
+    broadcast — no window, no second scan (grouping-bys of count/sum/
+    approx-free distincts all fold map-side). Distinct counts shuffle
+    (source, lang/text-hash) pairs, not text: n_distinct_texts counts the
+    64-bit HASH64 of the text, so a 100 TB corpus shuffles 8-byte hashes.
+    """
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(col)).alias("n_tokens"),
+        F.sum(F.length(F.trim(F.col(col)))).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.expr(HASH64_SQL.format(x=col))).alias("n_distinct_texts"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6).alias("dup_rate"),
+            F.expr("CAST((n_docs * 1000000) DIV total_docs AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(source_col)
+    )

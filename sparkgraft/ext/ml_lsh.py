@@ -5,9 +5,11 @@ are engine-portable and oracle-checkable; these are the same operators
 through Spark ML's built-in estimators (SURVEY §2.12's mapping: shingle →
 HashingTF → MinHashLSH → approxSimilarityJoin; embeddings →
 BucketedRandomProjectionLSH) — the path a Spark shop would reach for first.
-Hash families are JVM-internal, so results are seed-deterministic but not
-SQL-expressible: the driver contract records these as rows-only checks, and
-tests/test_ml_lsh.py pins recall against the exact-pair oracle queries.
+Hash families are JVM-internal, so the raw pair/neighbor relations are
+seed-deterministic but not SQL-expressible: the registry therefore exposes
+them as RECALL-AUDIT relations (registry_corpus.py — exact side + tolerance
+booleans the oracle asserts as constants), and tests/test_ml_lsh.py pins
+recall against the exact-pair oracle queries.
 
 Scale: approxSimilarityJoin explodes each row to its OR-bucket keys and
 equi-joins on (band, bucket) — the same join-on-buckets shape as the custom

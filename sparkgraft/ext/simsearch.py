@@ -608,3 +608,100 @@ def quantized_topk(
         .where(F.col("rn") <= k)
         .select("qid", "cid", "qcosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantized k-means (Lloyd's) for corpus clustering
+# ---------------------------------------------------------------------------
+
+KMEANS_QUANT = 1_000_000  # micro-unit quantization of embedding components
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Lloyd's k-means over MICRO-UNIT-quantized embeddings — exact and
+    engine-portable (the clustering backbone of SemDeDup-style curation,
+    here with true mean centroids instead of the hash cells ivf_topk uses).
+
+    Determinism contract: components quantize to BIGINT micro-units, so
+    squared distances and per-cluster sums are exact integers (order-free);
+    centroid updates use pmod-floor-division (identical in Spark, DuckDB,
+    and Python's //). Ties in the argmin break to the smallest cluster id.
+    Init: centroids = the vectors with id 0..k-1.
+
+    Scale: the canonical Lloyd-on-MapReduce shape — per iteration one
+    map-only assignment pass (centroids inlined as k dim-length literal
+    arrays; at larger k they'd ride a broadcast join) + one partial-agg
+    groupBy producing k rows of 64 sums. The k×dim driver collect per
+    iteration is scalar-bounded model state, not data (same contract as the
+    pagerank edge relation note). The quantized input is cached across
+    iterations.
+
+    Output: (vec_id, cluster, sq_dist) — sq_dist in squared micro-units.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    q = q.persist()
+    try:
+        init = {
+            r[id_col]: list(r["qv"])
+            for r in q.where(F.col(id_col) < k).collect()
+        }
+        cents = [init[j] for j in range(k)]
+
+        def dist_exprs(cs: list[list[int]]) -> list[str]:
+            out = []
+            for c in cs:
+                lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
+                out.append(
+                    f"aggregate(zip_with(qv, array({lit}), (x, y) -> (x - y) * (x - y)),"
+                    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                )
+            return out
+
+        def assigned(cs: list[list[int]]) -> DataFrame:
+            ds = dist_exprs(cs)
+            darr = "array(" + ", ".join(ds) + ")"
+            return q.select(
+                id_col,
+                "qv",
+                F.expr(f"array_position({darr}, array_min({darr})) - 1").alias("cluster"),
+                F.expr(f"array_min({darr})").alias("sq_dist"),
+            )
+
+        for _ in range(iters - 1):
+            a = assigned(cents)
+            sums = (
+                a.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new_cents = list(cents)
+            for r in sums:
+                j, n = int(r["cluster"]), int(r["n"])
+                new_cents[j] = [int(r[f"s{i}"]) // n for i in range(dim)]
+            cents = new_cents
+
+        return (
+            assigned(cents)
+            .select(id_col, "cluster", "sq_dist")
+            .orderBy(id_col)
+        )
+    finally:
+        q.unpersist()

@@ -391,3 +391,64 @@ def bm25_scores(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+#: hashed feature-space width for the linear classifier (power of two so the
+#: bucket is a cheap mask-equivalent pmod)
+HASHED_DIM = 64
+
+
+def hashed_weights(dim: int = HASHED_DIM) -> list[int]:
+    """Deterministic integer weight table for the hashed linear classifier.
+
+    w_b = md5("w:b")[:15 hex] mod 2001 - 1000 — integer MILLI-units in
+    [-1000, 1000]. Computed with hashlib here and embedded as an array
+    literal in both the Spark plan and the DuckDB oracle, so the "model"
+    is identical in both engines (stand-in for real trained weights, which
+    would be broadcast the same way).
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for b in range(dim)
+    ]
+
+
+def linear_classifier(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", dim: int = HASHED_DIM
+) -> DataFrame:
+    """CCNet/fastText-style linear quality scorer over hashed bag-of-words.
+
+    Each token hashes to one of ``dim`` buckets (md5-based 64-bit hash —
+    the engine-portable HASH64 used across the dedup lane); the document
+    score is the mean bucket weight. Weights are integer milli-units so the
+    sum is EXACT (order-free) — the float division + round happens once at
+    the end, and the keep decision compares the exact integer sum to zero.
+
+    Output: (doc_id, n_tokens, score, keep). Scale: pure per-row map work
+    (transform + aggregate over the token array, weight table inlined as a
+    64-element literal) — whole-stage codegen, zero shuffle; a real model
+    with 1M buckets would swap the literal for a broadcast map lookup.
+    """
+    w = hashed_weights(dim)
+    arr = ", ".join(str(x) for x in w)
+    tks = _TOKENS_SQL.format(col=col)
+    bucket = f"CAST(pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), {dim}) AS INT)"
+    milli_sum = (
+        f"aggregate(transform({tks}, t -> element_at(array({arr}), {bucket} + 1)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({tks})").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({tks}) = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE round({milli_sum} / (1000.0 * size({tks})), 6) END"
+        ).alias("score"),
+        F.expr(f"size({tks}) > 0 AND {milli_sum} > 0").alias("keep"),
+    )

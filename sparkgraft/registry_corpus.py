@@ -340,27 +340,101 @@ def q_corpus_chunk_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# pyspark.ml LSH variants (rows-only: JVM hash families aren't SQL-
-# expressible; recall pinned in tests/test_ml_lsh.py instead)
+# pyspark.ml LSH variants.  JVM hash families aren't SQL-expressible, so the
+# raw pair/neighbor relations can never hash-match DuckDB — but (same move
+# as wau_sketch_weekly / value_quantiles_approx, registry.py) their RECALL
+# vs the exact operators is deterministic at a fixed seed and hashable.
+# Each query computes BOTH the ML-LSH path and the exact path and emits the
+# exact side plus within-tolerance booleans the oracle asserts as constants;
+# an estimator regression (seed drift, bucket mishandling) flips a boolean
+# and the driver row goes red.  Bounds mirror tests/test_ml_lsh.py.
 # ---------------------------------------------------------------------------
 
-@register("ml_minhash_pairs", None)  # rows-only
+def _ml_minhash_audit_oracle() -> str:
+    from sparkgraft.registry_ext import _JACCARD_SELECT, _SHINGLE_SET_CTES
+
+    return (
+        _SHINGLE_SET_CTES
+        + """,
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2),
+    exact AS ("""
+        + _JACCARD_SELECT.format(thr=0.5)
+        + """)
+    SELECT count(*) AS n_exact_pairs,
+           TRUE AS recall_ok,
+           TRUE AS spurious_ok
+    FROM exact
+    """
+    )
+
+
+@register("ml_minhash_pairs", _ml_minhash_audit_oracle())
 def q_ml_minhash_pairs(spark, sf_dir):
-    """Near-dup pairs via the built-in MinHashLSH estimator
-    (ext/ml_lsh.ml_minhash_pairs) — the Spark-ML twin of
-    dedup_minhash_lsh."""
-    from sparkgraft.ext import ml_lsh
+    """MinHashLSH.approxSimilarityJoin (ext/ml_lsh.ml_minhash_pairs — the
+    Spark-ML twin of dedup_minhash_lsh) audited against the exact 3-gram
+    Jaccard pairs in one relation: (exact pair count, recall >= 0.9,
+    spurious pairs <= max(2, exact count)).  One full-outer join of the two
+    pair sets + one aggregate; no driver-side set math."""
+    from sparkgraft.ext import dedup, ml_lsh
 
-    return ml_lsh.ml_minhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    got = ml_lsh.ml_minhash_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_ml")
+    )
+    j = exact.join(got, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count(F.when(F.col("in_exact").isNotNull() & F.col("in_ml").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("n_extra"),
+    ).select(
+        F.col("n_exact").alias("n_exact_pairs"),
+        (F.col("n_hit") >= 0.9 * F.col("n_exact")).alias("recall_ok"),
+        (F.col("n_extra") <= F.greatest(F.lit(2), F.col("n_exact"))).alias("spurious_ok"),
+    )
 
 
-@register("ml_ann_neighbors", None)  # rows-only
+def _ml_ann_audit_oracle() -> str:
+    from sparkgraft.registry_ext import _cos_d
+
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id <> 0),
+    scored AS (SELECT cid, {_cos_d('qv', 'cv')} AS cosine FROM q CROSS JOIN c)
+    SELECT cid, cosine, TRUE AS ann_overlap_ok
+    FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, cid) AS rn FROM scored)
+    WHERE rn <= 10
+    """
+
+
+@register("ml_ann_neighbors", _ml_ann_audit_oracle())
 def q_ml_ann_neighbors(spark, sf_dir):
-    """Top-10 neighbors of vec_id 0 via BucketedRandomProjectionLSH
-    (ext/ml_lsh.ml_ann_neighbors) — the Spark-ML twin of embed_lsh_topk."""
-    from sparkgraft.ext import ml_lsh
+    """BucketedRandomProjectionLSH.approxNearestNeighbors
+    (ext/ml_lsh.ml_ann_neighbors — the Spark-ML twin of embed_lsh_topk)
+    audited against the exact cosine top-10 of vec_id 0: emits the EXACT
+    neighbor list (hashable) plus a replicated boolean asserting the ANN
+    result overlaps it in >= 6 of 10 slots (unit-norm embeddings: euclidean
+    rank == cosine rank)."""
+    from sparkgraft.ext import ml_lsh, simsearch
 
-    return ml_lsh.ml_ann_neighbors(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = simsearch.brute_force_topk(emb, F.col("vec_id") == 0, k=10).select("cid", "cosine")
+    ml = ml_lsh.ml_ann_neighbors(emb, query_vec_id=0, k=10).select(
+        F.col("vec_id").alias("cid")
+    )
+    ov = exact.join(ml, "cid", "left_semi").agg(F.count(F.lit(1)).alias("n_ov"))
+    return (
+        exact.crossJoin(F.broadcast(ov))
+        .select("cid", "cosine", (F.col("n_ov") >= 6).alias("ann_overlap_ok"))
+        .orderBy(F.col("cosine").desc(), "cid")
+    )
 
 
 def _e2e_oracle() -> str:
@@ -447,3 +521,33 @@ def q_corpus_e2e_curation(spark, sf_dir):
         .select("doc_id", "n_tokens", "quality_score", "rep_ratio")
         .orderBy("doc_id")
     )
+
+
+def _datacard_oracle() -> str:
+    h = _hash64_d("text")
+    return f"""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens,
+             CAST(sum(length(trim(text))) AS BIGINT) AS n_chars,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT {h}) AS n_distinct_texts
+      FROM documents GROUP BY source),
+    tot AS (SELECT count(*) AS total_docs FROM documents)
+    SELECT source, n_docs, n_tokens, n_chars, n_langs,
+           round(1 - n_distinct_texts / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           (n_docs * 1000000) // total_docs AS share_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+@register("corpus_source_datacard", _datacard_oracle())
+def q_corpus_source_datacard(spark, sf_dir):
+    """Per-source corpus data card (ext/corpus.source_datacard): docs,
+    token/char volume, language spread, exact-dup rate (distinct 64-bit
+    text hashes, so the distinct shuffle moves 8-byte keys, not text),
+    integer-exact corpus share in ppm. One partial-agg groupBy + a
+    broadcast single-row total."""
+    return corpus.source_datacard(_t(spark, sf_dir, "documents"))

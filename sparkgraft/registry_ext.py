@@ -1350,3 +1350,104 @@ def q_udtf_split_sentences(spark, sf_dir):
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantized k-means (round 4)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-Lloyd oracle: iteration t = argmin assignment against
+    cent{t} (row_number tie-break to the smallest cluster — the same
+    first-index-of-min rule as array_position) then exact-integer centroid
+    update via pmod floor division. All distances/sums are BIGINT, so the
+    unroll is bit-identical to the Spark loop."""
+    d_expr = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""qv AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings),
+    cent0 AS (SELECT vec_id AS cluster, v FROM qv WHERE vec_id < {k})"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""dist{t} AS (
+      SELECT q.vec_id, c.cluster, {d_expr} AS d
+      FROM qv q CROSS JOIN cent{t} c),
+    asg{t} AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{t})
+      WHERE rn = 1)"""
+        )
+        if t < iters - 1:
+            parts.append(
+                f"""ex{t} AS (
+      SELECT a.cluster, unnest(q.v) AS val, generate_subscripts(q.v, 1) AS dim
+      FROM asg{t} a JOIN qv q USING (vec_id)),
+    sums{t} AS (
+      SELECT cluster, dim, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+      FROM ex{t} GROUP BY 1, 2),
+    newc{t} AS (
+      SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS v
+      FROM sums{t} GROUP BY cluster),
+    cent{t + 1} AS (
+      SELECT c.cluster, coalesce(n.v, c.v) AS v
+      FROM cent{t} c LEFT JOIN newc{t} n USING (cluster))"""
+            )
+    last = iters - 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cluster, d AS sq_dist FROM asg{last} ORDER BY vec_id
+    """
+    )
+
+
+@register("embed_kmeans_clusters", _kmeans_oracle())
+def q_embed_kmeans(spark, sf_dir):
+    """Lloyd's k-means (k=4, 3 iterations) over micro-unit-quantized
+    embeddings — the clustering backbone of SemDeDup/IVF-style curation
+    with TRUE mean centroids (ext/simsearch.kmeans_assign). Exact-integer
+    distances and pmod-floor centroid updates make the iterative algorithm
+    hash-identical across engines — the oracle unrolls the same three
+    Lloyd iterations as CTEs."""
+    return simsearch.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (round 4)
+# ---------------------------------------------------------------------------
+
+def _linear_classifier_oracle(dim: int = 64) -> str:
+    w = text.hashed_weights(dim)
+    arr = ", ".join(str(x) for x in w)
+    h = _hash64_d("x")
+    ms = (
+        f"CAST(coalesce(list_sum(list_transform(t,"
+        f" x -> ([{arr}])[CAST({h} % {dim} AS INT) + 1])), 0) AS BIGINT)"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE round({ms} / (1000.0 * len(t)), 6) END AS score,
+           len(t) > 0 AND {ms} > 0 AS keep
+    FROM tok
+    """
+
+
+@register("text_quality_classifier", _linear_classifier_oracle())
+def q_text_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style hashed linear quality scorer
+    (ext/text.linear_classifier): md5-hash each token into 64 buckets,
+    score = mean integer milli-weight (exact order-free sum; one float
+    division + round at the end), keep = positive exact sum. The weight
+    table is a deterministic literal baked into both engines."""
+    return text.linear_classifier(_t(spark, sf_dir, "documents"))

@@ -528,3 +528,87 @@ def test_pii_scrub_planted_patterns(spark):
     assert rows[3].scrubbed == "phone <PHONE> and email <EMAIL>"
     assert rows[4].scrubbed == "clean text with no identifiers at all"
     assert rows[4].n_email == rows[4].n_ipv4 == rows[4].n_phone == 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: k-means / linear classifier / source data card
+# ---------------------------------------------------------------------------
+
+def test_kmeans_assigns_nearest_final_centroid(spark, sf_dir):
+    """Lloyd invariant: after convergence of the LOOP, every point's
+    recorded cluster is its argmin over the final centroids — recomputed
+    independently in numpy from the same quantization rule. Also pins the
+    tie-break (first index of min) and that sq_dist equals the recomputed
+    distance exactly."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = simsearch.kmeans_assign(emb, k=4, iters=3).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1_000_000).astype(np.int64)
+         for r in rows}
+    # replay the loop in numpy (exact integer arithmetic, floor division)
+    cents = [q[j].copy() for j in range(4)]
+    for it in range(3):
+        d = {v: [int(((x - c) ** 2).sum()) for c in cents] for v, x in q.items()}
+        a = {v: ds.index(min(ds)) for v, ds in d.items()}
+        if it < 2:
+            new = []
+            for j in range(4):
+                members = [q[v] for v, c in a.items() if c == j]
+                if members:
+                    s = np.sum(members, axis=0, dtype=object)
+                    new.append(np.array([int(x) // len(members) for x in s], dtype=np.int64))
+                else:
+                    new.append(cents[j])
+            cents = new
+    for r in out:
+        ds = [int(((q[r.vec_id] - c) ** 2).sum()) for c in cents]
+        assert r.cluster == ds.index(min(ds)), r.vec_id
+        assert r.sq_dist == min(ds), r.vec_id
+    assert len({r.cluster for r in out}) == 4, "all 4 clusters should be populated"
+
+
+def test_kmeans_assignment_plan_is_map_only(spark, sf_dir):
+    """The per-iteration assignment pass must be join-free map work
+    (centroid literals inlined): no Exchange before the final sort, no
+    join operator anywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = simsearch.kmeans_assign(emb, k=4, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_linear_classifier_hand_computed(spark):
+    """Exact check on a two-token doc against hashlib-derived weights."""
+    import hashlib
+
+    from sparkgraft.ext import text as T
+
+    w = T.hashed_weights()
+    df = spark.createDataFrame([(1, "Hello  world"), (2, ""), (3, "x")], "doc_id long, text string")
+    got = {r.doc_id: r for r in T.linear_classifier(df).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    s = w[bucket("hello")] + w[bucket("world")]
+    assert got[1].n_tokens == 2
+    assert got[1].score == round(s / 2000.0, 6)
+    assert got[1].keep == (s > 0)
+    assert got[2].n_tokens == 0 and got[2].score == 0.0 and got[2].keep is False
+    assert got[3].score == round(w[bucket("x")] / 1000.0, 6)
+
+
+def test_source_datacard_accounting(spark, sf_dir):
+    """share_ppm floor-div sums to <= 1e6 and per-source counts re-add to
+    the corpus total; dup_rate in [0, 1)."""
+    from sparkgraft.ext import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.source_datacard(docs).collect()
+    total = docs.count()
+    assert sum(r.n_docs for r in out) == total
+    assert sum(r.share_ppm for r in out) <= 1_000_000
+    assert all(0 <= r.dup_rate < 1 for r in out)
+    assert all(r.n_langs >= 1 and r.n_tokens > 0 for r in out)
