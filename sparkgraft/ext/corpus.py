@@ -549,3 +549,104 @@ def source_datacard(
         )
         .orderBy(source_col)
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping token chunker: windows of ``size`` tokens
+    every ``stride`` tokens, last window short but trailing tokens always
+    covered (n_chunks = 1 + ceil(max(0, n-size)/stride)).
+
+    Scale: the chunk list is built per row as an array of STRINGS by a
+    higher-order transform and only then posexploded — the token array is
+    never replicated per chunk position. Pure map work, no shuffle until
+    the caller's sink; ~size/stride× output amplification is inherent to
+    overlap chunking and is the documented cost of the operator.
+    """
+    tks = f"filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
+    n = f"size({tks})"
+    n_chunks = f"(1 + CAST(ceil(greatest({n} - {size}, 0) / {stride}.0) AS INT))"
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> array_join(slice({tks}, i * {stride} + 1, {size}), ' '))"
+    )
+    return (
+        df.where(F.expr(n) > 0)
+        .select(id_col, F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.expr("size(filter(split(chunk_text, ' '), t -> t != ''))")
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+def exact_dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, 'Deduplicating
+    Training Data...'): fraction of each document's token positions covered
+    by an ``n``-token span occurring >= ``min_count`` times in the corpus
+    (within-doc repeats count).
+
+    Plan: (1) per-doc positioned span hashes via one higher-order transform
+    (64-bit md5 hashes — the corpus-wide frequency groupBy and the join
+    back both shuffle 8-byte hashes, never text); (2) duplicated spans
+    [pos, pos+n-1] union-merged per doc with the interval-union window
+    pattern (running-max island detection, same shape as the dynamic-gap
+    session windows); (3) left join back so dup-free docs report 0.
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_fraction).
+    """
+    tks = f"filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
+    ntok = f"size({tks})"
+    hashes = (
+        f"CASE WHEN {ntok} >= {n} THEN transform(sequence(1, {ntok} - {n - 1}),"
+        f" i -> CAST(conv(substr(md5(concat_ws(' ', slice({tks}, i, {n}))), 1, 15), 16, 10) AS BIGINT))"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    base = df.select(F.col(id_col), F.expr(ntok).cast("bigint").alias("n_tokens"))
+    spans = df.select(
+        id_col, F.posexplode(F.expr(hashes)).alias("pos0", "h")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= min_count)
+    dup = spans.join(freq.select("h"), "h").select(
+        id_col, "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "new_isl", F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("isl", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    cov = (
+        isl.groupBy(id_col, "isl")
+        .agg((F.max("end") - F.min("pos") + 1).alias("span_len"))
+        .groupBy(id_col)
+        .agg(F.sum("span_len").alias("dup_tokens"))
+    )
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy(id_col)
+    )

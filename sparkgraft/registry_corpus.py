@@ -551,3 +551,79 @@ def q_corpus_source_datacard(spark, sf_dir):
     integer-exact corpus share in ppm. One partial-agg groupBy + a
     broadcast single-row total."""
     return corpus.source_datacard(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_chunk_overlap",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    c AS (SELECT doc_id, len(t) AS n, t FROM tok WHERE len(t) > 0),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT)))
+               AS chunk_idx
+      FROM c)
+    SELECT doc_id, chunk_idx,
+           CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_corpus_chunk_overlap(spark, sf_dir):
+    """RAG-style overlapping chunker (ext/corpus.chunk_overlap): 64-token
+    windows every 48 tokens, trailing tokens always covered. The chunk
+    array is built per row by a higher-order transform (token array never
+    replicated per position) then posexploded."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.chunk_overlap(docs, size=64, stride=48).orderBy("doc_id", "chunk_idx")
+
+
+def _dup_spans_oracle(n: int = 8) -> str:
+    parts = ", ".join(f"t[pos + {j}]" for j in range(n))
+    h = _hash64_d(f"concat_ws(' ', {parts})")
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+    sp AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN len(t) >= {n} THEN generate_series(1, len(t) - {n - 1})
+                         ELSE CAST([] AS BIGINT[]) END) AS pos
+      FROM tok),
+    hs AS (SELECT doc_id, pos, {h} AS h FROM sp),
+    freq AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, pos, pos + {n - 1} AS e FROM hs WHERE h IN (SELECT h FROM freq)),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup),
+    isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM isl),
+    cov AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+      FROM (SELECT doc_id, isl, max(e) - min(pos) + 1 AS span_len
+            FROM isl2 GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0)
+                 / CAST(CASE WHEN b.n_tokens > 0 THEN b.n_tokens ELSE 1 END AS DOUBLE),
+                 6) AS dup_fraction
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+@register("corpus_dup_span_fraction", _dup_spans_oracle())
+def q_corpus_dup_span_fraction(spark, sf_dir):
+    """Exact-substring duplication signal (ext/corpus.exact_dup_spans,
+    Lee et al. 2022): per-doc fraction of token positions covered by an
+    8-token span occurring >= 2 times corpus-wide. Span frequency and the
+    join back shuffle 64-bit hashes only; covered positions union-merge
+    with the interval-union window pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.exact_dup_spans(docs, n=8, min_count=2)

@@ -612,3 +612,60 @@ def test_source_datacard_accounting(spark, sf_dir):
     assert sum(r.share_ppm for r in out) <= 1_000_000
     assert all(0 <= r.dup_rate < 1 for r in out)
     assert all(r.n_langs >= 1 and r.n_tokens > 0 for r in out)
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark):
+    """Every token position lands in >= 1 chunk; consecutive chunks overlap
+    by size - stride; a short doc yields exactly one chunk equal to its
+    normalized text."""
+    from sparkgraft.ext import corpus as C
+
+    long_text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "just a few tokens")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.chunk_idx): r for r in C.chunk_overlap(df, size=64, stride=48).collect()}
+    # doc 1: n=150 -> chunks at 0, 48, 96 (ceil((150-64)/48)=2)
+    assert {i for (d, i) in out if d == 1} == {0, 1, 2}
+    assert out[(1, 0)].chunk_text.split(" ")[0] == "t0"
+    assert out[(1, 1)].chunk_text.split(" ")[0] == "t48"
+    assert out[(1, 2)].chunk_text.split(" ") == [f"t{i}" for i in range(96, 150)]
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert out[(1, 0)].chunk_text.split(" ")[48:] == out[(1, 1)].chunk_text.split(" ")[:16]
+    assert out[(2, 0)].chunk_text == "just a few tokens" and out[(2, 0)].n_chunk_tokens == 4
+
+
+def test_exact_dup_spans_planted(spark):
+    """A 10-token phrase planted in two docs marks exactly its span in
+    both; a unique doc reports zero; within-doc repetition counts."""
+    from sparkgraft.ext import corpus as C
+
+    phrase = " ".join(f"p{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {phrase}"),
+            (2, f"{phrase} {uniq_b}"),
+            (3, " ".join(f"c{i}" for i in range(20))),  # no 8-gram shared
+            (4, f"{rep} {rep}"),                   # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in C.exact_dup_spans(df, n=8, min_count=2).collect()}
+    assert got[1].dup_tokens == 10 and got[1].n_tokens == 20
+    assert got[2].dup_tokens == 10
+    assert got[3].dup_tokens == 0 and got[3].dup_fraction == 0.0
+    assert got[4].dup_tokens == 16 and got[4].dup_fraction == 1.0
+
+
+def test_dup_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """The span-frequency aggregation and join must key on the 64-bit hash
+    column, never a string span; and no cartesian anywhere."""
+    from sparkgraft.ext import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = C.exact_dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(h#" in plan or "hashpartitioning(h " in plan, plan[:2000]
