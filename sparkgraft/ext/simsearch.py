@@ -705,3 +705,50 @@ def kmeans_assign(
         )
     finally:
         q.unpersist()
+
+
+def arrow_vector_norms(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact integer L2 stats per vector via ``mapInArrow`` — the
+    zero-copy Arrow batch path (completes the Python-on-Spark API matrix
+    next to pandas_udf / applyInPandas / mapInPandas / cogroup / state /
+    DataSource / UDTF).
+
+    Components quantize to micro-unit int64 with HALF-AWAY rounding (the
+    SQL round() rule, replicated in numpy) so sumsq is exact and
+    engine-portable; l2_micro = floor(sqrt(sumsq)) — sumsq < 2^53 keeps
+    the double sqrt exact-input and IEEE-deterministic.
+
+    Scale: map-only, no shuffle; the ListArray is consumed as flat values
+    + offsets (np.add.reduceat) — no per-row Python objects, no copy of
+    the float buffer beyond the quantization cast.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0)
+            lst = b.column(1)
+            # flatten ListArray: values + offsets (zero-copy views)
+            flat = np.asarray(lst.values, dtype=np.float64)
+            offs = np.asarray(lst.offsets)
+            scaled = flat * 1_000_000.0
+            q = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            sq = q * q
+            # per-row sums over [offs[i], offs[i+1]) — cumsum difference
+            # handles empty rows and sliced arrays uniformly
+            csum = np.concatenate([[0], np.cumsum(sq, dtype=np.int64)])
+            sums = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.int64)
+            l2 = np.floor(np.sqrt(sums.astype(np.float64))).astype(np.int64)
+            yield pa.record_batch(
+                [ids, pa.array(sums, type=pa.int64()), pa.array(l2, type=pa.int64())],
+                names=[id_col, "sumsq_micro", "l2_micro"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        fn, f"{id_col} long, sumsq_micro long, l2_micro long"
+    )

@@ -1451,3 +1451,63 @@ def q_text_quality_classifier(spark, sf_dir):
     division + round at the end), keep = positive exact sum. The weight
     table is a deterministic literal baked into both engines."""
     return text.linear_classifier(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embed_arrow_norms",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sumsq_micro
+      FROM q)
+    SELECT vec_id, sumsq_micro,
+           CAST(floor(sqrt(CAST(sumsq_micro AS DOUBLE))) AS BIGINT) AS l2_micro
+    FROM s ORDER BY vec_id
+    """,
+)
+def q_embed_arrow_norms(spark, sf_dir):
+    """Exact integer L2 stats per embedding via the zero-copy mapInArrow
+    path (ext/simsearch.arrow_vector_norms): ListArray consumed as flat
+    values + offsets with np.add.reduceat — no per-row Python. Half-away
+    micro-unit quantization and floor(sqrt) keep the relation
+    hash-identical to the SQL oracle."""
+    return simsearch.arrow_vector_norms(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+@register(
+    "events_variant_k_stats",
+    """
+    SELECT event_type,
+           count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_variant_k_stats(spark, sf_dir):
+    """Spark 4 VariantType path for schema-on-read JSON: parse_json(props)
+    -> VARIANT, try_variant_get('$.k') typed extraction, grouped stats.
+    Complements props_map_stats (from_json map route) with the
+    binary-encoded variant route — the modern engine surface for
+    semi-structured columns; extraction stays JVM-side, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

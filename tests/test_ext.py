@@ -669,3 +669,38 @@ def test_dup_spans_shuffles_hashes_not_text(spark, sf_dir):
     plan = C.exact_dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(h#" in plan or "hashpartitioning(h " in plan, plan[:2000]
+
+
+def test_arrow_norms_hand_values_and_empty_vector(spark):
+    """mapInArrow norms: hand-checked quantization (half-away), empty
+    vector yields 0, negative components square correctly."""
+    df = spark.createDataFrame(
+        [(1, [0.003, -0.004]), (2, []), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in simsearch.arrow_vector_norms(df).collect()}
+    assert got[1].sumsq_micro == 3000**2 + 4000**2
+    assert got[1].l2_micro == 5000
+    assert got[2].sumsq_micro == 0 and got[2].l2_micro == 0
+    assert got[3].sumsq_micro == 1_000_000**2 and got[3].l2_micro == 1_000_000
+
+
+def test_variant_extract_handles_missing_key(spark):
+    """try_variant_get returns null for absent paths / malformed JSON —
+    stats count only present keys."""
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [("a", '{"k": 5}'), ("a", '{"x": 1}'), ("a", None), ("b", '{"k": -2}')],
+        "event_type string, props string",
+    )
+    k = FF.try_variant_get(FF.try_parse_json("props"), "$.k", "bigint")
+    out = {
+        r.event_type: r
+        for r in df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(FF.count("k").alias("n"), FF.sum("k").alias("s"))
+        .collect()
+    }
+    assert out["a"].n == 1 and out["a"].s == 5
+    assert out["b"].n == 1 and out["b"].s == -2
