@@ -3518,6 +3518,74 @@ def q_streaming_session_window(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_state_inspect",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_state_inspect(spark, sf_dir):
+    """Spark 4 state-store READER (`spark.read.format("statestore")`) —
+    operational introspection of a streaming checkpoint, the capability a
+    production shop uses to debug watermark/eviction behavior without
+    replaying the stream.
+
+    Harness: a watermarked tumbling-hour aggregation runs availableNow
+    over the events table with a 3650-day watermark delay, so NO window
+    ever crosses the watermark: nothing is emitted downstream and the
+    final state store holds the complete merged aggregate. Reading the
+    checkpoint back must therefore reproduce the batch GROUP BY exactly —
+    which is what the oracle checks. Eviction semantics stay proven by
+    streaming_windowed_counts (sentinel-flushed append mode); this query
+    pins the dual: un-evicted state is lossless and externally readable.
+
+    Scale: the state reader is a parquet-like scan of the HDFS state
+    store (one partition per shuffle partition) — no replay, no shuffle
+    beyond the final sort.
+    """
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_stinsp_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    _t(spark, sf_dir, "events").select("event_type", "ts").write.parquet(src)
+    agg = (
+        spark.readStream.schema("event_type string, ts timestamp_ntz")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        # the noop write forces every partition of the (empty, append-mode)
+        # batch to execute so all state stores commit — a foreachBatch that
+        # skips the action fails Spark 4's commit validation
+        agg.writeStream.foreachBatch(
+            lambda df, _id: df.write.format("noop").mode("overwrite").save()
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("state-inspect stream did not finish in 300s")
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        # the state VALUE schema carries the aggregation buffer's internal
+        # field name ("count"), not the query alias
+        F.col("value.count").alias("n"),
+    ).orderBy("window_start", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
