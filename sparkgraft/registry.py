@@ -3537,8 +3537,8 @@ def q_streaming_state_inspect(spark, sf_dir):
 
     Harness: a watermarked tumbling-hour aggregation runs availableNow
     over the events table with a 3650-day watermark delay, so NO window
-    ever crosses the watermark: nothing is emitted downstream and the
-    final state store holds the complete merged aggregate. Reading the
+    ever crosses the watermark and the final state store holds the
+    complete merged aggregate (the sink sees update-mode deltas only). Reading the
     checkpoint back must therefore reproduce the batch GROUP BY exactly —
     which is what the oracle checks. Eviction semantics stay proven by
     streaming_windowed_counts (sentinel-flushed append mode); this query
@@ -3562,13 +3562,16 @@ def q_streaming_state_inspect(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     q = (
-        # the noop write forces every partition of the (empty, append-mode)
-        # batch to execute so all state stores commit — a foreachBatch that
-        # skips the action fails Spark 4's commit validation
+        # UPDATE mode (not append): with a never-advancing watermark an
+        # append batch emits zero rows, and an empty sink plan can
+        # short-circuit to zero tasks — leaving the stateStoreSave
+        # operators uncommitted and failing Spark 4's per-batch commit
+        # validation. Update mode emits every changed key, so the noop
+        # write always executes the full plan and every store commits.
         agg.writeStream.foreachBatch(
             lambda df, _id: df.write.format("noop").mode("overwrite").save()
         )
-        .outputMode("append")
+        .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
