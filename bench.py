@@ -49,17 +49,23 @@ def main() -> None:
     # transient 2-10x stalls), take extra samples — the min of a few runs
     # is the cost of the PLAN, which is what this benchmark grades.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline + extra:
         samples: list[float] = []
-        while True:
-            t0 = time.perf_counter()
-            qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-            if len(samples) >= 2:
-                lo, hi = min(samples), max(samples[-2:])
-                if hi <= 2.0 * lo or len(samples) >= 5:
-                    break
-        timings[name] = round(min(samples), 3)
+        try:
+            while True:
+                t0 = time.perf_counter()
+                qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+                if len(samples) >= 2:
+                    lo, hi = min(samples), max(samples[-2:])
+                    if hi <= 2.0 * lo or len(samples) >= 5:
+                        break
+            timings[name] = round(min(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # take down the whole benchmark; surface it loudly in the JSON
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -77,6 +83,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": 2,
                 "n_queries": len(timings),
+                **({"errors": errors} if errors else {}),
             }
         )
     )
