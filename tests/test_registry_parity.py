@@ -73,6 +73,15 @@ def test_driver_rows_cumulative_coverage():
         "text_gopher_repetition",
         "dedup_keep_canonical",
         "udtf_split_sentences",
+        # round-4 session additions (this round's build, next round's rotation)
+        "embed_kmeans_clusters",
+        "text_quality_classifier",
+        "corpus_source_datacard",
+        "corpus_chunk_overlap",
+        "corpus_dup_span_fraction",
+        "embed_arrow_norms",
+        "events_variant_k_stats",
+        "streaming_state_inspect",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
