@@ -589,6 +589,33 @@ def chunk_overlap(
     )
 
 
+#: dual 31-bit polynomial rolling-hash parameters for span hashing —
+#: identical integer arithmetic in Spark and DuckDB (all intermediates
+#: < 2^52, no overflow under ANSI mode)
+ROLL_P = 2_147_483_647
+ROLL_M1 = 31
+ROLL_M2 = 1_000_003
+
+
+def rolling_span_hash(arr: str, n: int, spark_dialect: bool = True) -> str:
+    """Combine ``n`` consecutive per-token hashes (already reduced mod
+    ROLL_P) into one 62-bit span key: two independent polynomial rolls
+    concatenated as h1 * 2^31 + h2. ``arr`` is the token-hash array; the
+    position variable is ``i`` (Spark lambda, element_at) or ``pos``
+    (DuckDB, 1-based list index)."""
+
+    def elem(j: int) -> str:
+        return f"element_at({arr}, i + {j})" if spark_dialect else f"{arr}[pos + {j}]"
+
+    def poly(m: int) -> str:
+        acc = elem(0)
+        for j in range(1, n):
+            acc = f"(({acc}) * {m} + {elem(j)}) % {ROLL_P}"
+        return acc
+
+    return f"(({poly(ROLL_M1)}) * 2147483648 + ({poly(ROLL_M2)}))"
+
+
 def exact_dup_spans(
     df: DataFrame,
     n: int = 8,
@@ -601,26 +628,37 @@ def exact_dup_spans(
     by an ``n``-token span occurring >= ``min_count`` times in the corpus
     (within-doc repeats count).
 
-    Plan: (1) per-doc positioned span hashes via one higher-order transform
-    (64-bit md5 hashes — the corpus-wide frequency groupBy and the join
-    back both shuffle 8-byte hashes, never text); (2) duplicated spans
-    [pos, pos+n-1] union-merged per doc with the interval-union window
-    pattern (running-max island detection, same shape as the dynamic-gap
-    session windows); (3) left join back so dup-free docs report 0.
+    Plan: (1) md5-hash each TOKEN once, then derive every span hash with a
+    dual 31-bit polynomial rolling combine (16 integer mul-adds per span
+    instead of an md5 over the joined span text — ~4× cheaper map stage,
+    measured at sf0.1); the corpus-wide frequency groupBy and the join
+    back both shuffle the resulting 8-byte span keys, never text;
+    (2) duplicated spans [pos, pos+n-1] union-merged per doc with the
+    interval-union window pattern (running-max island detection, same
+    shape as the dynamic-gap session windows); (3) left join back so
+    dup-free docs report 0. Span-hash collisions (2×31-bit space) are
+    deterministic and mirrored bit-for-bit by the oracle's identical
+    arithmetic.
 
     Output: (doc_id, n_tokens, dup_tokens, dup_fraction).
     """
     tks = f"filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
     ntok = f"size({tks})"
+    tok_h = (
+        f"transform({tks}, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        f" % {ROLL_P})"
+    )
     hashes = (
         f"CASE WHEN {ntok} >= {n} THEN transform(sequence(1, {ntok} - {n - 1}),"
-        f" i -> CAST(conv(substr(md5(concat_ws(' ', slice({tks}, i, {n}))), 1, 15), 16, 10) AS BIGINT))"
+        f" i -> {rolling_span_hash('__th', n, spark_dialect=True)})"
         " ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     base = df.select(F.col(id_col), F.expr(ntok).cast("bigint").alias("n_tokens"))
-    spans = df.select(
-        id_col, F.posexplode(F.expr(hashes)).alias("pos0", "h")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    spans = (
+        df.withColumn("__th", F.expr(tok_h))
+        .select(id_col, F.posexplode(F.expr(hashes)).alias("pos0", "h"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    )
     freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= min_count)
     dup = spans.join(freq.select("h"), "h").select(
         id_col, "pos", (F.col("pos") + (n - 1)).alias("end")

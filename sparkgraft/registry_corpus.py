@@ -582,13 +582,13 @@ def q_corpus_chunk_overlap(spark, sf_dir):
 
 
 def _dup_spans_oracle(n: int = 8) -> str:
-    parts = ", ".join(f"t[pos + {j}]" for j in range(n))
-    h = _hash64_d(f"concat_ws(' ', {parts})")
+    th = f"list_transform(t, x -> {_hash64_d('x')} % {corpus.ROLL_P})"
+    h = corpus.rolling_span_hash("th", n, spark_dialect=False)
     return f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
     sp AS (
-      SELECT doc_id, t,
+      SELECT doc_id, {th} AS th,
              unnest(CASE WHEN len(t) >= {n} THEN generate_series(1, len(t) - {n - 1})
                          ELSE CAST([] AS BIGINT[]) END) AS pos
       FROM tok),
