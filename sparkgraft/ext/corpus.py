@@ -688,3 +688,31 @@ def exact_dup_spans(
         )
         .orderBy(id_col)
     )
+
+
+def shard_assign(
+    df: DataFrame, k: int = 8, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-balanced output sharding — the last step of every corpus
+    build: assign each doc to one of ``k`` output shards so per-shard
+    token totals are near-equal (round-robin over the GLOBAL descending
+    token-count order — the classic LPT-style greedy, deterministic and
+    engine-portable, unlike size-estimated file splits).
+
+    The global ordering uses the two-level exact rank
+    (ops/windows.scalable_row_number — SCALE.md "Global orderings without
+    global windows"), so no single task ever sorts the corpus.
+
+    Output: (doc_id, n_tokens, shard).
+    """
+    from sparkgraft.ops.windows import scalable_row_number
+
+    base = df.select(F.col(id_col), token_count(col).cast("bigint").alias("n_tokens"))
+    ranked = scalable_row_number(
+        base, [], [F.col("n_tokens").desc(), F.col(id_col).asc()], "__rn"
+    )
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        ((F.col("__rn") - 1) % k).cast("bigint").alias("shard"),
+    ).orderBy(id_col)

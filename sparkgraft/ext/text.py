@@ -78,10 +78,13 @@ def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Stopword-marker language ID: score each language by marker-token
     hits, pick the max (fixed precedence en>es>de>fr on ties, 'und' if no
-    hits). Deterministic by construction."""
+    hits). Deterministic by construction. ``keep`` passes extra columns
+    through (e.g. the declared lang for a confusion audit)."""
     t = _TOKENS_SQL.format(col=col)
     scores = {k: _count_in_set(t, v) for k, v in LANG_MARKERS.items()}
     case = (
@@ -94,7 +97,7 @@ def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
         f"WHEN {scores['fr']} > 0 THEN 'fr' "
         "ELSE 'und' END"
     )
-    return df.selectExpr(id_col, f"{case} AS lang_pred")
+    return df.selectExpr(id_col, *keep, f"{case} AS lang_pred")
 
 
 def normalize_text(col: str = "text") -> Column:

@@ -3602,7 +3602,7 @@ def q_streaming_state_inspect(spark, sf_dir):
 # freeze.  tests/test_registry_parity.py pins the window composition so
 # future insertions can't silently evict proof again.
 #
-# ROUND 5 ROTATION: lead with the 17 oracle-backed queries added after this
+# ROUND 5 ROTATION: lead with the 19 oracle-backed queries added after this
 # freeze — corpus_chunk_overlap, corpus_dup_span_fraction,
 # corpus_source_datacard, dedup_keep_canonical, embed_arrow_norms,
 # embed_kmeans_clusters, embed_knn_graph, events_variant_k_stats,
@@ -3610,7 +3610,8 @@ def q_streaming_state_inspect(spark, sf_dir):
 # old r03 rows were rows-only `no_oracle`, they need a first HASH row),
 # streaming_session_window, streaming_state_inspect, text_bigram_lm_score,
 # text_gopher_repetition, text_quality_classifier, udtf_split_sentences,
-# value_median_exact — plus ~3 proven sentinels; remaining slots re-prove
+# value_median_exact, corpus_shard_assign, text_langid_confusion —
+# plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).
 # ---------------------------------------------------------------------------

@@ -627,3 +627,26 @@ def q_corpus_dup_span_fraction(spark, sf_dir):
     with the interval-union window pattern."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.exact_dup_spans(docs, n=8, min_count=2)
+
+
+@register(
+    "corpus_shard_assign",
+    f"""
+    WITH tok AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                 FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM tok)
+    SELECT doc_id, n_tokens, (rn - 1) % 8 AS shard
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q_corpus_shard_assign(spark, sf_dir):
+    """Token-balanced output sharding (ext/corpus.shard_assign): round-robin
+    over the global descending token order (LPT-style greedy), the global
+    rank computed with the two-level exact rank so no task sorts the
+    corpus. The oracle's plain window is the single-task form the two-level
+    rank must equal bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.shard_assign(docs, k=8)

@@ -1511,3 +1511,43 @@ def q_events_variant_k_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    scores = {
+        k: f"len(list_filter(t, x -> list_contains([{', '.join(repr(w) for w in v)}], x)))"
+        for k, v in text.LANG_MARKERS.items()
+    }
+    case = (
+        "CASE "
+        f"WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
+        f" AND {scores['en']} >= {scores['fr']} AND {scores['en']} > 0 THEN 'en' "
+        f"WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']}"
+        f" AND {scores['es']} > 0 THEN 'es' "
+        f"WHEN {scores['de']} >= {scores['fr']} AND {scores['de']} > 0 THEN 'de' "
+        f"WHEN {scores['fr']} > 0 THEN 'fr' "
+        "ELSE 'und' END"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+    pred AS (SELECT lang, {case} AS lang_pred FROM tok)
+    SELECT lang, lang_pred, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """
+
+
+@register("text_langid_confusion", _langid_confusion_oracle())
+def q_text_langid_confusion(spark, sf_dir):
+    """Language-ID audit: confusion matrix of the declared lang column vs
+    the stopword-marker prediction (ext/text.lang_id) — the data-quality
+    relation a curation pipeline reviews before trusting either label.
+    One map pass + one tiny groupBy; no join (the prediction is computed
+    in the same projection that carries the declared label)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.lang_id(docs, keep=("lang",))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )

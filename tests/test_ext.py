@@ -704,3 +704,21 @@ def test_variant_extract_handles_missing_key(spark):
     }
     assert out["a"].n == 1 and out["a"].s == 5
     assert out["b"].n == 1 and out["b"].s == -2
+
+
+def test_shard_assign_balances_tokens(spark, sf_dir):
+    """Round-robin over the descending token order: shard token totals
+    within ~2 max-doc sizes of each other, doc counts within 1."""
+    from sparkgraft.ext import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = C.shard_assign(docs, k=8).collect()
+    tot = {}
+    cnt = {}
+    for r in out:
+        tot[r.shard] = tot.get(r.shard, 0) + r.n_tokens
+        cnt[r.shard] = cnt.get(r.shard, 0) + 1
+    assert len(tot) == 8
+    assert max(cnt.values()) - min(cnt.values()) <= 1
+    biggest_doc = max(r.n_tokens for r in out)
+    assert max(tot.values()) - min(tot.values()) <= 2 * biggest_doc

@@ -82,6 +82,8 @@ def test_driver_rows_cumulative_coverage():
         "embed_arrow_norms",
         "events_variant_k_stats",
         "streaming_state_inspect",
+        "corpus_shard_assign",
+        "text_langid_confusion",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
