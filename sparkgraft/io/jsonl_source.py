@@ -194,6 +194,9 @@ class JsonlDataSource(DataSource):
     def reader(self, schema: StructType) -> JsonlReader:
         return JsonlReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "JsonlSimpleStreamReader":  # noqa: N802
+        return JsonlSimpleStreamReader(schema, self.options)
+
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         import os
 
@@ -207,3 +210,59 @@ def register(spark) -> None:
     it here the same way readers.read_table sets its scan confs."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlDataSource)
+
+
+class JsonlSimpleStreamReader:
+    """Streaming face of the JSONL source (Spark 4
+    ``SimpleDataSourceStreamReader``): one *.jsonl file per micro-batch,
+    in sorted filename order — the deterministic replay convention
+    (offsets are {"files_read": N}, so a restart resumes at the next file
+    and ``readBetweenOffsets`` re-reads any committed span exactly).
+
+    The simple-reader API reads on the DRIVER (Spark re-distributes rows
+    to executors) — right for control-plane streams (file manifests,
+    change feeds, service APIs); a data-plane firehose would implement
+    the partitioned ``DataSourceStreamReader`` instead, with the same
+    offset contract and the batch reader's slab semantics per partition.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.dir = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files_read": 0}
+
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        return sorted(glob.glob(os.path.join(self.dir, "*.jsonl")))
+
+    def _rows(self, path: str) -> list[tuple]:
+        out = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    out.append(tuple(rec.get(f) for f in self.fields))
+        return out
+
+    def read(self, start: dict):  # noqa: N802 (API name)
+        files = self._files()
+        i = start["files_read"]
+        if i >= len(files):
+            return iter([]), start
+        return iter(self._rows(files[i])), {"files_read": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        files = self._files()
+        rows: list[tuple] = []
+        for i in range(start["files_read"], end["files_read"]):
+            rows.extend(self._rows(files[i]))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -94,3 +94,34 @@ def test_sink_roundtrip_and_commit_protocol(spark, tmp_path):
         .load()
     )
     assert back2.count() == 10
+
+
+def test_simple_stream_reader_offsets_and_replay(spark, tmp_path):
+    """File-per-batch offsets: sequential read()s traverse files in sorted
+    order, end offset is stable at EOF, and readBetweenOffsets replays any
+    committed span identically (the restart contract)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from sparkgraft.io.jsonl_source import JsonlSimpleStreamReader  # noqa: I001
+
+    for i, rows in enumerate(([{"a": 1}, {"a": 2}], [{"a": 3}], [{"a": 4}])):
+        with open(tmp_path / f"c{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = StructType.fromDDL("a bigint")
+    rd = JsonlSimpleStreamReader(schema, {"path": str(tmp_path)})
+    off = rd.initialOffset()
+    assert off == {"files_read": 0}
+    seq = []
+    for _ in range(3):
+        rows, off = rd.read(off)
+        seq.append(list(rows))
+    assert seq == [[(1,), (2,)], [(3,)], [(4,)]]
+    rows, off2 = rd.read(off)
+    assert list(rows) == [] and off2 == off == {"files_read": 3}
+    # replay the middle span
+    assert list(rd.readBetweenOffsets({"files_read": 0}, {"files_read": 2})) == [
+        (1,), (2,), (3,),
+    ]

@@ -84,6 +84,7 @@ def test_driver_rows_cumulative_coverage():
         "streaming_state_inspect",
         "corpus_shard_assign",
         "text_langid_confusion",
+        "custom_stream_jsonl_counts",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
