@@ -125,3 +125,46 @@ def test_simple_stream_reader_offsets_and_replay(spark, tmp_path):
     assert list(rd.readBetweenOffsets({"files_read": 0}, {"files_read": 2})) == [
         (1,), (2,), (3,),
     ]
+
+
+def test_simple_stream_reader_restart_resumes(spark, tmp_path):
+    """Checkpoint restart: run 1 drains two files and stops; a file lands
+    AFTER the stop; run 2 (new query object, same checkpoint) picks up at
+    files_read=2 and emits only the new file — no replay, no loss."""
+    import json
+
+    from sparkgraft.io import jsonl_source
+
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"c{i}.jsonl", "w") as fh:
+            fh.write(json.dumps({"a": i}) + "\n")
+    jsonl_source.register(spark)
+
+    def run_once():
+        stream = (
+            spark.readStream.format(jsonl_source.FORMAT_NAME)
+            .schema("a bigint")
+            .option("path", str(src))
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    run_once()
+    got1 = sorted(r.a for r in spark.read.parquet(out).collect())
+    assert got1 == [0, 1]
+    with open(src / "c2.jsonl", "w") as fh:
+        fh.write(json.dumps({"a": 2}) + "\n")
+    run_once()
+    got2 = sorted(r.a for r in spark.read.parquet(out).collect())
+    assert got2 == [0, 1, 2], "restart must resume at files_read=2, exactly-once"

@@ -85,6 +85,7 @@ def test_driver_rows_cumulative_coverage():
         "corpus_shard_assign",
         "text_langid_confusion",
         "custom_stream_jsonl_counts",
+        "scd2_point_in_time_lookup",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
