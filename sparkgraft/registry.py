@@ -3731,6 +3731,138 @@ def q_scd2_point_in_time_lookup(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@register(
+    "recursive_cte_hierarchy",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 'region' AS pkind, r_regionkey AS pid,
+             'nation' AS ckind, n_nationkey AS cid, n_name AS cname
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'nation', n_nationkey, 'customer', c_custkey, c_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    walk AS (
+      SELECT 'region' AS kind, CAST(r_regionkey AS BIGINT) AS id,
+             r_name AS path, 0 AS lvl
+      FROM region
+      UNION ALL
+      SELECT e.ckind, CAST(e.cid AS BIGINT), concat(w.path, '/', e.cname),
+             w.lvl + 1
+      FROM walk w JOIN edges e ON e.pkind = w.kind AND e.pid = w.id)
+    SELECT kind, id, path, lvl FROM walk ORDER BY kind, id
+    """,
+)
+def q_recursive_cte_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) materializing the
+    region -> nation -> customer hierarchy as typed paths — the modern SQL
+    surface for fixed-depth hierarchies (org charts, category trees,
+    BOM levels): one heterogeneous child-edge relation, an anchor of
+    roots, and a UNION ALL recursive member that joins the frontier to
+    its children; terminates at the tree depth (3 levels here).
+
+    Spark 4.1's recursive CTEs are UNION ALL-only (UNION dedup in the
+    recursive member is rejected), so CYCLIC closures — connected
+    components over the near-dup pair graph — stay on the union-find /
+    pointer-doubling operators (ext/dedup.dup_clusters), whose DuckDB
+    oracle runs the UNION-dedup recursion Spark can't yet. The oracle
+    here is the identical recursive SQL in DuckDB.
+
+    Scale: each recursion level is one equi-join of the current frontier
+    against the edge relation — levels x one-shuffle, the same shape as
+    the pagerank iteration; depth is the hierarchy's, not the data's.
+    """
+    for t in ("region", "nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__rh_{t}".format(t=t))
+    sql = """
+    WITH RECURSIVE edges AS (
+      SELECT 'region' AS pkind, r_regionkey AS pid,
+             'nation' AS ckind, n_nationkey AS cid, n_name AS cname
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'nation', n_nationkey, 'customer', c_custkey, c_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    walk AS (
+      SELECT 'region' AS kind, CAST(r_regionkey AS BIGINT) AS id,
+             r_name AS path, 0 AS lvl
+      FROM region
+      UNION ALL
+      SELECT e.ckind, CAST(e.cid AS BIGINT), concat(w.path, '/', e.cname),
+             w.lvl + 1
+      FROM walk w JOIN edges e ON e.pkind = w.kind AND e.pid = w.id)
+    SELECT kind, id, path, lvl FROM walk ORDER BY kind, id
+    """.replace(" region", " __rh_region").replace(
+        " nation", " __rh_nation").replace(" customer", " __rh_customer")
+    return spark.sql(sql)
+
+
+@register(
+    "sql_udf_value_buckets",
+    """
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_sql_udf_value_buckets(spark, sf_dir):
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    bucketing logic registers as a catalog scalar function and the
+    analyzer INLINES its body into the plan — full codegen, zero UDF
+    overhead, unlike Python UDFs. The oracle inlines the same CASE, so
+    the hash check proves the inlining is semantically transparent. The
+    team-shared-logic surface: one definition, every query calls it."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sparkgraft_bucket(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v < 50 THEN 'low' WHEN v < 150 THEN 'mid' ELSE 'high' END
+        """
+    )
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__squ_events")
+    return spark.sql(
+        """
+        SELECT sparkgraft_bucket(value) AS bucket, count(*) AS n
+        FROM __squ_events GROUP BY 1 ORDER BY bucket
+        """
+    )
+
+
+@register(
+    "collation_distinct_audit",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et
+      FROM events)
+    SELECT count(DISTINCT et) AS n_binary,
+           count(DISTINCT lower(et)) AS n_lcase
+    FROM mixed
+    """,
+)
+def q_collation_distinct_audit(spark, sf_dir):
+    """Spark 4 string collations: the same relation counted distinct under
+    binary (UTF8_BINARY) vs case-insensitive (UTF8_LCASE) collation —
+    mixed-case variants collapse under the collated comparison without
+    rewriting values through lower(). The oracle expresses the collated
+    count as count(DISTINCT lower(..)), so the hash check pins the
+    collation's equivalence classes to the normalize-then-compare
+    semantics. Collation is the catalog-level route: declared once on the
+    column, every comparison/join/group inherits it."""
+    ev = _t(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    return mixed.agg(
+        F.countDistinct("et").alias("n_binary"),
+        F.countDistinct(F.expr("collate(et, 'UTF8_LCASE')")).alias("n_lcase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -3744,7 +3876,7 @@ def q_scd2_point_in_time_lookup(spark, sf_dir):
 # freeze.  tests/test_registry_parity.py pins the window composition so
 # future insertions can't silently evict proof again.
 #
-# ROUND 5 ROTATION: lead with the 21 oracle-backed queries added after this
+# ROUND 5 ROTATION: lead with the 24 oracle-backed queries added after this
 # freeze — corpus_chunk_overlap, corpus_dup_span_fraction,
 # corpus_source_datacard, dedup_keep_canonical, embed_arrow_norms,
 # embed_kmeans_clusters, embed_knn_graph, events_variant_k_stats,
@@ -3753,7 +3885,8 @@ def q_scd2_point_in_time_lookup(spark, sf_dir):
 # streaming_session_window, streaming_state_inspect, text_bigram_lm_score,
 # text_gopher_repetition, text_quality_classifier, udtf_split_sentences,
 # value_median_exact, corpus_shard_assign, text_langid_confusion,
-# custom_stream_jsonl_counts, scd2_point_in_time_lookup —
+# custom_stream_jsonl_counts, scd2_point_in_time_lookup,
+# recursive_cte_hierarchy, sql_udf_value_buckets, collation_distinct_audit —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

@@ -86,6 +86,9 @@ def test_driver_rows_cumulative_coverage():
         "text_langid_confusion",
         "custom_stream_jsonl_counts",
         "scd2_point_in_time_lookup",
+        "recursive_cte_hierarchy",
+        "sql_udf_value_buckets",
+        "collation_distinct_audit",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
