@@ -650,3 +650,53 @@ def q_corpus_shard_assign(spark, sf_dir):
     rank must equal bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.shard_assign(docs, k=8)
+
+
+@register(
+    "corpus_vocab_growth",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    bg AS (SELECT doc_id, unnest({_shingles_d('t', 2)}) AS g
+           FROM tok WHERE len(t) >= 2),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY g),
+    buckets AS (
+      SELECT CAST(first_doc // 50 AS BIGINT) AS bucket, count(*) AS new_tokens
+      FROM firsts GROUP BY 1)
+    SELECT bucket, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM buckets ORDER BY bucket
+    """,
+)
+def q_corpus_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps-law) curve over word BIGRAMS (the raw
+    token vocabulary of the synthetic corpus saturates in one bucket):
+    distinct-bigram vocabulary size as the corpus is consumed in doc_id
+    order, in 50-doc buckets. Exact
+    cumulative distinct WITHOUT cumulative distinct-counting: each token
+    contributes at its FIRST document (min doc_id per token — one
+    hash-shuffled groupBy over tokens), buckets count first occurrences,
+    and the running sum reconstructs the exact curve over the TINY bucket
+    relation only (n_docs/50 rows — the global window is bounded by the
+    calendar-style trick, not the corpus)."""
+    from sparkgraft.ext.dedup import shingle_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", corpus.tokens("text").alias("__toks")
+    ).where(F.size("__toks") >= 2).select(
+        "doc_id", F.explode(F.expr(shingle_expr("__toks", 2))).alias("g")
+    )
+    firsts = bg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    buckets = (
+        firsts.groupBy((F.col("first_doc") / 50).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        buckets.withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
+        .orderBy("bucket")
+    )

@@ -89,6 +89,7 @@ def test_driver_rows_cumulative_coverage():
         "recursive_cte_hierarchy",
         "sql_udf_value_buckets",
         "collation_distinct_audit",
+        "corpus_vocab_growth",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
