@@ -492,3 +492,40 @@ def test_knn_graph_blocked_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"row_number\(\) windowspecdefinition\(src#", plan), plan
+
+
+def test_scd2_pit_lookup_no_nested_loop(spark, sf_dir):
+    """The point-in-time lookup's interval predicate must ride the user_id
+    EQUI-join (SortMergeJoin/ShuffledHashJoin post-filter), never a
+    nested-loop product."""
+    plan = _plan(spark, sf_dir, "scd2_point_in_time_lookup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # equi-join on user_id with the interval as ON-condition post-filter;
+    # AQE may pick BHJ (small versions side at test SF) or SMJ/SHJ at scale
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """The RAG chunker is pure map work before its final sort: the chunk
+    array builds per-row (Generate over a transform), with no join and no
+    aggregation anywhere."""
+    plan = _plan(spark, sf_dir, "corpus_chunk_overlap")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Generate posexplode" in plan or "Generate" in plan, plan
+
+
+def test_vocab_growth_global_window_tiny_relation_only(spark, sf_dir):
+    """The Heaps-curve running sum may use a global (unpartitioned) window
+    ONLY over the post-aggregation bucket relation: the window input must
+    sit above the bucket HashAggregate, and the token-level shuffle keys
+    on the bigram, not on a constant."""
+    plan = _plan(spark, sf_dir, "corpus_vocab_growth")
+    # window over buckets: exactly one SinglePartition exchange, fed by an agg
+    assert plan.count("SinglePartition") <= 2, plan  # window + final sort collapse
+    assert "hashpartitioning(g#" in plan, plan
