@@ -658,7 +658,8 @@ def q_corpus_shard_assign(spark, sf_dir):
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     bg AS (SELECT doc_id, unnest({_shingles_d('t', 2)}) AS g
            FROM tok WHERE len(t) >= 2),
-    firsts AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY g),
+    firsts AS (SELECT {_hash64_d('g')} AS h, min(doc_id) AS first_doc
+               FROM bg GROUP BY 1),
     buckets AS (
       SELECT CAST(first_doc // 50 AS BIGINT) AS bucket, count(*) AS new_tokens
       FROM firsts GROUP BY 1)
@@ -679,7 +680,10 @@ def q_corpus_vocab_growth(spark, sf_dir):
     hash-shuffled groupBy over tokens), buckets count first occurrences,
     and the running sum reconstructs the exact curve over the TINY bucket
     relation only (n_docs/50 rows — the global window is bounded by the
-    calendar-style trick, not the corpus)."""
+    calendar-style trick, not the corpus). The first-occurrence groupBy
+    keys on the 64-bit bigram hash, so a 100 TB corpus shuffles 8-byte
+    keys, never n-gram text (collisions are deterministic and mirrored
+    by the oracle's identical hashing)."""
     from sparkgraft.ext.dedup import shingle_expr
 
     docs = _t(spark, sf_dir, "documents")
@@ -688,7 +692,11 @@ def q_corpus_vocab_growth(spark, sf_dir):
     ).where(F.size("__toks") >= 2).select(
         "doc_id", F.explode(F.expr(shingle_expr("__toks", 2))).alias("g")
     )
-    firsts = bg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    from sparkgraft.ext.dedup import HASH64_SQL
+
+    firsts = bg.groupBy(
+        F.expr(HASH64_SQL.format(x="g")).alias("h")
+    ).agg(F.min("doc_id").alias("first_doc"))
     buckets = (
         firsts.groupBy((F.col("first_doc") / 50).cast("bigint").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("new_tokens"))
