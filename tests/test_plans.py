@@ -528,5 +528,7 @@ def test_vocab_growth_global_window_tiny_relation_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_vocab_growth")
     # window over buckets: exactly one SinglePartition exchange, fed by an agg
     assert plan.count("SinglePartition") <= 2, plan  # window + final sort collapse
-    # first-occurrence groupBy keys on the 64-bit bigram hash, not text
-    assert "hashpartitioning(h#" in plan, plan
+    # first-occurrence groupBy keys on the 64-bit bigram hash (an
+    # expression key, rendered _groupingexpression), never the text column
+    assert "hashpartitioning(_groupingexpression" in plan, plan
+    assert "hashpartitioning(g#" not in plan, plan
