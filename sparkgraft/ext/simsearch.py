@@ -752,3 +752,116 @@ def arrow_vector_norms(
     return emb.select(id_col, vec_col).mapInArrow(
         fn, f"{id_col} long, sumsq_micro long, l2_micro long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via exact-integer power iteration
+# ---------------------------------------------------------------------------
+
+PCA_C_SHIFT = 20  # covariance pre-scale: C' = C // 2^20 keeps matvecs in int64
+
+
+def pca_pc1_projections(
+    emb: DataFrame,
+    iters: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Projection of every embedding onto the TOP PRINCIPAL COMPONENT,
+    computed by power iteration in EXACT integer fixed-point — the
+    engine-portable PCA-lite a curation pipeline uses for embedding-drift
+    audits and 1-D stratification.
+
+    Determinism contract (mirrored operation-for-operation by the DuckDB
+    oracle): micro-unit quantization; per-dim means by pmod-floor
+    division; integer covariance C (exact, order-free); pre-scale
+    C' = sign(C)*(|C| >> shift) (toward-zero, DuckDB's integer-// rule)
+    so matvecs stay in int64; ``iters`` rounds (default 128 — the
+    near-isotropic test embeddings have lambda2/lambda1 ~ 0.99, so the
+    power method needs ~100 rounds; clustered production embeddings
+    converge in ~10) of
+    w = C'·v followed by infinity-norm renormalization with toward-zero
+    division (v_i = sign(w_i)·(|w_i| // (max|w|//1e6 + 1))). Every step
+    is integer, so the eigenvector — including its sign — is a pure
+    function of the data.
+
+    Scale shape: per-PARTITION covariance partials via mapInArrow
+    (numpy X^T·X per Arrow batch — one flattened dim² row per batch, no
+    row-level shuffle), summed in one tiny aggregation; the dim² driver
+    collect is model state (kmeans/pagerank contract). The final
+    projection is a map-only pass with the eigenvector inlined.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = emb.count()
+    if n == 0:
+        raise ValueError("empty embedding table")
+    quant_sql = (
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
+    )
+    q = emb.select(F.col(id_col), F.expr(quant_sql).alias("qv"))
+    sums = q.agg(
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
+    ).collect()[0]
+    means = [int(sums[f"s{i}"]) // n for i in range(dim)]
+    mean_arr = np.array(means, dtype=np.int64)
+
+    def cov_partials(batches):
+        for b in batches:
+            lst = b.column(0)
+            offs = np.asarray(lst.offsets)
+            rows = len(offs) - 1
+            if rows == 0:
+                continue
+            # input is the ALREADY-quantized int64 list column; slice the
+            # values buffer by the batch's offsets (robust to sliced arrays)
+            flat = np.asarray(lst.values, dtype=np.int64)
+            qv = flat[offs[0] : offs[-1]].reshape(rows, dim)
+            c = qv - mean_arr
+            p = (c.T @ c).reshape(-1)  # int64 exact for partition-sized batches
+            yield pa.record_batch([pa.array([p.tolist()])], names=["p"])
+
+    part = q.select("qv").mapInArrow(cov_partials, "p array<long>")
+    cov_rows = (
+        part.select(F.posexplode("p").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    C = np.zeros(dim * dim, dtype=object)
+    for r in cov_rows:
+        C[r["pos"]] = int(r["s"])
+    C = C.reshape(dim, dim)
+    # TOWARD-ZERO division on both engines: DuckDB's integer // truncates
+    # (-7 // 2 = -3), so mirror with sign·(|x| >> shift), not Python's //
+    Cp = np.array(
+        [
+            [
+                -((-int(x)) >> PCA_C_SHIFT) if int(x) < 0 else int(x) >> PCA_C_SHIFT
+                for x in row
+            ]
+            for row in C
+        ],
+        dtype=object,
+    )
+
+    v = [1_000_000] * dim
+    for _ in range(iters):
+        w = [sum(int(Cp[i][j]) * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        d = m // 1_000_000 + 1
+        v = [(-((-x) // d) if x < 0 else x // d) for x in w]
+
+    v_lit = ", ".join(f"CAST({x} AS BIGINT)" for x in v)
+    mean_lit = ", ".join(f"CAST({m} AS BIGINT)" for m in means)
+    proj = (
+        f"aggregate(zip_with(zip_with(qv, array({mean_lit}), (x, mu) -> x - mu),"
+        f" array({v_lit}), (c, vv) -> c * vv), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    return q.select(
+        id_col, F.expr(proj).alias("pc1_proj")
+    ).orderBy(id_col)

@@ -3876,7 +3876,7 @@ def q_collation_distinct_audit(spark, sf_dir):
 # freeze.  tests/test_registry_parity.py pins the window composition so
 # future insertions can't silently evict proof again.
 #
-# ROUND 5 ROTATION: lead with the 25 oracle-backed queries added after this
+# ROUND 5 ROTATION: lead with the 26 oracle-backed queries added after this
 # freeze — corpus_chunk_overlap, corpus_dup_span_fraction,
 # corpus_source_datacard, dedup_keep_canonical, embed_arrow_norms,
 # embed_kmeans_clusters, embed_knn_graph, events_variant_k_stats,
@@ -3887,7 +3887,7 @@ def q_collation_distinct_audit(spark, sf_dir):
 # value_median_exact, corpus_shard_assign, text_langid_confusion,
 # custom_stream_jsonl_counts, scd2_point_in_time_lookup,
 # recursive_cte_hierarchy, sql_udf_value_buckets, collation_distinct_audit,
-# corpus_vocab_growth —
+# corpus_vocab_growth, embed_pca_projection —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

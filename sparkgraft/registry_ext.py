@@ -1367,7 +1367,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
         " i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)"
     )
     parts = [
-        f"""qv AS (
+        f"""qv AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
       FROM embeddings),
@@ -1551,3 +1551,58 @@ def q_text_langid_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+def _pca_oracle(dim: int = 64, iters: int = 128, shift: int = 20) -> str:
+    two_s = 1 << shift
+    parts = [
+        f"""qv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM qv),
+    ex AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM qv),
+    sm AS (SELECT dim, CAST(sum(val) AS BIGINT) AS s FROM ex GROUP BY dim),
+    meanv AS (SELECT dim, (s - ((s % n) + n) % n) // n AS mu FROM sm CROSS JOIN nn),
+    cx AS MATERIALIZED (SELECT e.vec_id, e.dim, e.val - m.mu AS c FROM ex e JOIN meanv m USING (dim)),
+    cov AS (
+      SELECT a.dim AS i, b.dim AS j, CAST(sum(a.c * b.c) AS BIGINT) AS cij
+      FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+    cp AS MATERIALIZED (SELECT i, j, cij // {two_s} AS cv FROM cov),
+    v0 AS (SELECT unnest(generate_series(1, {dim})) AS j, CAST(1000000 AS BIGINT) AS x)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT cp.i, CAST(sum(cp.cv * v{t}.x) AS BIGINT) AS w
+      FROM cp JOIN v{t} ON v{t}.j = cp.j GROUP BY cp.i),
+    m{t} AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w{t}),
+    v{t + 1} AS MATERIALIZED (
+      SELECT i AS j,
+             CASE WHEN w < 0 THEN -((-w) // d) ELSE w // d END AS x
+      FROM w{t} CROSS JOIN m{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT c.vec_id, CAST(sum(c.c * vf.x) AS BIGINT) AS pc1_proj
+    FROM cx c JOIN v{iters} vf ON vf.j = c.dim
+    GROUP BY c.vec_id ORDER BY c.vec_id
+    """
+    )
+
+
+@register("embed_pca_projection", _pca_oracle())
+def q_embed_pca_projection(spark, sf_dir):
+    """Projection of every embedding onto the top principal component,
+    computed by EXACT-INTEGER power iteration
+    (ext/simsearch.pca_pc1_projections): micro-unit quantization,
+    pmod-floor means, exact integer covariance from per-partition
+    mapInArrow partials, toward-zero pre-scale, 128 integer matvec +
+    infinity-norm renormalization rounds. Every step is integer
+    arithmetic, so the eigenvector — sign included — is a pure function
+    of the data, and the oracle unrolls the identical iteration in SQL.
+    The dim² covariance collect is model state (kmeans/pagerank
+    contract); the projection pass is map-only with the vector inlined."""
+    return simsearch.pca_pc1_projections(_t(spark, sf_dir, "embeddings"))

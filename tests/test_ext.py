@@ -722,3 +722,24 @@ def test_shard_assign_balances_tokens(spark, sf_dir):
     assert max(cnt.values()) - min(cnt.values()) <= 1
     biggest_doc = max(r.n_tokens for r in out)
     assert max(tot.values()) - min(tot.values()) <= 2 * biggest_doc
+
+
+def test_pca_projection_aligns_with_true_eigenvector(spark, sf_dir):
+    """The integer power-iteration projections must align with projections
+    onto numpy's true top eigenvector (|cosine| > 0.99 over the projection
+    vectors) — proving the fixed-point arithmetic converges to the real
+    principal component, not just a deterministic artifact."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: r.pc1_proj for r in simsearch.pca_pc1_projections(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc
+    evals, evecs = np.linalg.eigh(C)
+    pc1 = evecs[:, -1]
+    true_proj = Xc @ pc1
+    mine = np.array([got[r.vec_id] for r in rows], dtype=np.float64)
+    cos = abs(np.dot(mine, true_proj)) / (np.linalg.norm(mine) * np.linalg.norm(true_proj))
+    assert cos > 0.99, f"projection alignment only {cos}"

@@ -90,6 +90,7 @@ def test_driver_rows_cumulative_coverage():
         "sql_udf_value_buckets",
         "collation_distinct_audit",
         "corpus_vocab_growth",
+        "embed_pca_projection",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
