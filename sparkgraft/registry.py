@@ -3864,6 +3864,261 @@ def q_collation_distinct_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Ops & observability lane: the queries a team actually runs AROUND a 100 TB
+# engine — copy validation, skew diagnosis, column profiling, TWAP.
+# ---------------------------------------------------------------------------
+
+# Canonical row rendering for the fingerprint: integers and scaled-integer
+# decimals only (double->string formatting differs between engines; ts goes
+# through epoch-days).  TPC-H decimals are exact at 2dp, so round(x*100) is
+# integer-stable on both sides.
+_FP_CANON_SPARK = (
+    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+    " CAST(round(l_quantity * 100) AS BIGINT),"
+    " CAST(round(l_extendedprice * 100) AS BIGINT),"
+    " CAST(round(l_discount * 100) AS BIGINT),"
+    " CAST(round(l_tax * 100) AS BIGINT),"
+    " l_returnflag, l_linestatus,"
+    " datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01'))"
+)
+
+
+@register(
+    "table_fingerprint",
+    """
+    WITH c AS (
+      SELECT concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CAST(round(l_quantity * 100) AS BIGINT),
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               CAST(round(l_discount * 100) AS BIGINT),
+               CAST(round(l_tax * 100) AS BIGINT),
+               l_returnflag, l_linestatus,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             ) AS s
+      FROM lineitem),
+    h AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM c)
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(h AS HUGEINT)) AS VARCHAR) AS sum_hash,
+           bit_xor(h) AS xor_hash
+    FROM h
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent table content fingerprint — the check you run after
+    copying / compacting / re-partitioning 100 TB to prove the bytes moved
+    intact.  Each row renders to a canonical string (integers + scaled-int
+    decimals + epoch-days; never double->string, whose formatting is
+    engine-specific), hashes through the portable md5-derived HASH64, and the
+    table digest is (count, exact decimal SUM of hashes, BIT_XOR of hashes).
+    Sum and xor are both commutative, so the digest is invariant under any
+    partitioning, shuffle order, or file layout — two tables match iff the
+    three numbers match (sum over DECIMAL(38,0)/HUGEINT: no overflow below
+    ~1e19 rows; xor is overflow-free at any scale).  The whole thing is one
+    codegen'd map + a 3-value aggregate: no shuffle at all beyond the final
+    single-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.expr(
+            "CAST(conv(substr(md5(" + _FP_CANON_SPARK + "), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h")
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
+        F.expr("bit_xor(h)").alias("xor_hash"),
+    )
+
+
+@register(
+    "skew_key_audit",
+    """
+    WITH k AS (SELECT user_id, count(*) AS n_events
+               FROM events GROUP BY user_id),
+    t AS (SELECT sum(n_events) AS total FROM k)
+    SELECT user_id, n_events,
+           CAST((1000000 * n_events) // total AS BIGINT) AS share_ppm
+    FROM k, t
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_skew_key_audit(spark, sf_dir):
+    """Pre-join skew diagnosis: the 10 heaviest shuffle keys with their ppm
+    share of all rows.  This is the query you run BEFORE a 100 TB join to
+    decide whether a key needs salting (`sessionize_skew_split`) or AQE skew
+    handling — a key above ~1e4 ppm on a 1000-executor cluster means one
+    task owns >1% of the shuffle.  Plan: one partial-agg'd groupBy on the
+    key, a broadcast of the single-row total (scalar cross join), and a
+    TakeOrderedAndProject top-10 — no global sort, nothing driver-side.
+    share_ppm is exact integer arithmetic (floor division), so the hash is
+    engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = k.agg(F.sum("n_events").alias("total"))
+    return top_k(
+        k.crossJoin(F.broadcast(total)).select(
+            "user_id",
+            "n_events",
+            F.expr("(1000000 * n_events) div total").alias("share_ppm"),
+        ),
+        [F.col("n_events").desc(), F.col("user_id")],
+        10,
+    )
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS gap
+      FROM events),
+    d AS (SELECT user_id, value, least(gap, 3600) AS dur
+          FROM s WHERE gap IS NOT NULL AND gap > 0)
+    SELECT user_id,
+           CAST(sum(dur) AS BIGINT) AS active_seconds,
+           CAST(sum(CAST(value * dur AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(sum(dur) AS DOUBLE) AS twa_value
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_time_weighted_avg_value(spark, sf_dir):
+    """Time-weighted average (TWAP-style): each event's value weighted by the
+    seconds until the user's next event, capped at 3600 s so overnight gaps
+    don't dominate — the standard irregular-time-series -> fixed-statistic
+    reduction (sensor rollups, position-weighted prices, engagement
+    intensity).  Last event per user has no forward duration and is
+    excluded; zero-duration pairs (same-second events) are excluded so the
+    weighting is purely temporal.  Plan: one user-partitioned lead() window
+    (bounded partitions on a high-cardinality key), then a groupBy on the
+    SAME key — AQE reuses the window's hash partitioning, so the aggregate
+    is shuffle-free.  The weighted sum goes through the exact-decimal path
+    (ops/relational.exact_sum rationale): order-free, hash-stable; the
+    single final division is deterministic IEEE."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    # cap AFTER the null filter: least() skips NULLs in both engines, so
+    # least(gap, 3600) would hand the (excluded-by-contract) last event a
+    # full 3600 s weight instead of dropping it
+    d = (
+        ev.select("user_id", "value", gap.alias("gap"))
+        .where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .select("user_id", "value", F.least("gap", F.lit(3600)).alias("dur"))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("bigint").alias("active_seconds"),
+            (
+                F.sum((F.col("value") * F.col("dur")).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.sum("dur").cast("double")
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "column_profile_lineitem",
+    """
+    SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_null,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity), min(l_quantity), max(l_quantity),
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount), min(l_discount), max(l_discount),
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag), NULL, NULL,
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate), NULL, NULL,
+           CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+           CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def q_column_profile_lineitem(spark, sf_dir):
+    """One-pass column profiler: null count, exact distinct count, and
+    min/max for a mixed numeric/string/date column set, emitted long-form
+    (one row per column) — the data-quality snapshot every ingest of a new
+    100 TB source starts with.  All 20 aggregates run in a SINGLE scan and
+    a single aggregate (Spark plans multi-distinct via one Expand — a 5x
+    row multiplication, the exact-distinct price; the sketch alternative is
+    the approx lane's HLL).  The wide 1-row aggregate then unpivots to
+    long-form with stack() — 5 rows, driver-free.  min/max split into
+    typed channels (min_num DOUBLE / min_str VARCHAR) because min-of-double
+    and min-of-string can't share a column without engine-specific
+    formatting; dates render through the ISO DATE cast, identical on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    wide = li.agg(
+        n.alias("n_rows"),
+        (n - F.count("l_orderkey")).alias("null_ok"),
+        F.countDistinct("l_orderkey").alias("nd_ok"),
+        F.min("l_orderkey").cast("double").alias("mn_ok"),
+        F.max("l_orderkey").cast("double").alias("mx_ok"),
+        (n - F.count("l_quantity")).alias("null_q"),
+        F.countDistinct("l_quantity").alias("nd_q"),
+        F.min("l_quantity").alias("mn_q"),
+        F.max("l_quantity").alias("mx_q"),
+        (n - F.count("l_discount")).alias("null_d"),
+        F.countDistinct("l_discount").alias("nd_d"),
+        F.min("l_discount").alias("mn_d"),
+        F.max("l_discount").alias("mx_d"),
+        (n - F.count("l_returnflag")).alias("null_rf"),
+        F.countDistinct("l_returnflag").alias("nd_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        (n - F.count("l_shipdate")).alias("null_sd"),
+        F.countDistinct("l_shipdate").alias("nd_sd"),
+        F.min(F.col("l_shipdate").cast("date")).cast("string").alias("mn_sd"),
+        F.max(F.col("l_shipdate").cast("date")).cast("string").alias("mx_sd"),
+    )
+    return wide.selectExpr(
+        """stack(5,
+          'l_orderkey',  null_ok, nd_ok, mn_ok, mx_ok,
+                         CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_quantity',  null_q,  nd_q,  mn_q,  mx_q,
+                         CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_discount',  null_d,  nd_d,  mn_d,  mx_d,
+                         CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'l_returnflag', null_rf, nd_rf, CAST(NULL AS DOUBLE),
+                         CAST(NULL AS DOUBLE), mn_rf, mx_rf,
+          'l_shipdate',  null_sd, nd_sd, CAST(NULL AS DOUBLE),
+                         CAST(NULL AS DOUBLE), mn_sd, mx_sd
+        ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)
+        """,
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
 # artifact, not an accident of module layout.  Round 4's window: the 45
@@ -3887,7 +4142,9 @@ def q_collation_distinct_audit(spark, sf_dir):
 # value_median_exact, corpus_shard_assign, text_langid_confusion,
 # custom_stream_jsonl_counts, scd2_point_in_time_lookup,
 # recursive_cte_hierarchy, sql_udf_value_buckets, collation_distinct_audit,
-# corpus_vocab_growth, embed_pca_projection —
+# corpus_vocab_growth, embed_pca_projection, table_fingerprint,
+# skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
+# corpus_temperature_mix —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

@@ -708,3 +708,118 @@ def q_corpus_vocab_growth(spark, sf_dir):
         buckets.withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    """
+    WITH s AS (SELECT source, count(*) AS n_docs
+               FROM documents GROUP BY source),
+    w0 AS (SELECT source, n_docs, n_docs * 1000000 AS d,
+                  CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)
+                    AS w0
+           FROM s),
+    w1 AS (SELECT source, n_docs, d,
+                  w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= d THEN 1 ELSE 0 END)
+                    AS w1
+           FROM w0),
+    w AS (SELECT source, n_docs,
+                 w1 - (CASE WHEN w1 * w1 > d THEN 1 ELSE 0 END) AS wgt
+          FROM w1),
+    p AS (SELECT source, n_docs, wgt,
+                 CAST((1000000 * wgt) // (SELECT sum(wgt) FROM w) AS BIGINT)
+                   AS p_ppm,
+                 (SELECT CAST(sum(n_docs) // 2 AS BIGINT) FROM w) AS target
+          FROM w),
+    q AS (SELECT source, n_docs, wgt, p_ppm,
+                 least(1000000, CAST((target * p_ppm) // n_docs AS BIGINT))
+                   AS keep_ppm
+          FROM p),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN q USING (source)
+      WHERE ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000) + 1000000) % 1000000 < q.keep_ppm
+      GROUP BY d.source)
+    SELECT q.source, q.n_docs, q.wgt, q.p_ppm, q.keep_ppm,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM q LEFT JOIN kept k ON q.source = k.source
+    ORDER BY q.source
+    """,
+)
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (the mC4 / XLM-R alpha-sampling
+    recipe, alpha = 0.5): sampling probability per source proportional to
+    n_docs^alpha, so low-resource sources are up-weighted relative to their
+    raw share before training-mix interleave.  Every number is EXACT
+    integer arithmetic, engine-reproducible:
+
+    - n^0.5 is computed as isqrt(n * 1e6) — floor(sqrt(double)) with a
+      +/-1 integer correction, which equals the true integer sqrt for any
+      n below 2^52 (the double mantissa bound; docstring contract).
+    - shares quantize to ppm via floor division off the exact weights;
+      per-source keep rate = floor(target * p_ppm / n_docs) capped at 1e6
+      (bigint-safe below ~9e18 = target_rows x 1e6).
+    - membership is the corpus-standard deterministic HASH64(doc_id) mod
+      1e6 threshold — repartition/rerun-stable, no RNG state, and the SAME
+      hash any downstream holdout split uses.
+
+    Plan: a partial-agg'd groupBy(source) produces a tiny stats relation;
+    weight totals ride an unpartitioned window over that ~|sources|-row
+    relation (bounded by source cardinality, NOT data size); the keep-rate
+    table broadcasts back onto documents for the membership filter.  One
+    wide shuffle total at any SF."""
+    from pyspark.sql import Window as W
+
+    from sparkgraft.ext.dedup import HASH64_SQL
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    d = (F.col("n_docs") * 1000000).cast("bigint")
+    w0 = F.floor(F.sqrt(d.cast("double"))).cast("bigint")
+    w1 = w0 + F.when((w0 + 1) * (w0 + 1) <= d, 1).otherwise(0)
+    wgt = w1 - F.when(w1 * w1 > d, 1).otherwise(0)
+    stats = s.select("source", "n_docs", wgt.alias("wgt"))
+    everything = W.partitionBy()
+    q = (
+        stats.select(
+            "source",
+            "n_docs",
+            "wgt",
+            F.sum("wgt").over(everything).alias("wgt_total"),
+            F.sum("n_docs").over(everything).alias("docs_total"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "wgt",
+            "(1000000 * wgt) div wgt_total AS p_ppm",
+            "docs_total div 2 AS target",
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "wgt",
+            "p_ppm",
+            "least(1000000, (target * p_ppm) div n_docs) AS keep_ppm",
+        )
+    )
+    h = F.expr(f"pmod({HASH64_SQL.format(x='CAST(doc_id AS STRING)')}, 1000000)")
+    kept = (
+        docs.join(F.broadcast(q.select("source", "keep_ppm")), "source")
+        .where(h < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        q.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "wgt",
+            "p_ppm",
+            "keep_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -202,3 +202,139 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             assert lo <= v <= hi, (etype, p, v, lo, hi)
     for row in registry.queries()["value_quantiles_approx"](spark, sf_dir).collect():
         assert row.p50_ok and row.p90_ok and row.p99_ok, row
+
+
+def test_table_fingerprint_partition_invariant(spark, sf_dir):
+    """The fingerprint's whole claim is layout-invariance: any repartition /
+    shuffle order must produce the identical (n_rows, sum_hash, xor_hash)
+    digest, and any single-cell mutation must change it."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.registry import _FP_CANON_SPARK, queries
+    from sparkgraft.io.readers import read_table
+
+    base = queries()["table_fingerprint"](spark, sf_dir).collect()[0]
+
+    def digest(df):
+        h = df.select(
+            F.expr(
+                "CAST(conv(substr(md5("
+                + _FP_CANON_SPARK
+                + "), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h")
+        )
+        return h.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
+            F.expr("bit_xor(h)").alias("xor_hash"),
+        ).collect()[0]
+
+    li = read_table(spark, sf_dir, "lineitem")
+    shuffled = digest(li.repartition(13, "l_partkey"))
+    assert tuple(shuffled) == tuple(base)
+
+    mutated = digest(
+        li.withColumn(
+            "l_quantity",
+            F.when(
+                F.col("l_orderkey") == li.select(F.min("l_orderkey")).collect()[0][0],
+                F.col("l_quantity") + 1.0,
+            ).otherwise(F.col("l_quantity")),
+        )
+    )
+    assert mutated["n_rows"] == base["n_rows"]
+    assert mutated["sum_hash"] != base["sum_hash"]
+    assert mutated["xor_hash"] != base["xor_hash"]
+
+
+def test_temperature_mix_isqrt_exact(spark):
+    """The alpha=0.5 weight is claimed to be the EXACT integer sqrt of
+    n_docs*1e6 (floor(sqrt(double)) with +/-1 correction).  Check the Spark
+    expression against math.isqrt on adversarial values: perfect squares,
+    squares +/-1, and values near the 2^52 double-mantissa contract bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, 2, 3, 4, 5, 24, 25, 26, 10**6, 10**6 - 1, 10**6 + 1]
+    vals += [x for k in (67108864, 94906265) for x in (k * k - 1, k * k, k * k + 1)]
+    vals += [2**52 - 1, 2**52]
+    df = spark.createDataFrame([(v,) for v in vals], "d: long")
+    w0 = F.floor(F.sqrt(F.col("d").cast("double"))).cast("bigint")
+    df = df.withColumn("w0", w0)
+    w1 = F.col("w0") + F.when((F.col("w0") + 1) * (F.col("w0") + 1) <= F.col("d"), 1).otherwise(0)
+    df = df.withColumn("w1", w1)
+    out = df.withColumn(
+        "w", F.col("w1") - F.when(F.col("w1") * F.col("w1") > F.col("d"), 1).otherwise(0)
+    ).select("d", "w").collect()
+    for row in out:
+        assert row["w"] == math.isqrt(row["d"]), (row["d"], row["w"])
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_dir):
+    """With alpha=0.5 a below-average source must get p_ppm ABOVE its raw
+    ppm share and a large source below it (that is the point of temperature
+    sampling); keep_ppm stays in [0, 1e6]; kept counts are bounded by
+    n_docs and deterministic across reruns."""
+    from sparkgraft.registry import queries
+
+    rows = queries()["corpus_temperature_mix"](spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        raw_ppm = 1_000_000 * r["n_docs"] // total
+        if r["n_docs"] * len(rows) < total:
+            assert r["p_ppm"] > raw_ppm, (r["source"], r["p_ppm"], raw_ppm)
+        elif r["n_docs"] * len(rows) > total:
+            assert r["p_ppm"] < raw_ppm, (r["source"], r["p_ppm"], raw_ppm)
+        assert 0 <= r["keep_ppm"] <= 1_000_000
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    rows2 = queries()["corpus_temperature_mix"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_twap_constant_value_user(spark):
+    """For a user whose events all carry the same value v, the
+    time-weighted average is exactly v regardless of spacing, and the
+    3600 s cap bounds each weight: replicate the registry expression on a
+    constructed frame where gaps straddle the cap."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 7.5),
+        (2, 1, t0 + dt.timedelta(seconds=10), 7.5),
+        (3, 1, t0 + dt.timedelta(hours=5), 7.5),   # gap far beyond cap
+        (4, 1, t0 + dt.timedelta(hours=5, seconds=30), 7.5),
+        (5, 2, t0, 1.0),
+        (6, 2, t0 + dt.timedelta(seconds=100), 3.0),
+        (7, 2, t0 + dt.timedelta(seconds=200), 99.0),  # last: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    d = (
+        df.select("user_id", "value", gap.alias("gap"))
+        .where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .select("user_id", "value", F.least("gap", F.lit(3600)).alias("dur"))
+    )
+    out = {
+        r["user_id"]: r
+        for r in d.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("bigint").alias("active_seconds"),
+            (
+                F.sum((F.col("value") * F.col("dur")).cast("decimal(28,6)")).cast("double")
+                / F.sum("dur").cast("double")
+            ).alias("twa_value"),
+        )
+        .collect()
+    }
+    assert out[1]["active_seconds"] == 10 + 3600 + 30
+    assert out[1]["twa_value"] == 7.5
+    # user 2: 1.0 for 100s then 3.0 for 100s -> 2.0; the 99.0 tail never weighs in
+    assert out[2]["active_seconds"] == 200
+    assert out[2]["twa_value"] == 2.0

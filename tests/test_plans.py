@@ -532,3 +532,49 @@ def test_vocab_growth_global_window_tiny_relation_only(spark, sf_dir):
     # expression key, rendered _groupingexpression), never the text column
     assert "hashpartitioning(_groupingexpression" in plan, plan
     assert "hashpartitioning(g#" not in plan, plan
+
+
+def test_table_fingerprint_map_only_single_reduce(spark, sf_dir):
+    """The fingerprint is one codegen'd map + a 3-value aggregate: the ONLY
+    exchange allowed is the final single-partition reduce of partial
+    digests — no hash shuffle, no sort, no driver-side row movement."""
+    plan = _plan(spark, sf_dir, "table_fingerprint")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Sort" not in plan, plan
+    assert "partial" in plan, "map-side partial digest missing"
+
+
+def test_skew_key_audit_topk_no_global_sort(spark, sf_dir):
+    """Top-10 heavy keys must ride TakeOrderedAndProject (per-partition
+    heap), never a global sort of the per-key counts; the single-row total
+    joins back as a broadcast."""
+    plan = _final_plan(spark, sf_dir, "skew_key_audit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_twap_window_and_agg_share_partitioning(spark, sf_dir):
+    """lead() partitions by user_id and the groupBy aggregates the same
+    key, so exactly ONE events-sized hash exchange may appear — a second
+    one means the aggregate re-shuffled what the window already
+    partitioned."""
+    plan = _plan(spark, sf_dir, "time_weighted_avg_value")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_column_profile_single_scan_expand(spark, sf_dir):
+    """All 20 profile aggregates must come off ONE scan of lineitem (the
+    multi-distinct Expand), not one scan per column."""
+    plan = _plan(spark, sf_dir, "column_profile_lineitem")
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, plan
+    assert "Expand" in plan, "multi-distinct should plan a single Expand"
+
+
+def test_temperature_mix_membership_broadcasts(spark, sf_dir):
+    """The per-source keep-rate table must broadcast onto documents for the
+    membership filter — a sort-merge join of a ~|sources|-row relation
+    against the corpus is the 100 TB failure mode.  The global-window sums
+    may only run over the tiny per-source stats relation."""
+    plan = _final_plan(spark, sf_dir, "corpus_temperature_mix")
+    assert "BroadcastHashJoin" in plan, plan

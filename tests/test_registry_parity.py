@@ -91,6 +91,11 @@ def test_driver_rows_cumulative_coverage():
         "collation_distinct_audit",
         "corpus_vocab_growth",
         "embed_pca_projection",
+        "table_fingerprint",
+        "skew_key_audit",
+        "time_weighted_avg_value",
+        "column_profile_lineitem",
+        "corpus_temperature_mix",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
