@@ -4118,6 +4118,233 @@ def q_column_profile_lineitem(spark, sf_dir):
     ).orderBy("col_name")
 
 
+@register(
+    "ewma_user_value",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS k
+      FROM events),
+    t AS (SELECT user_id, value, pow(0.5, k) AS w FROM r WHERE k < 64)
+    SELECT user_id,
+           count(*) AS n_terms,
+           CAST(sum(CAST(value * w AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS ewma_value
+    FROM t
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_ewma_user_value(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's value series
+    (newest-first weights 0.5^k over the last 64 events) — the recency-
+    weighted feature every behavioral model wants, normalized so a constant
+    series returns the constant (pandas ewm(adjust=True) semantics).
+
+    Exactness: alpha is 1/2, so every weight 0.5^k is a power of two —
+    EXACTLY representable in a double, and pow(0.5, k) is correctly
+    rounded (hence identical) in both engines; value * w is then a single
+    deterministic IEEE multiply per row, and numerator/denominator go
+    through the exact-decimal order-free sum before ONE final division.
+    The k < 64 cut keeps weights far above subnormal territory and bounds
+    per-row work.  Plan: one user-partitioned row_number window, then a
+    groupBy on the SAME key — the aggregate reuses the window's hash
+    partitioning, one events-sized exchange total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id", "value", (F.row_number().over(w) - 1).alias("k")
+    ).where(F.col("k") < 64)
+    t = r.select("user_id", "value", F.pow(F.lit(0.5), F.col("k")).alias("w"))
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (
+                F.sum((F.col("value") * F.col("w")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.sum(F.col("w").cast("decimal(38,12)")).cast("double")
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# The simulated "next snapshot" for the CDC diff: deterministic hash-bucket
+# edits so both engines construct the identical successor table.
+#   bucket 0  (1%): row deleted
+#   bucket 1  (1%): o_totalprice increased by 1.00 (an update)
+#   bucket 2  (1%): cloned as a NEW order under key+10^12 (an insert)
+_SNAP_BUCKET = "pmod(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"
+_SNAP_BUCKET_D = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+    WITH b AS (SELECT *, {_SNAP_BUCKET_D} AS bkt FROM orders),
+    curr AS (
+      SELECT o_orderkey,
+             CASE WHEN bkt = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderstatus FROM b WHERE bkt <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
+      FROM b WHERE bkt = 2),
+    base_h AS (SELECT o_orderkey AS k,
+                      md5(concat_ws('|', CAST(round(o_totalprice * 100) AS BIGINT),
+                                    o_orderstatus)) AS h
+               FROM orders),
+    curr_h AS (SELECT o_orderkey AS k,
+                      md5(concat_ws('|', CAST(round(o_totalprice * 100) AS BIGINT),
+                                    o_orderstatus)) AS h
+               FROM curr),
+    d AS (
+      SELECT CASE WHEN b.k IS NULL THEN 'added'
+                  WHEN c.k IS NULL THEN 'removed'
+                  WHEN b.h <> c.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM base_h b FULL OUTER JOIN curr_h c ON b.k = c.k)
+    SELECT change_type, count(*) AS n_rows
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q_snapshot_diff_orders(spark, sf_dir):
+    """CDC-style snapshot diff: given two snapshots of a keyed table,
+    classify every key as added / removed / changed / unchanged — the
+    reconciliation step behind incremental re-ingestion and copy audits.
+    The successor snapshot is constructed deterministically (hash buckets:
+    1% deletes, 1% price updates, 1% cloned inserts), so both engines diff
+    the identical pair.  The diff itself is the scale pattern that
+    matters: ONE full-outer equi-join on the key comparing a per-row md5
+    content hash (computed map-side, canonical scaled-integer rendering) —
+    never column-by-column comparison of wide rows across the shuffle; at
+    100 TB the shuffle carries (key, 32-byte hash), not the row payload.
+    The 4-row classification aggregate is map-side combinable."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.withColumn("bkt", F.expr(_SNAP_BUCKET))
+    curr = (
+        b.where("bkt <> 0")
+        .select(
+            "o_orderkey",
+            F.when(F.col("bkt") == 1, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            b.where("bkt = 2").select(
+                (F.col("o_orderkey") + F.lit(1000000000000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    row_h = F.md5(
+        F.concat_ws(
+            "|",
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.col("o_orderstatus"),
+        )
+    )
+    base_h = orders.select(F.col("o_orderkey").alias("k"), row_h.alias("h"))
+    curr_h = curr.select(F.col("o_orderkey").alias("k"), row_h.alias("h"))
+    d = base_h.alias("b").join(
+        curr_h.alias("c"), F.col("b.k") == F.col("c.k"), "full_outer"
+    )
+    return (
+        d.select(
+            F.when(F.col("b.k").isNull(), "added")
+            .when(F.col("c.k").isNull(), "removed")
+            .when(F.col("b.h") != F.col("c.h"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )
+
+
+def _z_interleave_spark(x: str, y: str, bits: int = 16) -> str:
+    """Morton/Z-value: interleave the low `bits` bits of x (even positions)
+    and y (odd positions).  Generated as a flat sum of masked shifts so the
+    whole thing stays inside whole-stage codegen."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _z_interleave_duck(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_Z_X_S = "(user_id % 65536)"
+_Z_Y_S = "(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 65536)"
+_Z_X_D = "(user_id % 65536)"
+_Z_Y_D = "(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536)"
+
+
+@register(
+    "zorder_layout_audit",
+    f"""
+    WITH z AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             {_z_interleave_duck(_Z_X_D, _Z_Y_D)} AS zval
+      FROM events)
+    SELECT CAST(zval // 67108864 AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(day_idx) AS min_day, max(day_idx) AS max_day
+    FROM z
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """,
+)
+def q_zorder_layout_audit(spark, sf_dir):
+    """Z-order (Morton-curve) layout audit: the multi-dimensional
+    clustering key behind Delta/Iceberg OPTIMIZE ZORDER.  Interleaving the
+    bits of (user_id, day) gives a single sort key under which ranges of
+    the curve are bounded in BOTH dimensions at once — so a table
+    range-partitioned and written by zval lets parquet row-group min/max
+    stats prune scans filtered on either column (the single-dim version of
+    this argument is proven against real row-group stats in
+    test_clustered_write_makes_rowgroup_stats_selective).  The audit
+    reports, per curve range (top-6-bit bucket = zval div 2^26), the
+    min/max of each dimension — the per-bucket bounding boxes whose
+    tightness IS the pruning guarantee.  The z-value itself is a flat
+    codegen'd sum of masked shifts (no UDF); the audit is one
+    map-side-combinable groupBy on a 64-ary derived key."""
+    ev = _t(spark, sf_dir, "events")
+    z = ev.selectExpr(
+        "user_id",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day_idx",
+        f"{_z_interleave_spark(_Z_X_S, _Z_Y_S)} AS zval",
+    )
+    return (
+        z.groupBy(F.expr("zval div 67108864").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("day_idx").alias("min_day"),
+            F.max("day_idx").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -4144,7 +4371,8 @@ def q_column_profile_lineitem(spark, sf_dir):
 # recursive_cte_hierarchy, sql_udf_value_buckets, collation_distinct_audit,
 # corpus_vocab_growth, embed_pca_projection, table_fingerprint,
 # skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
-# corpus_temperature_mix —
+# corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
+# zorder_layout_audit —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

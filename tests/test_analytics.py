@@ -338,3 +338,114 @@ def test_twap_constant_value_user(spark):
     # user 2: 1.0 for 100s then 3.0 for 100s -> 2.0; the 99.0 tail never weighs in
     assert out[2]["active_seconds"] == 200
     assert out[2]["twa_value"] == 2.0
+
+
+def test_ewma_matches_pandas_ewm(spark, sf_dir):
+    """Independent replica: pandas ewm(alpha=0.5, adjust=True) over each
+    user's last-64 series (oldest->newest) must agree with the registry
+    EWMA to float tolerance — pinning the weight orientation (newest gets
+    0.5^0) and the adjust-normalization semantics."""
+    import pandas as pd
+
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.registry import queries
+
+    got = {
+        r["user_id"]: (r["n_terms"], r["ewma_value"])
+        for r in queries()["ewma_user_value"](spark, sf_dir).collect()
+    }
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, g in ev.groupby("user_id"):
+        tail = g["value"].tail(64)
+        exp = tail.ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+        n, ewma = got[uid]
+        assert n == len(tail)
+        assert abs(ewma - exp) < 1e-9, (uid, ewma, exp)
+
+
+def test_snapshot_diff_counts_match_buckets(spark, sf_dir):
+    """The diff classification must reconcile exactly with the bucket
+    construction: added == |bkt 2|, removed == |bkt 0|, changed == |bkt 1|,
+    unchanged == the rest."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.registry import _SNAP_BUCKET, queries
+
+    got = {
+        r["change_type"]: r["n_rows"]
+        for r in queries()["snapshot_diff_orders"](spark, sf_dir).collect()
+    }
+    buckets = dict(
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.expr(_SNAP_BUCKET).alias("b"))
+        .count()
+        .collect()
+    )
+    n_total = sum(buckets.values())
+    assert got.get("added", 0) == buckets.get(2, 0)
+    assert got.get("removed", 0) == buckets.get(0, 0)
+    assert got.get("changed", 0) == buckets.get(1, 0)
+    assert got.get("unchanged", 0) == n_total - buckets.get(0, 0) - buckets.get(
+        1, 0
+    )
+
+
+def test_zorder_interleave_matches_python_morton(spark):
+    """The generated shift-mask SQL must equal a reference Morton encode for
+    adversarial (x, y) pairs: all-ones, alternating bits, single hot bits,
+    and the 16-bit corners."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.registry import _z_interleave_spark
+
+    def morton(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pairs = [
+        (0, 0), (1, 0), (0, 1), (1, 1), (65535, 0), (0, 65535),
+        (65535, 65535), (0b1010101010101010, 0b0101010101010101),
+        (32768, 1), (12345, 54321),
+    ]
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    out = df.selectExpr(
+        "x", "y", _z_interleave_spark("x", "y") + " AS z"
+    ).collect()
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"], r["z"])
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """Locality property on data that actually spans the key space: within
+    one top-6-bit curve bucket, BOTH dimensions' ranges are bounded by
+    2^13 (the free low bits) — the bounding-box tightness that makes
+    z-order pruning work."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.registry import _z_interleave_spark
+
+    df = spark.range(0, 20000).selectExpr(
+        "CAST(pmod(hash(id), 65536) AS BIGINT) AS x",
+        "CAST(pmod(hash(id + 777), 65536) AS BIGINT) AS y",
+    )
+    z = df.selectExpr("x", "y", _z_interleave_spark("x", "y") + " AS z")
+    rows = (
+        z.groupBy(F.expr("z div 67108864").alias("bucket"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(rows) > 16
+    for r in rows:
+        assert r["dx"] < 8192 and r["dy"] < 8192, r

@@ -578,3 +578,30 @@ def test_temperature_mix_membership_broadcasts(spark, sf_dir):
     may only run over the tiny per-source stats relation."""
     plan = _final_plan(spark, sf_dir, "corpus_temperature_mix")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ewma_window_and_agg_share_partitioning(spark, sf_dir):
+    """Same contract as TWAP: the row_number window and the groupBy share
+    user_id, so exactly one events-sized hash exchange."""
+    plan = _plan(spark, sf_dir, "ewma_user_value")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_equi_join_no_nested_loop(spark, sf_dir):
+    """The CDC diff must be an equi full-outer join on the key — never a
+    nested-loop/cartesian — and the shuffle payload is (key, md5 hash),
+    projected before the exchange."""
+    plan = _final_plan(spark, sf_dir, "snapshot_diff_orders")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_audit_single_aggregate_exchange(spark, sf_dir):
+    """The z-value is pure codegen'd projection; the audit is one
+    map-side-combinable aggregate — one exchange, no sort besides the
+    final 64-row order, no UDF."""
+    plan = _plan(spark, sf_dir, "zorder_layout_audit")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -96,6 +96,9 @@ def test_driver_rows_cumulative_coverage():
         "time_weighted_avg_value",
         "column_profile_lineitem",
         "corpus_temperature_mix",
+        "ewma_user_value",
+        "snapshot_diff_orders",
+        "zorder_layout_audit",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
