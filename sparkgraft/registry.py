@@ -4345,6 +4345,115 @@ def q_zorder_layout_audit(spark, sf_dir):
     )
 
 
+@register(
+    "bitmap_distinct_rollup",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_bitmap_distinct_rollup(spark, sf_dir):
+    """Re-aggregatable EXACT distinct via roaring-style bitmaps (Spark's
+    bitmap_construct_agg family): per (event_type, week, bucket) the
+    user-id bit positions collapse into a fixed-size bitmap partial; the
+    weekly partials then MERGE with bitmap_or_agg and the final count is a
+    sum of bitmap_count per bucket.  This is the incremental
+    materialized-view pattern for COUNT(DISTINCT) at 100 TB: persist the
+    tiny weekly (type, bucket, bitmap) relation, and every rollup window
+    (month, quarter, all-time) is a cheap OR-merge of partials instead of
+    a re-scan of raw events — something plain count(distinct) can never
+    do, because its partials (exact sets) don't compose.  The oracle pins
+    the merged result to the ground-truth exact distinct, proving the
+    bucket/position round-trip loses nothing.  All three levels are
+    map-side combinable aggregates on shrinking keys."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    merged = weekly.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH x AS (
+      SELECT user_id, value,
+             date_diff('second',
+                       min(ts) OVER (PARTITION BY user_id), ts) AS xr
+      FROM events),
+    m AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum(xr) AS sx,
+             sum(xr * xr) AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value * xr AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM x GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_per_sec,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy - (n * sxy - sx * sy)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+                END AS intercept
+    FROM m ORDER BY user_id
+    """,
+)
+def q_user_value_trend(spark, sf_dir):
+    """Per-entity trend extraction: closed-form OLS of value against time
+    for every user — the drift/decay feature (is this account's engagement
+    rising?) fitted at millions of entities in one pass, where a
+    per-group sklearn call would be an Arrow round-trip per user.
+
+    Exactness: x is integer seconds RELATIVE to the user's first event
+    (a window min on the same partition key), so sx/sxx are exact bigint
+    sums; sy/sxy ride the exact-decimal path; slope and intercept then
+    combine the five exact moments in a fixed double expression — the
+    same literal formula on both engines, so the hash is stable without
+    any float aggregation anywhere.  Centering x also keeps sxx ~ (active
+    span)^2 instead of (epoch)^2, which is what keeps the bigint exact.
+    Single-x-value users (degenerate denominator) return NULL slope.
+    Plan: window min + groupBy on user_id — one events-sized exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        "value",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(w))).alias("xr"),
+    )
+    m = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xr").alias("sx"),
+        F.sum(F.col("xr") * F.col("xr")).alias("sxx"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("value") * F.col("xr")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den.cast(
+        "double"
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(den == 0, F.lit(None)).otherwise(slope).alias("slope_per_sec"),
+        F.when(den == 0, F.lit(None))
+        .otherwise((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -4372,7 +4481,8 @@ def q_zorder_layout_audit(spark, sf_dir):
 # corpus_vocab_growth, embed_pca_projection, table_fingerprint,
 # skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
-# zorder_layout_audit —
+# zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
+# graph_triangle_count —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

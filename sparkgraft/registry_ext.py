@@ -1606,3 +1606,109 @@ def q_embed_pca_projection(spark, sf_dir):
     The dim² covariance collect is model state (kmeans/pagerank
     contract); the projection pass is map-only with the vector inlined."""
     return simsearch.pca_pc1_projections(_t(spark, sf_dir, "embeddings"))
+
+
+_KNN_EDGES_CTES = f"""
+    WITH a AS (SELECT vec_id AS src, embedding AS sv FROM embeddings),
+    b AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings),
+    scored AS (
+      SELECT src, dst, {_cos_d('sv', 'dv')} AS cosine
+      FROM a CROSS JOIN b WHERE src <> dst),
+    knn AS (
+      SELECT src, dst
+      FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cosine DESC, dst) AS rn
+            FROM scored)
+      WHERE rn <= 3),
+    e AS (SELECT DISTINCT least(src, dst) AS va, greatest(src, dst) AS vb
+          FROM knn)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _KNN_EDGES_CTES
+    + """,
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT va AS node FROM e UNION ALL SELECT vb FROM e)
+      GROUP BY node),
+    rk AS (SELECT node, d * 1000000000 + node AS r FROM deg),
+    o AS (
+      SELECT CASE WHEN ra.r < rb.r THEN e.va ELSE e.vb END AS u,
+             CASE WHEN ra.r < rb.r THEN e.vb ELSE e.va END AS v,
+             CASE WHEN ra.r < rb.r THEN rb.r ELSE ra.r END AS rv
+      FROM e JOIN rk ra ON e.va = ra.node JOIN rk rb ON e.vb = rb.node),
+    tri AS (
+      SELECT o1.u AS n1, o1.v AS n2, o2.v AS n3
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.rv < o2.rv
+      JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+    pernode AS (
+      SELECT node, count(*) AS n_triangles
+      FROM (SELECT n1 AS node FROM tri UNION ALL
+            SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri)
+      GROUP BY node)
+    SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM pernode ORDER BY node
+    """,
+)
+def q_graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the symmetrized kNN graph — the local
+    clustering-coefficient numerator community detection and graph-quality
+    audits start from.  Uses the degree-ordered orientation that makes
+    distributed triangle counting tractable: every undirected edge points
+    from its lower-(degree, id)-ranked endpoint to the higher, so each
+    triangle is enumerated EXACTLY once as a wedge at its lowest-ranked
+    corner closed by one oriented edge — the per-node join fan-out is
+    bounded by out-degree, which orientation caps near sqrt(|E|) even on
+    skewed graphs (the hub that would explode a naive neighbor self-join
+    gets rank-ordered OUT of the wedge-generating role).  Edge relation
+    comes from ext/simsearch.knn_graph (blocked scoring, no cartesian);
+    the triangle phase is two equi-joins + a 3-way union rollup."""
+    e = (
+        simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return triangle_counts(e).orderBy("node")
+
+
+def triangle_counts(e):
+    """Per-node triangle counts of an undirected edge list (columns
+    vec_a < vec_b, distinct).  Degree-ordered orientation: each triangle
+    is enumerated exactly once as a wedge at its lowest-(degree, id)
+    corner; per-node wedge fan-out is bounded by oriented out-degree."""
+    deg = (
+        e.select(F.col("vec_a").alias("node"))
+        .unionAll(e.select("vec_b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rk = deg.select(
+        "node", (F.col("d") * 1000000000 + F.col("node")).alias("r")
+    )
+    o = (
+        e.join(rk.select(F.col("node").alias("vec_a"), F.col("r").alias("ra")), "vec_a")
+        .join(rk.select(F.col("node").alias("vec_b"), F.col("r").alias("rb")), "vec_b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("v"),
+            F.greatest("ra", "rb").alias("rv"),
+        )
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rv").alias("rx"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = o1.join(o2, "u").where(F.col("rx") < F.col("ry"))
+    closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"])
+    return (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x")))
+        .unionAll(tri.select(F.col("y")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

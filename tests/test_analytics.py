@@ -449,3 +449,99 @@ def test_zorder_buckets_bound_both_dims(spark):
     assert len(rows) > 16
     for r in rows:
         assert r["dx"] < 8192 and r["dy"] < 8192, r
+
+
+def test_bitmap_partials_merge_losslessly(spark, sf_dir):
+    """Re-aggregation invariance: building bitmaps per (type, week, bucket)
+    then OR-merging across weeks must equal building them directly per
+    (type, bucket) — the property that makes the weekly partials a valid
+    incremental materialized view."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.registry import queries
+
+    ev = read_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["distinct_users"]
+        for r in ev.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["distinct_users"]
+        for r in queries()["bitmap_distinct_rollup"](spark, sf_dir).collect()
+    }
+    assert merged == direct
+
+
+def test_trend_recovers_planted_line(spark):
+    """OLS on an exactly-linear series must return the exact slope and
+    intercept (all moments integer-exact); a single-timestamp user must
+    return NULL slope, not divide-by-zero."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: y = 1 + 2 * xr_seconds, xr in {0, 10, 20, 30}
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(seconds=10), 21.0),
+        (3, 1, t0 + dt.timedelta(seconds=20), 41.0),
+        (4, 1, t0 + dt.timedelta(seconds=30), 61.0),
+        # user 2: two events, same second -> degenerate
+        (5, 2, t0, 5.0),
+        (6, 2, t0, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    w = Window.partitionBy("user_id")
+    x = df.select(
+        "user_id",
+        "value",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(w))).alias("xr"),
+    )
+    m = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xr").alias("sx"),
+        F.sum(F.col("xr") * F.col("xr")).alias("sxx"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("value") * F.col("xr")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den.cast("double")
+    out = {
+        r["user_id"]: r
+        for r in m.select(
+            "user_id",
+            F.when(den == 0, F.lit(None)).otherwise(slope).alias("slope_per_sec"),
+            F.when(den == 0, F.lit(None))
+            .otherwise((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+            .alias("intercept"),
+        ).collect()
+    }
+    assert out[1]["slope_per_sec"] == 2.0
+    assert out[1]["intercept"] == 1.0
+    assert out[2]["slope_per_sec"] is None and out[2]["intercept"] is None
+
+
+def test_triangle_counts_planted_graph(spark):
+    """K4 + a pendant edge: every K4 node sits in exactly C(3,2)=3
+    triangles, the pendant node in none; total triangle mass = 3 * 4
+    (each of the 4 triangles credits 3 nodes)."""
+    from sparkgraft.registry_ext import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 99)], "vec_a: long, vec_b: long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -605,3 +605,28 @@ def test_zorder_audit_single_aggregate_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bitmap_rollup_no_expand_three_level_agg(spark, sf_dir):
+    """The bitmap path must NOT plan a distinct-style Expand — its whole
+    point is partial-combinable aggregation; three shrinking hash
+    aggregates, no row multiplication."""
+    plan = _plan(spark, sf_dir, "bitmap_distinct_rollup")
+    assert "Expand" not in plan, plan
+    assert "partial" in plan, plan
+
+
+def test_trend_window_and_agg_share_partitioning(spark, sf_dir):
+    """Window min(ts) and the moments groupBy share user_id: one
+    events-sized exchange."""
+    plan = _plan(spark, sf_dir, "user_value_trend")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Wedge generation and closure must be equi-joins (the rank filter is
+    a post-join predicate on an equi-key join) — no cartesian, no
+    broadcast nested loop anywhere in the triangle phase."""
+    plan = _final_plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -99,6 +99,9 @@ def test_driver_rows_cumulative_coverage():
         "ewma_user_value",
         "snapshot_diff_orders",
         "zorder_layout_audit",
+        "bitmap_distinct_rollup",
+        "user_value_trend",
+        "graph_triangle_count",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
