@@ -70,6 +70,29 @@ def read_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
     return spark.table(spec.name)
 
 
+def analyze_table(
+    spark: SparkSession, name: str, columns: tuple[str, ...] = ()
+) -> None:
+    """Collect catalog statistics: table-level (row count, size) and, when
+    ``columns`` is given, per-column NDV/null/min/max histograms.
+
+    This is the enablement step for Spark's cost-based optimizer: with
+    ``spark.sql.cbo.enabled`` (and ``cbo.joinReorder.enabled``) the
+    analyzed rowCount/NDV drive join reordering and broadcast decisions
+    from CARDINALITY instead of raw file size — the difference between
+    broadcasting a 10 GB table that filters to 1k rows and sort-merging
+    it.  On a 100 TB warehouse this runs as a scheduled post-load step on
+    dimension tables and join keys; it is a scan-only job (no shuffle)
+    whose output lives in the metastore, so the cost is amortized over
+    every subsequent plan."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+
+
 def save_bucketed(
     spark: SparkSession,
     df: DataFrame,

@@ -4060,62 +4060,68 @@ def q_time_weighted_avg_value(spark, sf_dir):
     """,
 )
 def q_column_profile_lineitem(spark, sf_dir):
-    """One-pass column profiler: null count, exact distinct count, and
-    min/max for a mixed numeric/string/date column set, emitted long-form
-    (one row per column) — the data-quality snapshot every ingest of a new
-    100 TB source starts with.  All 20 aggregates run in a SINGLE scan and
-    a single aggregate (Spark plans multi-distinct via one Expand — a 5x
-    row multiplication, the exact-distinct price; the sketch alternative is
-    the approx lane's HLL).  The wide 1-row aggregate then unpivots to
-    long-form with stack() — 5 rows, driver-free.  min/max split into
+    """Column profiler: null count, exact distinct count, and min/max for a
+    mixed numeric/string/date column set, long-form (one row per column) —
+    the data-quality snapshot every ingest of a new 100 TB source starts
+    with.  Shape: one column-PRUNED scan + partial-combinable aggregate
+    PER COLUMN, unioned.  The tempting alternative — all 20 aggregates in
+    one wide aggregate — makes Spark plan the multi-distinct via a 5x
+    Expand (row multiplication of the FULL-width rows before the shuffle);
+    measured 8x slower at sf0.1 (6.0 s vs 0.73 s) and strictly worse at
+    scale: parquet is columnar, so five single-column scans read the same
+    bytes the wide scan reads, while each per-column distinct shuffles only
+    its own values with map-side combine.  The recurring/scheduled flavor
+    swaps countDistinct for approx_count_distinct (no distinct shuffle at
+    all); exact is the ingest-audit contract here.  min/max split into
     typed channels (min_num DOUBLE / min_str VARCHAR) because min-of-double
     and min-of-string can't share a column without engine-specific
     formatting; dates render through the ISO DATE cast, identical on both
     engines."""
     li = _t(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
-    wide = li.agg(
-        n.alias("n_rows"),
-        (n - F.count("l_orderkey")).alias("null_ok"),
-        F.countDistinct("l_orderkey").alias("nd_ok"),
-        F.min("l_orderkey").cast("double").alias("mn_ok"),
-        F.max("l_orderkey").cast("double").alias("mx_ok"),
-        (n - F.count("l_quantity")).alias("null_q"),
-        F.countDistinct("l_quantity").alias("nd_q"),
-        F.min("l_quantity").alias("mn_q"),
-        F.max("l_quantity").alias("mx_q"),
-        (n - F.count("l_discount")).alias("null_d"),
-        F.countDistinct("l_discount").alias("nd_d"),
-        F.min("l_discount").alias("mn_d"),
-        F.max("l_discount").alias("mx_d"),
-        (n - F.count("l_returnflag")).alias("null_rf"),
-        F.countDistinct("l_returnflag").alias("nd_rf"),
-        F.min("l_returnflag").alias("mn_rf"),
-        F.max("l_returnflag").alias("mx_rf"),
-        (n - F.count("l_shipdate")).alias("null_sd"),
-        F.countDistinct("l_shipdate").alias("nd_sd"),
-        F.min(F.col("l_shipdate").cast("date")).cast("string").alias("mn_sd"),
-        F.max(F.col("l_shipdate").cast("date")).cast("string").alias("mx_sd"),
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def base(col):
+        return li.select(col).agg(
+            n.alias("n_rows"),
+            (n - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+        )
+
+    def num(col):
+        return base(col).select(
+            F.lit(col).alias("col_name"), "n_rows", "n_null", "n_distinct",
+            F.col("mn").cast("double").alias("min_num"),
+            F.col("mx").cast("double").alias("max_num"),
+            null_s.alias("min_str"), null_s.alias("max_str"),
+        )
+
+    def txt(col):
+        return base(col).select(
+            F.lit(col).alias("col_name"), "n_rows", "n_null", "n_distinct",
+            null_d.alias("min_num"), null_d.alias("max_num"),
+            F.col("mn").alias("min_str"), F.col("mx").alias("max_str"),
+        )
+
+    def dat(col):
+        return base(col).select(
+            F.lit(col).alias("col_name"), "n_rows", "n_null", "n_distinct",
+            null_d.alias("min_num"), null_d.alias("max_num"),
+            F.col("mn").cast("date").cast("string").alias("min_str"),
+            F.col("mx").cast("date").cast("string").alias("max_str"),
+        )
+
+    return (
+        num("l_orderkey")
+        .unionAll(num("l_quantity"))
+        .unionAll(num("l_discount"))
+        .unionAll(txt("l_returnflag"))
+        .unionAll(dat("l_shipdate"))
+        .orderBy("col_name")
     )
-    return wide.selectExpr(
-        """stack(5,
-          'l_orderkey',  null_ok, nd_ok, mn_ok, mx_ok,
-                         CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'l_quantity',  null_q,  nd_q,  mn_q,  mx_q,
-                         CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'l_discount',  null_d,  nd_d,  mn_d,  mx_d,
-                         CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'l_returnflag', null_rf, nd_rf, CAST(NULL AS DOUBLE),
-                         CAST(NULL AS DOUBLE), mn_rf, mx_rf,
-          'l_shipdate',  null_sd, nd_sd, CAST(NULL AS DOUBLE),
-                         CAST(NULL AS DOUBLE), mn_sd, mx_sd
-        ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)
-        """,
-        "n_rows",
-    ).select(
-        "col_name", "n_rows", "n_null", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str",
-    ).orderBy("col_name")
 
 
 @register(

@@ -222,3 +222,51 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # combined box: z-order at least matches its weaker dimension alone
     z_both, _ = touched(p_z, both_box)
     assert z_both <= min(z_user, z_time)
+
+
+def test_analyze_table_feeds_cbo_stats(tmp_path):
+    """catalog.analyze_table must land rowCount in the metastore and, with
+    CBO enabled, surface it as the optimized plan's cardinality estimate
+    (the input join reordering / stats-based broadcast decisions read)."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from sparkgraft.session import get_spark
+        from sparkgraft import catalog
+
+        spark = get_spark("cbo-test", master="local[2]", shuffle_partitions=2,
+                          warehouse_dir={wh!r})
+        spark.range(0, 5000).selectExpr("id", "id % 7 AS k") \\
+             .write.mode("overwrite").saveAsTable("t_cbo")
+        # before ANALYZE: no rowCount in the catalog statistics line
+        pre = spark.sql("DESC EXTENDED t_cbo").filter(
+            "col_name = 'Statistics'").collect()
+        assert not pre or "rows" not in pre[0].data_type, pre
+
+        catalog.analyze_table(spark, "t_cbo", columns=("id", "k"))
+        post = spark.sql("DESC EXTENDED t_cbo").filter(
+            "col_name = 'Statistics'").collect()
+        assert post and "5000 rows" in post[0].data_type, post
+        ndv = spark.sql("DESC EXTENDED t_cbo k").filter(
+            "info_name = 'distinct_count'").collect()
+        assert ndv and int(ndv[0].info_value) == 7, ndv
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = spark.table("t_cbo")._jdf.queryExecution() \\
+            .optimizedPlan().stats()
+        assert int(str(stats.rowCount().get())) == 5000, str(stats)
+        print("CBO_OK")
+        spark.stop()
+        """
+    ).format(repo="/root/repo", wh=str(tmp_path / "wh"))
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert "CBO_OK" in proc.stdout, (
+        f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-3000:]}"
+    )

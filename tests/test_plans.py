@@ -563,12 +563,20 @@ def test_twap_window_and_agg_share_partitioning(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_column_profile_single_scan_expand(spark, sf_dir):
-    """All 20 profile aggregates must come off ONE scan of lineitem (the
-    multi-distinct Expand), not one scan per column."""
+def test_column_profile_pruned_scans_no_expand(spark, sf_dir):
+    """One column-PRUNED scan + partial agg per column, unioned — and NO
+    multi-distinct Expand (the wide-aggregate shape measured 8x slower:
+    it multiplies full-width rows 5x before the shuffle).  Every scan's
+    ReadSchema must carry exactly one column."""
     plan = _plan(spark, sf_dir, "column_profile_lineitem")
-    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, plan
-    assert "Expand" in plan, "multi-distinct should plan a single Expand"
+    assert "Expand" not in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 5, plan
+    for s in schemas:
+        assert s.count(":") == 1, (s, "scan not pruned to one column")
+    assert "partial" in plan, plan
 
 
 def test_temperature_mix_membership_broadcasts(spark, sf_dir):
