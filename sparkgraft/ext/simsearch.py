@@ -865,3 +865,143 @@ def pca_pc1_projections(
     return q.select(
         id_col, F.expr(proj).alias("pc1_proj")
     ).orderBy(id_col)
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half), exact-integer
+    and engine-portable: vectors quantize to micro-units, each of ``m``
+    subspaces learns ``k_codes`` centroids with the same deterministic
+    Lloyd recipe as :func:`kmeans_assign` (init = ids 0..k-1's subvectors,
+    pmod-floor centroid updates, smallest-cluster tie-break), every vector
+    compresses to ``m`` one-byte codes, and query distances come from an
+    asymmetric-distance (ADC) lookup table — query-to-centroid squared
+    distances precomputed per subspace, so scoring a candidate is ``m``
+    table lookups + adds instead of a ``dim``-long dot product.
+
+    Scale posture: the codebook (m x k x sub ints) and per-query LUTs
+    (n_queries x m x k ints) are scalar-bounded MODEL STATE (same contract
+    as the kmeans/pagerank notes) inlined as literals, so candidate
+    scoring is a zero-join, zero-shuffle codegen'd map over the codes
+    relation — at 100 TB the scan reads m bytes per vector instead of
+    4*dim, an 8-byte-per-row shuffle-free sweep.  Top-k is two-level:
+    per-(query, cid-block) partial top-k, then a final merge over the
+    bounded q x blocks x k survivors — no low-cardinality global window
+    over the full candidate set.
+
+    Output: (qid, cid, approx_sq_dist, rank) — squared micro-unit ADC
+    distances, rank 1..topk per query (self included: PQ distance to self
+    is the quantization error, a useful audit in itself).
+    """
+    sub = dim // m
+    q = emb.select(
+        id_col,
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
+        ).alias("qv"),
+    ).persist()
+    try:
+        init_rows = {
+            r[id_col]: list(r["qv"])
+            for r in q.where(F.col(id_col) < max(k_codes, n_queries)).collect()
+        }
+
+        def sq_expr(arr_expr: str, c: list[int]) -> str:
+            lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
+            return (
+                f"aggregate(zip_with({arr_expr}, array({lit}),"
+                " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v)"
+            )
+
+        cents: list[list[list[int]]] = []
+        for s in range(m):
+            start = s * sub + 1
+            sv = q.select(id_col, F.expr(f"slice(qv, {start}, {sub})").alias("sv"))
+            cs = [init_rows[j][s * sub : (s + 1) * sub] for j in range(k_codes)]
+            for _ in range(iters - 1):
+                darr = "array(" + ", ".join(sq_expr("sv", c) for c in cs) + ")"
+                a = sv.select(
+                    id_col,
+                    "sv",
+                    F.expr(f"array_position({darr}, array_min({darr})) - 1").alias(
+                        "cluster"
+                    ),
+                )
+                sums = (
+                    a.groupBy("cluster")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        *[
+                            F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+                            for i in range(sub)
+                        ],
+                    )
+                    .collect()
+                )
+                newc = list(cs)
+                for r in sums:
+                    j, n_ = int(r["cluster"]), int(r["n"])
+                    newc[j] = [int(r[f"s{i}"]) // n_ for i in range(sub)]
+                cs = newc
+            cents.append(cs)
+
+        code_cols = []
+        for s in range(m):
+            start = s * sub + 1
+            darr = (
+                "array("
+                + ", ".join(sq_expr(f"slice(qv, {start}, {sub})", c) for c in cents[s])
+                + ")"
+            )
+            code_cols.append(
+                F.expr(f"array_position({darr}, array_min({darr})) - 1").alias(f"c{s}")
+            )
+        codes = q.select(F.col(id_col).alias("cid"), *code_cols)
+
+        structs = []
+        for qid in range(n_queries):
+            vec = init_rows[qid]
+            d_terms = []
+            for s in range(m):
+                qs = vec[s * sub : (s + 1) * sub]
+                lut = [
+                    sum((qs[i] - c[i]) * (qs[i] - c[i]) for i in range(sub))
+                    for c in cents[s]
+                ]
+                lit = ", ".join(f"CAST({v} AS BIGINT)" for v in lut)
+                d_terms.append(f"element_at(array({lit}), CAST(c{s} AS INT) + 1)")
+            structs.append(
+                f"named_struct('qid', CAST({qid} AS BIGINT), 'd', {' + '.join(d_terms)})"
+            )
+        scored = codes.select(
+            "cid", F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("qd")
+        ).select(
+            F.col("qd.qid").alias("qid"), "cid", F.col("qd.d").alias("approx_sq_dist")
+        )
+
+        from pyspark.sql import Window
+
+        blocked = scored.withColumn("blk", F.expr("pmod(cid, 32)"))
+        w1 = Window.partitionBy("qid", "blk").orderBy("approx_sq_dist", "cid")
+        part = blocked.withColumn("rn", F.row_number().over(w1)).where(
+            F.col("rn") <= topk
+        )
+        w2 = Window.partitionBy("qid").orderBy("approx_sq_dist", "cid")
+        return (
+            part.select("qid", "cid", "approx_sq_dist")
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= topk)
+            .orderBy("qid", "rank")
+        )
+    finally:
+        q.unpersist()

@@ -4488,7 +4488,7 @@ def q_user_value_trend(spark, sf_dir):
 # skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
 # zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
-# graph_triangle_count —
+# graph_triangle_count, embed_pq_topk —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

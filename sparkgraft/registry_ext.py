@@ -1712,3 +1712,109 @@ def triangle_counts(e):
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def _pq_oracle(
+    n_queries: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    dim: int = 64,
+) -> str:
+    """Unrolled PQ oracle: per subspace the same unrolled-Lloyd recipe as
+    _kmeans_oracle (micro-unit BIGINT, smallest-cluster tie-break,
+    pmod-floor centroid updates), then codes + query ADC tables joined
+    long-form and summed — bit-identical to ext/simsearch.pq_topk."""
+    sub = dim // m
+    d_expr = (
+        f"CAST(list_sum(list_transform(range(1, {sub + 1}),"
+        " i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)"
+    )
+    parts = [
+        """qv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings)"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM qv),
+    c{s}_0 AS (SELECT vec_id AS cluster, v FROM sub{s} WHERE vec_id < {k})"""
+        )
+        for t in range(iters - 1):
+            parts.append(
+                f"""dist{s}_{t} AS (
+      SELECT q.vec_id, c.cluster, {d_expr} AS d
+      FROM sub{s} q CROSS JOIN c{s}_{t} c),
+    asg{s}_{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{s}_{t})
+      WHERE rn = 1),
+    ex{s}_{t} AS (
+      SELECT a.cluster, unnest(q.v) AS val, generate_subscripts(q.v, 1) AS dim
+      FROM asg{s}_{t} a JOIN sub{s} q USING (vec_id)),
+    sums{s}_{t} AS (
+      SELECT cluster, dim, CAST(sum(val) AS BIGINT) AS sm, count(*) AS n
+      FROM ex{s}_{t} GROUP BY 1, 2),
+    newc{s}_{t} AS (
+      SELECT cluster, list((sm - ((sm % n) + n) % n) // n ORDER BY dim) AS v
+      FROM sums{s}_{t} GROUP BY cluster),
+    c{s}_{t + 1} AS (
+      SELECT c.cluster, coalesce(n.v, c.v) AS v
+      FROM c{s}_{t} c LEFT JOIN newc{s}_{t} n USING (cluster))"""
+            )
+        last = iters - 1
+        parts.append(
+            f"""fdist{s} AS (
+      SELECT q.vec_id, c.cluster, {d_expr} AS d
+      FROM sub{s} q CROSS JOIN c{s}_{last} c),
+    codes{s} AS (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM fdist{s})
+      WHERE rn = 1),
+    lut{s} AS (
+      SELECT q.vec_id AS qid, c.cluster, {d_expr} AS d
+      FROM (SELECT * FROM sub{s} WHERE vec_id < {n_queries}) q
+      CROSS JOIN c{s}_{last} c)"""
+        )
+    codesl = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, code FROM codes{s}" for s in range(m)
+    )
+    lutl = " UNION ALL ".join(
+        f"SELECT qid, {s} AS s, cluster, d FROM lut{s}" for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    codesl AS ({codesl}),
+    lutl AS ({lutl}),
+    scored AS (
+      SELECT l.qid, cd.vec_id AS cid, CAST(sum(l.d) AS BIGINT) AS approx_sq_dist
+      FROM codesl cd JOIN lutl l ON cd.s = l.s AND cd.code = l.cluster
+      GROUP BY 1, 2),
+    top AS (
+      SELECT qid, cid, approx_sq_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY approx_sq_dist, cid) AS rank
+      FROM scored)
+    SELECT qid, cid, approx_sq_dist, CAST(rank AS BIGINT) AS rank
+    FROM top WHERE rank <= {topk} ORDER BY qid, rank
+    """
+    )
+
+
+@register("embed_pq_topk", _pq_oracle())
+def q_embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-5 for 8 probe queries (m=4 subspaces,
+    8 codes each, deterministic exact-integer codebooks) — the compression
+    half of IVF-PQ, completing the ANN lane's scale ladder: brute (exact)
+    -> LSH/IVF (prune candidates) -> int8 (shrink bandwidth 4x) -> PQ
+    (shrink candidates to m BYTES each + LUT scoring).  The oracle unrolls
+    the identical per-subspace Lloyd iterations, codes, and ADC tables as
+    CTEs (ext/simsearch.pq_topk)."""
+    return simsearch.pq_topk(_t(spark, sf_dir, "embeddings"))

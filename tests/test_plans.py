@@ -638,3 +638,13 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_topk_scoring_is_joinless_map(spark, sf_dir):
+    """ADC scoring must be a zero-join codegen'd map over the codes
+    relation (codebook + LUTs are inlined model state) with the two-level
+    top-k's two bounded exchanges — no join operator anywhere."""
+    plan = _plan(spark, sf_dir, "embed_pq_topk")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

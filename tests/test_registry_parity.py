@@ -102,6 +102,7 @@ def test_driver_rows_cumulative_coverage():
         "bitmap_distinct_rollup",
         "user_value_trend",
         "graph_triangle_count",
+        "embed_pq_topk",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
