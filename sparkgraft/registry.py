@@ -4460,6 +4460,84 @@ def q_user_value_trend(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@register(
+    "streaming_bitmap_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_streaming_bitmap_distinct(spark, sf_dir):
+    """Streaming EXACT distinct via mergeable bitmap partials — the answer
+    to the limitation streaming_windowed_counts documents
+    (count(DISTINCT) is not a streaming-mergeable aggregate, so plain
+    streaming aggregation cannot maintain it).  The stream arrives in
+    three micro-batches (maxFilesPerTrigger=1 over three files);
+    foreachBatch reduces each batch to (event_type, bucket, bitmap)
+    partials — bitmap_construct_agg over user-id bit positions — and
+    lands them under an idempotent per-batch-id path (a replayed batch
+    OVERWRITES its own slot: exactly-once state from at-least-once
+    delivery, the same idempotency contract as the partition-overwrite
+    loader).  The maintained partial relation IS the incremental MV of
+    bitmap_distinct_rollup's batch form; the final read OR-merges all
+    batches' partials and hash-matches the ground-truth exact distinct —
+    proving users split ACROSS micro-batches were merged, not
+    double-counted.  At 100 TB the per-batch work is one partial-agg'd
+    groupBy of the batch (not the history) and the state grows as
+    |keys| x |buckets| bitmaps, never as raw rows."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_sbm_")
+    src, state = f"{work}/src", f"{work}/state"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in range(3):
+        (
+            ev.where(F.expr(f"pmod(event_id, 3) = {i}"))
+            .coalesce(1)
+            .write.parquet(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def fold_batch(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            )
+            .agg(
+                F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                    "bm"
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(f"{state}/batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("bitmap-distinct stream did not finish in 300s")
+    merged = (
+        spark.read.parquet(state + "/batch=*")
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -4488,7 +4566,7 @@ def q_user_value_trend(spark, sf_dir):
 # skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
 # zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
-# graph_triangle_count, embed_pq_topk —
+# graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

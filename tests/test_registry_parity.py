@@ -103,6 +103,7 @@ def test_driver_rows_cumulative_coverage():
         "user_value_trend",
         "graph_triangle_count",
         "embed_pq_topk",
+        "streaming_bitmap_distinct",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent

@@ -208,3 +208,71 @@ def test_tws_sessionize_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_bitmap_partials_merge_across_batches(spark, tmp_path):
+    """The streaming bitmap MV's core claim: users arriving in DIFFERENT
+    micro-batches merge through the OR instead of double-counting.  Feed
+    3 single-file batches where every user appears in two of them; the
+    merged distinct must equal |users|, the run must actually have
+    produced multiple per-batch states, and the same (type, bucket) slot
+    must appear in more than one batch's partials (a real cross-batch
+    merge, not one batch owning everything)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    users = list(range(1000, 1100))
+    slices = [
+        [(u, "click") for u in users if u % 3 != 0],
+        [(u, "click") for u in users if u % 3 != 1],
+        [(u, "click") for u in users if u % 3 != 2],
+    ]
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(rows, "user_id: long, event_type: string").coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+            )
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+            .write.mode("overwrite")
+            .parquet(f"{state}/batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    batch_dirs = sorted(glob.glob(f"{state}/batch=*"))
+    assert len(batch_dirs) >= 2, batch_dirs
+    per_batch_slots = [
+        {
+            (r["event_type"], r["bucket"])
+            for r in spark.read.parquet(d).select("event_type", "bucket").collect()
+        }
+        for d in batch_dirs
+    ]
+    shared = set.intersection(*per_batch_slots)
+    assert shared, "no (type, bucket) slot spans batches — nothing was merged"
+    merged = (
+        spark.read.parquet(state + "/batch=*")
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert merged == len(users)
