@@ -869,3 +869,75 @@ def incremental_bloom_dedup(
         .select(id_col)
         .orderBy(id_col)
     )
+
+
+def incremental_minhash_pairs(
+    hist: DataFrame,
+    batch: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup twin of :func:`incremental_bloom_dedup`: which documents in
+    today's batch near-duplicate the accumulated history?  The daily-crawl
+    question exact hashing can't answer (crawls re-serve boilerplate-
+    shifted copies, not byte-identical ones).
+
+    History is reduced to its banded MinHash signatures — at scale this
+    relation IS the persisted index (store (band_idx, band_hash, doc),
+    bucketed by band_hash; a day's probe then touches only the batch's own
+    buckets, never re-scanning history text — same contract as the Bloom
+    prefilter's persisted bitmap).  Batch band hashes equi-join history's
+    buckets for candidates; candidates verify with exact shingle Jaccard,
+    so LSH recall/precision only affects WORK, never correctness of the
+    emitted pairs (each is a true >= threshold match).
+
+    Output: (doc_a = history doc, doc_b = batch doc, jaccard) — one row
+    per verified cross-set near-dup pair.
+    """
+    rows = k // bands
+
+    def stacked_bands(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
+        band_cols = [
+            F.md5(
+                F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sigs.select("doc", *band_cols)
+        return banded.selectExpr(
+            "doc",
+            f"stack({bands}, "
+            + ", ".join(f"{b}, band_{b}" for b in range(bands))
+            + ") AS (band_idx, band_hash)",
+        )
+
+    hs = stacked_bands(hist)
+    bs = stacked_bands(batch)
+    cand = (
+        bs.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
+        .join(
+            hs.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ds = (
+        doc_shingles(hist, col, id_col, n)
+        .unionAll(doc_shingles(batch, col, id_col, n))
+        .localCheckpoint(eager=True)
+    )
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(ds.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_counts(inter, sizes, threshold)

@@ -4566,7 +4566,8 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
 # skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
 # zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
-# graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct —
+# graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct,
+# dedup_incremental_minhash —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

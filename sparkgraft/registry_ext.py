@@ -1818,3 +1818,64 @@ def q_embed_pq_topk(spark, sf_dir):
     the identical per-subspace Lloyd iterations, codes, and ADC tables as
     CTEs (ext/simsearch.pq_topk)."""
     return simsearch.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _inc_minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+    """_minhash_oracle with the candidate join split ACROSS the history
+    (doc % 5 <> 0) / batch (doc % 5 = 0) sides instead of doc_a < doc_b —
+    signatures and shingle sets are per-doc, so computing them over the
+    union and filtering at candidate time is identical to per-side
+    computation (what ext/dedup.incremental_minhash_pairs does)."""
+    rows = k // bands
+    p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({A[i]} * h + {B[i]}) % {p})) AS sig_{i}"
+        for i in range(k)
+    )
+    band_cols = ", ".join(
+        f"md5(concat_ws(',', {', '.join(f'sig_{b * rows + r}' for r in range(rows))})) AS band_{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, band_{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return (
+        _SHINGLE_SET_CTES
+        + f""",
+        shl AS (SELECT doc_id AS doc, {_shingles_d()} AS s FROM tok),
+        hshl AS (SELECT doc, list_transform(s, x -> {_hash64_d('x')} % {p}) AS hs FROM shl),
+        sigs AS (SELECT doc, {sig_cols} FROM hshl),
+        banded AS (SELECT doc, {band_cols} FROM sigs),
+        stacked AS ({stacked}),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM stacked a
+          JOIN stacked b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE a.doc % 5 <> 0 AND b.doc % 5 = 0),
+        inter AS (
+          SELECT doc_a, doc_b, count(*) AS n_inter
+          FROM cand
+          JOIN ds da ON da.doc = doc_a
+          JOIN ds db ON db.doc = doc_b AND da.sh = db.sh
+          GROUP BY 1, 2)
+        """
+        + _JACCARD_SELECT.format(thr=thr)
+        + " ORDER BY doc_a, doc_b"
+    )
+
+
+@register("dedup_incremental_minhash", _inc_minhash_oracle())
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup: today's batch (doc_id % 5 = 0) probed against
+    the history's (doc_id % 5 <> 0) banded MinHash index, candidates
+    verified with exact shingle Jaccard >= 0.5 — the daily-crawl near-dup
+    screen exact hashing can't provide
+    (ext/dedup.incremental_minhash_pairs; persisted-index contract in its
+    docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.expr("pmod(doc_id, 5) <> 0"))
+    batch = docs.where(F.expr("pmod(doc_id, 5) = 0"))
+    return dedup.incremental_minhash_pairs(hist, batch, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )

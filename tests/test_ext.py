@@ -771,3 +771,32 @@ def test_pq_topk_recall_and_code_compression(spark, sf_dir):
         exact = set(sorted(d, key=lambda c: (d[c], c))[:5])
         recalls.append(len(exact & {r["cid"] for r in mine}) / 5)
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_incremental_minhash_planted_crossset_only(spark):
+    """A batch doc that near-duplicates a HISTORY doc must be caught; two
+    batch docs duplicating each other must NOT be (cross-set semantics);
+    an unrelated batch doc reports nothing."""
+    from sparkgraft.ext import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles and joins here")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " ok"),                     # near-dup of hist 1
+            (11, base + " ok"),                     # near-dup of 10 AND hist 1
+            (12, "unrelated content nothing shared with anyone at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.incremental_minhash_pairs(hist, batch, threshold=0.5).collect()
+    }
+    assert (1, 10) in pairs and (1, 11) in pairs
+    assert all(a in (1, 2) and b in (10, 11, 12) for a, b in pairs), pairs
+    assert (10, 11) not in pairs and (11, 10) not in pairs
+    assert not any(b == 12 for _, b in pairs)

@@ -648,3 +648,11 @@ def test_pq_topk_scoring_is_joinless_map(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_incremental_minhash_banded_no_cartesian(spark, sf_dir):
+    """The batch->history probe must be the banded bucket equi-join — no
+    cartesian / nested-loop anywhere, same contract as dedup_minhash_lsh."""
+    plan = _final_plan(spark, sf_dir, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -104,6 +104,7 @@ def test_driver_rows_cumulative_coverage():
         "graph_triangle_count",
         "embed_pq_topk",
         "streaming_bitmap_distinct",
+        "dedup_incremental_minhash",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
