@@ -270,3 +270,65 @@ def test_analyze_table_feeds_cbo_stats(tmp_path):
     assert "CBO_OK" in proc.stdout, (
         f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-3000:]}"
     )
+
+
+def test_fingerprint_invariant_under_compaction_and_reload(spark, sf_dir, tmp_path):
+    """The table fingerprint composed with the maintenance ops it exists to
+    audit: compact_small_files (50 fragments -> few files) and a repeated
+    idempotent load_overwrite must both preserve the digest bit-for-bit —
+    the end-to-end 'did maintenance corrupt anything' check."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    def digest(df):
+        h = df.select(
+            F.expr(
+                "CAST(conv(substr(md5(concat_ws('|', event_id, user_id,"
+                " CAST(round(value * 1000000) AS BIGINT))), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h")
+        )
+        return tuple(
+            h.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("h").cast("decimal(38,0)")).cast("string"),
+                F.expr("bit_xor(h)"),
+            ).collect()[0]
+        )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = digest(ev)
+
+    # compaction: 50 fragments -> size-derived target, digest unchanged
+    frag = str(tmp_path / "frag")
+    ev.repartition(50).write.parquet(frag)
+    catalog.compact_small_files(spark, frag, target_mb=128)
+    assert digest(spark.read.parquet(frag)) == base
+
+    # idempotent overwrite: loading the same slice twice leaves the digest
+    # of the reloaded table equal to the source's
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fp_events")
+    spec = catalog.TableSpec(
+        "fp_events",
+        StructType([
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("d", StringType()),
+        ]),
+        ("d",),
+    )
+    staged = ev.withColumn("d", F.lit("all"))
+    try:
+        catalog.load_overwrite(spark, spec, staged)
+        catalog.load_overwrite(spark, spec, staged)  # the idempotent replay
+        got = digest(spark.table("fp_events").select("event_id", "user_id", "value"))
+        assert got == base
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_events")
