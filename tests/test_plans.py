@@ -656,3 +656,23 @@ def test_incremental_minhash_banded_no_cartesian(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "dedup_incremental_minhash")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_orc_scan_pushes_filters_like_parquet(spark, sf_dir, tmp_path):
+    """The point of supporting a second columnar format is that pushdown
+    survives: an ORC scan with a value predicate must show PushedFilters
+    and a pruned ReadSchema, same as the parquet gates."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+
+    out = str(tmp_path / "orc_ev")
+    read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).write.orc(out)
+    df = spark.read.orc(out).where(F.col("value") > 100.0).select("event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(value" in plan, plan
+    scan = [l for l in plan.splitlines() if "FileScan orc" in l]
+    assert scan, plan
+    assert "event_type" not in scan[0], scan[0]

@@ -105,6 +105,7 @@ def test_driver_rows_cumulative_coverage():
         "embed_pq_topk",
         "streaming_bitmap_distinct",
         "dedup_incremental_minhash",
+        "orc_roundtrip_events",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
