@@ -891,9 +891,11 @@ def incremental_minhash_pairs(
     bucketed by band_hash; a day's probe then touches only the batch's own
     buckets, never re-scanning history text — same contract as the Bloom
     prefilter's persisted bitmap).  Batch band hashes equi-join history's
-    buckets for candidates; candidates verify with exact shingle Jaccard,
-    so LSH recall/precision only affects WORK, never correctness of the
-    emitted pairs (each is a true >= threshold match).
+    buckets for candidates; candidates verify with exact shingle Jaccard
+    over the batch docs plus ONLY the history docs that candidated
+    (left-semi pruned before re-shingling), so LSH recall/precision only
+    affects WORK, never correctness of the emitted pairs (each is a true
+    >= threshold match).
 
     Output: (doc_a = history doc, doc_b = batch doc, jaccard) — one row
     per verified cross-set near-dup pair.
@@ -926,9 +928,20 @@ def incremental_minhash_pairs(
         )
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Jaccard verification needs shingles only for history docs that
+    # actually candidate — semi-join hist down BEFORE re-shingling, so the
+    # probe's text work is O(batch + candidates), never a full-history
+    # re-scan (at scale the per-doc shingle-set sizes live in the
+    # persisted index alongside the band hashes)
+    hist_hit = hist.join(
+        cand.select(F.col("doc_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
     )
     ds = (
-        doc_shingles(hist, col, id_col, n)
+        doc_shingles(hist_hit, col, id_col, n)
         .unionAll(doc_shingles(batch, col, id_col, n))
         .localCheckpoint(eager=True)
     )

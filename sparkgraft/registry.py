@@ -3871,15 +3871,35 @@ def q_collation_distinct_audit(spark, sf_dir):
 # Canonical row rendering for the fingerprint: integers and scaled-integer
 # decimals only (double->string formatting differs between engines; ts goes
 # through epoch-days).  TPC-H decimals are exact at 2dp, so round(x*100) is
-# integer-stable on both sides.
+# integer-stable on both sides.  Every field goes through a NULL sentinel
+# BEFORE concat_ws: concat_ws silently SKIPS null arguments (both engines),
+# so without the sentinel rows (5, NULL) and (NULL, 5) would render to the
+# same string and a corrupted copy could pass validation.
+def _fp_field(expr: str) -> str:
+    # '<NULL>' (no backslashes: Spark escapes string literals, DuckDB
+    # doesn't — a backslash sentinel would differ between the engines)
+    return f"coalesce(CAST({expr} AS STRING), '<NULL>')"
+
+
 _FP_CANON_SPARK = (
-    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,"
-    " CAST(round(l_quantity * 100) AS BIGINT),"
-    " CAST(round(l_extendedprice * 100) AS BIGINT),"
-    " CAST(round(l_discount * 100) AS BIGINT),"
-    " CAST(round(l_tax * 100) AS BIGINT),"
-    " l_returnflag, l_linestatus,"
-    " datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01'))"
+    "concat_ws('|', "
+    + ", ".join(
+        _fp_field(e)
+        for e in (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "CAST(round(l_quantity * 100) AS BIGINT)",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)",
+            "CAST(round(l_discount * 100) AS BIGINT)",
+            "CAST(round(l_tax * 100) AS BIGINT)",
+            "l_returnflag",
+            "l_linestatus",
+            "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')",
+        )
+    )
+    + ")"
 )
 
 
@@ -3887,13 +3907,19 @@ _FP_CANON_SPARK = (
     "table_fingerprint",
     """
     WITH c AS (
-      SELECT concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
-               CAST(round(l_quantity * 100) AS BIGINT),
-               CAST(round(l_extendedprice * 100) AS BIGINT),
-               CAST(round(l_discount * 100) AS BIGINT),
-               CAST(round(l_tax * 100) AS BIGINT),
-               l_returnflag, l_linestatus,
-               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      SELECT concat_ws('|',
+               coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+               coalesce(CAST(l_partkey AS VARCHAR), '<NULL>'),
+               coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>'),
+               coalesce(CAST(l_linenumber AS VARCHAR), '<NULL>'),
+               coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+               coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+               coalesce(CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+               coalesce(CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+               coalesce(l_returnflag, '<NULL>'),
+               coalesce(l_linestatus, '<NULL>'),
+               coalesce(CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS VARCHAR), '<NULL>')
              ) AS s
       FROM lineitem),
     h AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM c)
@@ -3916,12 +3942,10 @@ def q_table_fingerprint(spark, sf_dir):
     ~1e19 rows; xor is overflow-free at any scale).  The whole thing is one
     codegen'd map + a 3-value aggregate: no shuffle at all beyond the final
     single-row reduce."""
+    from sparkgraft.ext.dedup import HASH64_SQL
+
     li = _t(spark, sf_dir, "lineitem")
-    h = li.select(
-        F.expr(
-            "CAST(conv(substr(md5(" + _FP_CANON_SPARK + "), 1, 15), 16, 10) AS BIGINT)"
-        ).alias("h")
-    )
+    h = li.select(F.expr(HASH64_SQL.format(x=_FP_CANON_SPARK)).alias("h"))
     return h.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
@@ -4185,7 +4209,9 @@ def q_ewma_user_value(spark, sf_dir):
 #   bucket 0  (1%): row deleted
 #   bucket 1  (1%): o_totalprice increased by 1.00 (an update)
 #   bucket 2  (1%): cloned as a NEW order under key+10^12 (an insert)
-_SNAP_BUCKET = "pmod(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"
+from sparkgraft.ext.dedup import HASH64_SQL as _HASH64_SQL  # noqa: E402
+
+_SNAP_BUCKET = f"pmod({_HASH64_SQL.format(x='CAST(o_orderkey AS STRING)')}, 100)"
 _SNAP_BUCKET_D = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 100"
 
 
@@ -4202,12 +4228,14 @@ _SNAP_BUCKET_D = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) A
       SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
       FROM b WHERE bkt = 2),
     base_h AS (SELECT o_orderkey AS k,
-                      md5(concat_ws('|', CAST(round(o_totalprice * 100) AS BIGINT),
-                                    o_orderstatus)) AS h
+                      md5(concat_ws('|',
+                            coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+                            coalesce(o_orderstatus, '<NULL>'))) AS h
                FROM orders),
     curr_h AS (SELECT o_orderkey AS k,
-                      md5(concat_ws('|', CAST(round(o_totalprice * 100) AS BIGINT),
-                                    o_orderstatus)) AS h
+                      md5(concat_ws('|',
+                            coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+                            coalesce(o_orderstatus, '<NULL>'))) AS h
                FROM curr),
     d AS (
       SELECT CASE WHEN b.k IS NULL THEN 'added'
@@ -4253,8 +4281,11 @@ def q_snapshot_diff_orders(spark, sf_dir):
     row_h = F.md5(
         F.concat_ws(
             "|",
-            F.round(F.col("o_totalprice") * 100).cast("bigint"),
-            F.col("o_orderstatus"),
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                F.lit("<NULL>"),
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<NULL>")),
         )
     )
     base_h = orders.select(F.col("o_orderkey").alias("k"), row_h.alias("h"))
@@ -4399,20 +4430,24 @@ def q_bitmap_distinct_rollup(spark, sf_dir):
     m AS (
       SELECT user_id,
              count(*) AS n,
-             sum(xr) AS sx,
-             sum(xr * xr) AS sxx,
+             sum(CAST(xr AS HUGEINT)) AS sx,
+             sum(CAST(xr AS HUGEINT) * xr) AS sxx,
              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
              CAST(sum(CAST(value * xr AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-      FROM x GROUP BY user_id)
+      FROM x GROUP BY user_id),
+    d AS (SELECT user_id, n, sx, sy, sxy,
+                 n * sxx - sx * sx AS den
+          FROM m)
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE (n * sxy - sx * sy)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_per_sec,
-           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE (sy - (n * sxy - sx * sy)
-                           / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+           CASE WHEN den = 0 THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / CAST(den AS DOUBLE) END AS slope_per_sec,
+           CASE WHEN den = 0 THEN NULL
+                ELSE (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / CAST(den AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
                 END AS intercept
-    FROM m ORDER BY user_id
+    FROM d ORDER BY user_id
     """,
 )
 def q_user_value_trend(spark, sf_dir):
@@ -4422,12 +4457,15 @@ def q_user_value_trend(spark, sf_dir):
     per-group sklearn call would be an Arrow round-trip per user.
 
     Exactness: x is integer seconds RELATIVE to the user's first event
-    (a window min on the same partition key), so sx/sxx are exact bigint
-    sums; sy/sxy ride the exact-decimal path; slope and intercept then
-    combine the five exact moments in a fixed double expression — the
-    same literal formula on both engines, so the hash is stable without
-    any float aggregation anywhere.  Centering x also keeps sxx ~ (active
-    span)^2 instead of (epoch)^2, which is what keeps the bigint exact.
+    (a window min on the same partition key); sx/sxx sum in exact
+    DECIMAL(38,0) (mirroring DuckDB's HUGEINT sums — a user active for
+    years would push sx*sx past BIGINT, so the co-moment arithmetic stays
+    in 128-bit integers until the single final division); sy/sxy ride the
+    exact-decimal path; slope and intercept combine the five exact
+    moments in a fixed double expression — the same literal formula on
+    both engines, so the hash is stable without any float aggregation
+    anywhere.  Centering x keeps sxx ~ (active span)^2 instead of
+    (epoch)^2.
     Single-x-value users (degenerate denominator) return NULL slope.
     Plan: window min + groupBy on user_id — one events-sized exchange."""
     ev = _t(spark, sf_dir, "events")
@@ -4439,23 +4477,33 @@ def q_user_value_trend(spark, sf_dir):
     )
     m = x.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xr").alias("sx"),
-        F.sum(F.col("xr") * F.col("xr")).alias("sxx"),
+        F.sum(F.col("xr").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("xr").cast("decimal(38,0)") * F.col("xr")).alias("sxx"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sy"),
         F.sum((F.col("value") * F.col("xr")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sxy"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den.cast(
+    # den stays in exact DECIMAL(38,0) arithmetic: a user active for years
+    # has sx*sx far beyond BIGINT (the DuckDB side sums in HUGEINT; this is
+    # the Spark equivalent) — only the final division drops to double
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den")
+    m = m.withColumn("den", den)
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
         "double"
-    )
+    ) * F.col("sy")
+    slope = num / F.col("den").cast("double")
     return m.select(
         "user_id",
         F.col("n").cast("bigint").alias("n_events"),
-        F.when(den == 0, F.lit(None)).otherwise(slope).alias("slope_per_sec"),
-        F.when(den == 0, F.lit(None))
-        .otherwise((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        F.when(F.col("den") == 0, F.lit(None))
+        .otherwise(slope)
+        .alias("slope_per_sec"),
+        F.when(F.col("den") == 0, F.lit(None))
+        .otherwise(
+            (F.col("sy") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        )
         .alias("intercept"),
     ).orderBy("user_id")
 
@@ -4589,8 +4637,10 @@ def q_orc_roundtrip_events(spark, sf_dir):
 # freeze.  tests/test_registry_parity.py pins the window composition so
 # future insertions can't silently evict proof again.
 #
-# ROUND 5 ROTATION: lead with the 26 oracle-backed queries added after this
-# freeze — corpus_chunk_overlap, corpus_dup_span_fraction,
+# ROUND 5 ROTATION: lead with the oracle-backed queries added after this
+# freeze (43 as of the end of round 4 — more than one 50-slot window
+# holds alongside sentinels; prioritize never-driver-checked over re-proofs
+# and spill the remainder to round 6) — corpus_chunk_overlap, corpus_dup_span_fraction,
 # corpus_source_datacard, dedup_keep_canonical, embed_arrow_norms,
 # embed_kmeans_clusters, embed_knn_graph, events_variant_k_stats,
 # ml_ann_neighbors + ml_minhash_pairs (now recall-AUDIT relations: their

@@ -1248,9 +1248,7 @@ def q_text_bigram_lm_score(spark, sf_dir):
     return text.bigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@register(
-    "embed_knn_graph",
-    f"""
+_KNN_CTE_PREFIX = f"""
     WITH a AS (SELECT vec_id AS src, embedding AS sv FROM embeddings),
     b AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings),
     scored AS (
@@ -1261,7 +1259,13 @@ def q_text_bigram_lm_score(spark, sf_dir):
       FROM (SELECT *, row_number() OVER (PARTITION BY src
                                          ORDER BY cosine DESC, dst) AS rn
             FROM scored)
-      WHERE rn <= 3),
+      WHERE rn <= 3)"""
+
+
+@register(
+    "embed_knn_graph",
+    _KNN_CTE_PREFIX
+    + """,
     und AS (SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b, cosine
             FROM knn)
     SELECT vec_a, vec_b, max(cosine) AS cosine, count(*) = 2 AS mutual
@@ -1608,21 +1612,13 @@ def q_embed_pca_projection(spark, sf_dir):
     return simsearch.pca_pc1_projections(_t(spark, sf_dir, "embeddings"))
 
 
-_KNN_EDGES_CTES = f"""
-    WITH a AS (SELECT vec_id AS src, embedding AS sv FROM embeddings),
-    b AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings),
-    scored AS (
-      SELECT src, dst, {_cos_d('sv', 'dv')} AS cosine
-      FROM a CROSS JOIN b WHERE src <> dst),
-    knn AS (
-      SELECT src, dst
-      FROM (SELECT *, row_number() OVER (PARTITION BY src
-                                         ORDER BY cosine DESC, dst) AS rn
-            FROM scored)
-      WHERE rn <= 3),
+_KNN_EDGES_CTES = (
+    _KNN_CTE_PREFIX
+    + """,
     e AS (SELECT DISTINCT least(src, dst) AS va, greatest(src, dst) AS vb
           FROM knn)
 """
+)
 
 
 @register(
@@ -1633,15 +1629,14 @@ _KNN_EDGES_CTES = f"""
       SELECT node, count(*) AS d
       FROM (SELECT va AS node FROM e UNION ALL SELECT vb FROM e)
       GROUP BY node),
-    rk AS (SELECT node, d * 1000000000 + node AS r FROM deg),
     o AS (
-      SELECT CASE WHEN ra.r < rb.r THEN e.va ELSE e.vb END AS u,
-             CASE WHEN ra.r < rb.r THEN e.vb ELSE e.va END AS v,
-             CASE WHEN ra.r < rb.r THEN rb.r ELSE ra.r END AS rv
-      FROM e JOIN rk ra ON e.va = ra.node JOIN rk rb ON e.vb = rb.node),
+      SELECT CASE WHEN (ra.d, e.va) < (rb.d, e.vb) THEN e.va ELSE e.vb END AS u,
+             CASE WHEN (ra.d, e.va) < (rb.d, e.vb) THEN e.vb ELSE e.va END AS v,
+             CASE WHEN (ra.d, e.va) < (rb.d, e.vb) THEN rb.d ELSE ra.d END AS rvd
+      FROM e JOIN deg ra ON e.va = ra.node JOIN deg rb ON e.vb = rb.node),
     tri AS (
       SELECT o1.u AS n1, o1.v AS n2, o2.v AS n3
-      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.rv < o2.rv
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.rvd, o1.v) < (o2.rvd, o2.v)
       JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
     pernode AS (
       SELECT node, count(*) AS n_triangles
@@ -1673,36 +1668,42 @@ def q_graph_triangle_count(spark, sf_dir):
     return triangle_counts(e).orderBy("node")
 
 
+def rk_side(deg, key, alias):
+    return deg.select(F.col("node").alias(key), F.col("d").alias(alias))
+
+
 def triangle_counts(e):
     """Per-node triangle counts of an undirected edge list (columns
     vec_a < vec_b, distinct).  Degree-ordered orientation: each triangle
     is enumerated exactly once as a wedge at its lowest-(degree, id)
-    corner; per-node wedge fan-out is bounded by oriented out-degree."""
+    corner (lexicographic struct rank — total order at any id range);
+    per-node wedge fan-out is bounded by oriented out-degree."""
     deg = (
         e.select(F.col("vec_a").alias("node"))
         .unionAll(e.select("vec_b"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    rk = deg.select(
-        "node", (F.col("d") * 1000000000 + F.col("node")).alias("r")
+    # rank = lexicographic (degree, node) STRUCT — a packed integer
+    # d*K + node silently collides for node ids >= K; struct comparison
+    # is a strict total order at any id range (DuckDB twin: row compare)
+    a_lt_b = F.struct(F.col("ra"), F.col("vec_a")) < F.struct(
+        F.col("rb"), F.col("vec_b")
     )
     o = (
-        e.join(rk.select(F.col("node").alias("vec_a"), F.col("r").alias("ra")), "vec_a")
-        .join(rk.select(F.col("node").alias("vec_b"), F.col("r").alias("rb")), "vec_b")
+        e.join(rk_side(deg, "vec_a", "ra"), "vec_a")
+        .join(rk_side(deg, "vec_b", "rb"), "vec_b")
         .select(
-            F.when(F.col("ra") < F.col("rb"), F.col("vec_a"))
-            .otherwise(F.col("vec_b"))
-            .alias("u"),
-            F.when(F.col("ra") < F.col("rb"), F.col("vec_b"))
-            .otherwise(F.col("vec_a"))
-            .alias("v"),
-            F.greatest("ra", "rb").alias("rv"),
+            F.when(a_lt_b, F.col("vec_a")).otherwise(F.col("vec_b")).alias("u"),
+            F.when(a_lt_b, F.col("vec_b")).otherwise(F.col("vec_a")).alias("v"),
+            F.when(a_lt_b, F.col("rb")).otherwise(F.col("ra")).alias("rvd"),
         )
     )
-    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rv").alias("rx"))
-    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rv").alias("ry"))
-    wedges = o1.join(o2, "u").where(F.col("rx") < F.col("ry"))
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rvd").alias("rxd"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rvd").alias("ryd"))
+    wedges = o1.join(o2, "u").where(
+        F.struct(F.col("rxd"), F.col("x")) < F.struct(F.col("ryd"), F.col("y"))
+    )
     closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closure, ["x", "y"])
     return (

@@ -498,6 +498,11 @@ def test_trend_recovers_planted_line(spark):
         (5, 2, t0, 5.0),
         (6, 2, t0, 9.0),
     ]
+    span = 500_000_000  # ~16 years in seconds
+    rows += [
+        (100 + i, 3, t0 + dt.timedelta(seconds=i * span // 500), 1.0 + 2.0 * (i * span // 500))
+        for i in range(500)
+    ]
     df = spark.createDataFrame(
         rows, "event_id: long, user_id: long, ts: timestamp, value: double"
     )
@@ -509,28 +514,36 @@ def test_trend_recovers_planted_line(spark):
     )
     m = x.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xr").alias("sx"),
-        F.sum(F.col("xr") * F.col("xr")).alias("sxx"),
+        F.sum(F.col("xr").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("xr").cast("decimal(38,0)") * F.col("xr")).alias("sxx"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sy"),
         F.sum((F.col("value") * F.col("xr")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sxy"),
-    )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den.cast("double")
+    ).withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    slope = num / F.col("den").cast("double")
     out = {
         r["user_id"]: r
         for r in m.select(
             "user_id",
-            F.when(den == 0, F.lit(None)).otherwise(slope).alias("slope_per_sec"),
-            F.when(den == 0, F.lit(None))
-            .otherwise((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+            F.when(F.col("den") == 0, F.lit(None)).otherwise(slope).alias("slope_per_sec"),
+            F.when(F.col("den") == 0, F.lit(None))
+            .otherwise(
+                (F.col("sy") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            )
             .alias("intercept"),
         ).collect()
     }
     assert out[1]["slope_per_sec"] == 2.0
     assert out[1]["intercept"] == 1.0
     assert out[2]["slope_per_sec"] is None and out[2]["intercept"] is None
+    # user 3: a 16-YEAR span — sx*sx ~ 2.5e23 would overflow BIGINT
+    # arithmetic (ANSI error); the decimal co-moments must survive and
+    # still recover the exact planted slope
+    assert abs(out[3]["slope_per_sec"] - 2.0) < 1e-12
+    assert abs(out[3]["intercept"] - 1.0) < 1e-3
 
 
 def test_triangle_counts_planted_graph(spark):

@@ -745,12 +745,14 @@ def test_pca_projection_aligns_with_true_eigenvector(spark, sf_dir):
     assert cos > 0.99, f"projection alignment only {cos}"
 
 
-def test_pq_topk_recall_and_code_compression(spark, sf_dir):
-    """PQ is an approximation — pin its quality floor and its contract:
-    mean recall@5 vs exact float L2 must clear 0.25 at this coarse
-    codebook (m=4, k=8; measured ~0.4), every returned rank list is
-    strictly ADC-distance-sorted, and the code relation compresses every
-    vector to m in-range codes."""
+def test_pq_topk_recall_and_ordering(spark, sf_dir):
+    """PQ is an approximation — pin its quality floor and its output
+    contract: mean recall@5 vs exact float L2 must clear 0.25 at this
+    coarse codebook (m=4, k=8; measured ~0.4), ranks are dense 1..5 per
+    query, and every rank list is strictly ADC-distance-sorted.  (Code
+    range/compression is enforced structurally: an out-of-range code
+    would make the LUT element_at fail the whole query, which the parity
+    tests run.)"""
     import numpy as np
 
     from sparkgraft.ext import simsearch
