@@ -1660,10 +1660,15 @@ def q_graph_triangle_count(spark, sf_dir):
     gets rank-ordered OUT of the wedge-generating role).  Edge relation
     comes from ext/simsearch.knn_graph (blocked scoring, no cartesian);
     the triangle phase is two equi-joins + a 3-way union rollup."""
+    # materialize the edge list once: the triangle phase references it
+    # five times (degree, both orientation joins, both wedge legs, the
+    # closure), and without a checkpoint Spark re-executes the ENTIRE
+    # blocked-kNN DAG per reference (plan audit: 229 exchanges -> ~20)
     e = (
         simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
         .select("vec_a", "vec_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return triangle_counts(e).orderBy("node")
 
@@ -1699,6 +1704,7 @@ def triangle_counts(e):
             F.when(a_lt_b, F.col("rb")).otherwise(F.col("ra")).alias("rvd"),
         )
     )
+    o = o.localCheckpoint(eager=True)  # referenced by both wedge legs + closure
     o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rvd").alias("rxd"))
     o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rvd").alias("ryd"))
     wedges = o1.join(o2, "u").where(

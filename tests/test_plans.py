@@ -676,3 +676,14 @@ def test_orc_scan_pushes_filters_like_parquet(spark, sf_dir, tmp_path):
     scan = [l for l in plan.splitlines() if "FileScan orc" in l]
     assert scan, plan
     assert "event_type" not in scan[0], scan[0]
+
+
+def test_triangle_count_materializes_knn_once(spark, sf_dir):
+    """The edge list and oriented relation are checkpointed, so the
+    triangle phase must NOT re-execute the blocked-kNN DAG per reference
+    (pre-fix plan audit: 229 exchanges; the triangle joins alone need
+    far fewer)."""
+    plan = _final_plan(spark, sf_dir, "graph_triangle_count")
+    assert plan.count("Exchange hashpartitioning") < 30, plan.count(
+        "Exchange hashpartitioning"
+    )
