@@ -687,3 +687,33 @@ def test_triangle_count_materializes_knn_once(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") < 30, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_repo_wide_plan_sweep_no_cartesian_no_row_udf(spark, sf_dir):
+    """Every registered non-streaming query's physical plan, swept for the
+    three unconditional scale red-flags: CartesianProduct anywhere,
+    row-at-a-time Python UDFs outside the declared UDTF surface, and
+    runaway plan width (> 40 hash exchanges — the triangle-count
+    re-execution bug's signature).  Per-query gates pin the subtle shapes;
+    this net catches the blunt regressions everywhere else.  (Streaming
+    harness queries execute real streams on construction and have their
+    own tests.)"""
+    from sparkgraft import registry
+
+    ROW_UDF_OK = {"udtf_split_sentences"}  # Python UDTF: the registered surface
+    bad = {}
+    for name, fn in registry.queries().items():
+        if name.startswith("streaming_") or name.startswith("custom_stream"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
+            flags.append("row_python_udf")
+        n_ex = plan.count("Exchange hashpartitioning")
+        if n_ex > 40:
+            flags.append(f"exchanges={n_ex}")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
