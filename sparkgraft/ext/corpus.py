@@ -20,6 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from sparkgraft.ext.dedup import HASH64_SQL, doc_shingles, shingle_expr
+from sparkgraft.ext.text import _TOKENS_SQL
 from sparkgraft.ext.text import token_count, tokens
 
 
@@ -568,7 +569,7 @@ def chunk_overlap(
     the caller's sink; ~size/stride× output amplification is inherent to
     overlap chunking and is the documented cost of the operator.
     """
-    tks = f"filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
+    tks = _TOKENS_SQL.format(col=col)
     n = f"size({tks})"
     n_chunks = f"(1 + CAST(ceil(greatest({n} - {size}, 0) / {stride}.0) AS INT))"
     chunks = (
@@ -642,12 +643,9 @@ def exact_dup_spans(
 
     Output: (doc_id, n_tokens, dup_tokens, dup_fraction).
     """
-    tks = f"filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
+    tks = _TOKENS_SQL.format(col=col)
     ntok = f"size({tks})"
-    tok_h = (
-        f"transform({tks}, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
-        f" % {ROLL_P})"
-    )
+    tok_h = f"transform({tks}, t -> ({HASH64_SQL.format(x='t')}) % {ROLL_P})"
     hashes = (
         f"CASE WHEN {ntok} >= {n} THEN transform(sequence(1, {ntok} - {n - 1}),"
         f" i -> {rolling_span_hash('__th', n, spark_dialect=True)})"

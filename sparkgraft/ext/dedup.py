@@ -301,7 +301,10 @@ def ngram_jaccard_pairs(
                 .where(F.col("df") <= max_doc_freq)
                 .select("sh")
             )
-            vs = ds.join(F.broadcast(freq_cut), "sh")
+            # corpus-derived set: NO broadcast hint (it grows with distinct
+            # shingles — the hard hint would force a driver collect at scale;
+            # AQE broadcasts it when it is actually small)
+            vs = ds.join(freq_cut, "sh")
             # cut sets intersect; FULL sizes union (default-path semantics)
             doc_sets = vs.groupBy("doc").agg(F.collect_set("sh").alias("__shs"))
             verif = (
@@ -349,7 +352,8 @@ def ngram_jaccard_pairs(
     keep = F.col("df") >= 2
     if max_doc_freq is not None:
         keep = keep & (F.col("df") <= max_doc_freq)
-    blocked = ds.join(F.broadcast(freq.where(keep).select("sh")), "sh")
+    # same rule: the df-filtered shingle set is corpus-derived — no hint
+    blocked = ds.join(freq.where(keep).select("sh"), "sh")
     inter = (
         blocked.select(F.col("doc").alias("doc_a"), "sh")
         .join(blocked.select(F.col("doc").alias("doc_b"), "sh"), "sh")
@@ -387,6 +391,38 @@ def minhash_signatures(
     return tok.groupBy("doc").agg(*aggs)
 
 
+def banded_signatures(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band_idx, band_hash) — MinHash signatures folded into LSH band
+    hashes, stacked long-form.  ONE definition of the banding layout: this
+    relation IS the persisted-index format incremental probes match
+    against, so :func:`minhash_lsh_pairs` (within-corpus) and
+    :func:`incremental_minhash_pairs` (batch-vs-history) must agree on it
+    byte-for-byte — a layout change here re-keys both sides together.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc", *band_cols)
+    return banded.selectExpr(
+        "doc",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band_{b}" for b in range(bands))
+        + ") AS (band_idx, band_hash)",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str = "text",
@@ -407,22 +443,9 @@ def minhash_lsh_pairs(
     all-pairs product: only same-band-hash docs ever meet, so the candidate
     set stays near-linear in corpus size at any scale.
     """
-    rows = k // bands
-    # both bucket-join legs (and nothing else) read the signature relation;
-    # materialize it once instead of re-running the shingle explode + k-way
-    # min aggregation per leg
-    sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
-    band_cols = [
-        F.md5(F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc", *band_cols)
-    stacked = banded.selectExpr(
-        "doc",
-        f"stack({bands}, "
-        + ", ".join(f"{b}, band_{b}" for b in range(bands))
-        + ") AS (band_idx, band_hash)",
-    )
+    # the banding relation is materialized once inside banded_signatures
+    # (both bucket-join legs read it)
+    stacked = banded_signatures(df, col, id_col, k, bands, n)
     cand = (
         stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
         .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
@@ -476,7 +499,16 @@ def connected_components(
       silently-truncated answer.
     """
     spark = pairs.sparkSession
-    pairs = pairs.select("doc_a", "doc_b").persist()
+    # self-loops (a, a) carry no connectivity; drop them up-front so both
+    # execution paths agree on the output node set (previously the driver
+    # path silently dropped the node while the distributed path emitted
+    # (x, x) — the answer depended on which side of driver_max_pairs the
+    # input landed)
+    pairs = (
+        pairs.select("doc_a", "doc_b")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .persist()
+    )
     id_type = pairs.schema["doc_a"].dataType
     out_schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
@@ -557,6 +589,9 @@ def connected_components(
         hopped.unpersist()
         labels = shortcut
     if not converged:
+        edges.unpersist()
+        pairs.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} rounds"
         )
@@ -594,7 +629,14 @@ def simhash_signatures(
     Distributed-friendly: explode + one groupBy(doc) with ``bits`` integer
     sums (map-side partial agg), then recombine bits. Duplicate tokens vote
     multiple times (classic SimHash weighting by term frequency).
+
+    ``bits`` must be <= 60: the engine-portable HASH64 is 15 hex digits =
+    60 bits, so positions 60..63 of a "64-bit" simhash would be constant
+    zero (every doc voting -1) — silently degrading band selectivity —
+    and bit 63's recombine literal (1 << 63) doesn't fit BIGINT.
     """
+    if not (1 <= bits <= 60):
+        raise ValueError(f"bits must be in [1, 60] (HASH64 is 60-bit), got {bits}")
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("tok")).withColumn(
         "h", F.expr(HASH64_SQL.format(x="tok"))
     )
@@ -661,8 +703,10 @@ def simhash_close_pairs(
     (band_idx, band_value) finds EVERY pair (exact recall); candidates are
     verified with the true ``bit_count`` distance. This is the Manku et
     al. (WWW'07) web-dedup shape; band width ``bits/(h+1)`` governs bucket
-    collision rates, so it needs wide signatures to shine (64-bit/h=3 ->
-    16-bit bands), while narrow signatures get the enumeration path.
+    collision rates, so it needs wide signatures to shine (the widest this
+    hash supports is 60-bit/h=3 -> 15-bit bands; Manku's original is
+    64-bit, which the 60-bit portable HASH64 cannot fill — see
+    simhash_signatures), while narrow signatures get the enumeration path.
     """
     if strategy not in ("auto", "neighbors", "banded"):
         raise ValueError(f"unknown strategy: {strategy}")
@@ -864,8 +908,14 @@ def incremental_bloom_dedup(
         return pd.Series(hit)
 
     candidates = bat.where(_in_bloom(F.col("__h")))
+    # verify WITHOUT shuffling history text: history first left-semi-prunes
+    # on the candidate HASHES (a batch-bounded relation AQE broadcasts), so
+    # only hash-colliding history rows — about the true-dup count plus
+    # Bloom false positives — carry their text into the exact verify join
+    cand_h = candidates.select("__h").distinct()
+    hist_pruned = hist.join(cand_h, "__h", "left_semi")
     return (
-        candidates.join(hist, ["__h", "__t"], "left_semi")
+        candidates.join(hist_pruned, ["__h", "__t"], "left_semi")
         .select(id_col)
         .orderBy(id_col)
     )
@@ -900,26 +950,8 @@ def incremental_minhash_pairs(
     Output: (doc_a = history doc, doc_b = batch doc, jaccard) — one row
     per verified cross-set near-dup pair.
     """
-    rows = k // bands
-
-    def stacked_bands(df: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
-        band_cols = [
-            F.md5(
-                F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-        banded = sigs.select("doc", *band_cols)
-        return banded.selectExpr(
-            "doc",
-            f"stack({bands}, "
-            + ", ".join(f"{b}, band_{b}" for b in range(bands))
-            + ") AS (band_idx, band_hash)",
-        )
-
-    hs = stacked_bands(hist)
-    bs = stacked_bands(batch)
+    hs = banded_signatures(hist, col, id_col, k, bands, n)
+    bs = banded_signatures(batch, col, id_col, k, bands, n)
     cand = (
         bs.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
         .join(
@@ -934,23 +966,42 @@ def incremental_minhash_pairs(
     # actually candidate — semi-join hist down BEFORE re-shingling, so the
     # probe's text work is O(batch + candidates), never a full-history
     # re-scan (at scale the per-doc shingle-set sizes live in the
-    # persisted index alongside the band hashes)
+    # persisted index alongside the band hashes).  The two sides keep
+    # SEPARATE shingle/size relations throughout: a history doc_id that
+    # collides with a batch doc_id (daily crawls often restart ids) must
+    # never merge shingle sets under one key, which a unioned relation
+    # would silently do.
     hist_hit = hist.join(
         cand.select(F.col("doc_a").alias(id_col)).distinct(),
         id_col,
         "left_semi",
     )
-    ds = (
-        doc_shingles(hist_hit, col, id_col, n)
-        .unionAll(doc_shingles(batch, col, id_col, n))
-        .localCheckpoint(eager=True)
-    )
-    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    ds_h = doc_shingles(hist_hit, col, id_col, n).localCheckpoint(eager=True)
+    ds_b = doc_shingles(batch, col, id_col, n).localCheckpoint(eager=True)
+    sizes_h = ds_h.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_b = ds_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
-        .join(ds.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(ds_h.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(ds_b.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .where(F.col("sh") == F.col("sh_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_from_counts(inter, sizes, threshold)
+    return (
+        inter.join(
+            sizes_h.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes_b.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

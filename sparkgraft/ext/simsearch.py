@@ -122,37 +122,16 @@ def brute_force_topk(
     )
 
 
-def cosine_neardup_pairs(
-    emb: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_blocks: int = 8,
-) -> DataFrame:
-    """All vector pairs with cosine >= threshold (embedding near-dup dedup).
+def _block_pair_legs(emb, id_col, vec_col, n_blocks):
+    """Shared block-matrix scaffolding for the exact O(N^2) operators
+    (:func:`cosine_neardup_pairs`, :func:`knn_graph`): hash-block
+    assignment, the tiny literal block-pair relation, and the two
+    broadcast-join replication legs.  One definition so a blocking-scheme
+    change (e.g. the overflow-safe hash noted below) cannot drift between
+    the consumers.
 
-    EXACT (matches the all-pairs oracle bit-for-bit) yet fully distributed
-    — block-matrix pairing, the classic way to do exact O(N²) comparisons
-    without ever holding the corpus in one place:
-
-    1. every vector gets a block id = pmod(hash-ish of id, B);
-    2. the B·(B+1)/2 unordered block pairs (ba <= bb) form a tiny literal
-       relation, each block's rows replicated to the pairs it belongs to
-       (join fan-out ~ (B+1)/2 per row — the only shuffle);
-    3. per block pair, a cogrouped ``applyInPandas`` runs one float64 BLAS
-       matmul of block A against block B; ``vec_a < vec_b`` masks the
-       diagonal and de-dups symmetric hits.
-
-    No driver collect, no full-table broadcast: a task's working set is two
-    blocks, so executor memory bounds block size — at corpus scale raise
-    ``n_blocks`` so N/B stays at ~10⁵ vectors (the flop count is inherent
-    to the exact contract; the *distribution* is what must not bottleneck).
-    numpy matmul beats Spark's interpreted higher-order-function dot by
-    ~10x; float64 + round(8) keeps results identical to the SQL oracle
-    (error ~1e-15 vs the 5e-9 rounding boundary)."""
-    import numpy as np
-    import pandas as pd
-
+    Returns (left, right) keyed by (ba, bb) with columns (id, v).
+    """
     spark = emb.sparkSession
     vecs = emb.select(
         F.col(id_col).alias("id"),
@@ -187,6 +166,41 @@ def cosine_neardup_pairs(
             F.col("vr.v").alias("v"),
         )
     )
+    return left, right
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold (embedding near-dup dedup).
+
+    EXACT (matches the all-pairs oracle bit-for-bit) yet fully distributed
+    — block-matrix pairing, the classic way to do exact O(N²) comparisons
+    without ever holding the corpus in one place:
+
+    1. every vector gets a block id = pmod(hash-ish of id, B);
+    2. the B·(B+1)/2 unordered block pairs (ba <= bb) form a tiny literal
+       relation, each block's rows replicated to the pairs it belongs to
+       (join fan-out ~ (B+1)/2 per row — the only shuffle);
+    3. per block pair, a cogrouped ``applyInPandas`` runs one float64 BLAS
+       matmul of block A against block B; ``vec_a < vec_b`` masks the
+       diagonal and de-dups symmetric hits.
+
+    No driver collect, no full-table broadcast: a task's working set is two
+    blocks, so executor memory bounds block size — at corpus scale raise
+    ``n_blocks`` so N/B stays at ~10⁵ vectors (the flop count is inherent
+    to the exact contract; the *distribution* is what must not bottleneck).
+    numpy matmul beats Spark's interpreted higher-order-function dot by
+    ~10x; float64 + round(8) keeps results identical to the SQL oracle
+    (error ~1e-15 vs the 5e-9 rounding boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    left, right = _block_pair_legs(emb, id_col, vec_col, n_blocks)
 
     def _pairs(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
@@ -246,36 +260,7 @@ def knn_graph(
     import pandas as pd
     from pyspark.sql import Window
 
-    spark = emb.sparkSession
-    vecs = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(f"CAST(pmod(hash({id_col}), {n_blocks}) AS INT)").alias("blk"),
-    )
-    block_pairs = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
-        "ba int, bb int",
-    )
-    left = (
-        vecs.alias("vl")
-        .join(F.broadcast(block_pairs.alias("pl")), F.col("vl.blk") == F.col("pl.ba"))
-        .select(
-            F.col("pl.ba").alias("ba"),
-            F.col("pl.bb").alias("bb"),
-            F.col("vl.id").alias("id"),
-            F.col("vl.v").alias("v"),
-        )
-    )
-    right = (
-        vecs.alias("vr")
-        .join(F.broadcast(block_pairs.alias("pr")), F.col("vr.blk") == F.col("pr.bb"))
-        .select(
-            F.col("pr.ba").alias("ba"),
-            F.col("pr.bb").alias("bb"),
-            F.col("vr.id").alias("id"),
-            F.col("vr.v").alias("v"),
-        )
-    )
+    left, right = _block_pair_legs(emb, id_col, vec_col, n_blocks)
 
     def _local_topk(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
@@ -801,7 +786,20 @@ def pca_pc1_projections(
     quant_sql = (
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
     )
-    q = emb.select(F.col(id_col), F.expr(quant_sql).alias("qv"))
+    # persisted: three separate actions read this relation (the means
+    # collect, the covariance mapInArrow collect, the final projection) —
+    # same contract as kmeans_assign / pq_topk
+    q = emb.select(F.col(id_col), F.expr(quant_sql).alias("qv")).persist()
+    try:
+        return _pca_body(q, n, iters, id_col, dim)
+    finally:
+        q.unpersist()
+
+
+def _pca_body(q, n, iters, id_col, dim):
+    import numpy as np
+    import pyarrow as pa
+
     sums = q.agg(
         *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
     ).collect()[0]

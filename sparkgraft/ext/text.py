@@ -349,6 +349,8 @@ def bm25_scores(
     collapse to broadcast one-row relations; ranking is TakeOrdered top-k,
     not a global sort.
     """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
     toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("tok"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = dl.agg(
@@ -441,7 +443,9 @@ def linear_classifier(
     w = hashed_weights(dim)
     arr = ", ".join(str(x) for x in w)
     tks = _TOKENS_SQL.format(col=col)
-    bucket = f"CAST(pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), {dim}) AS INT)"
+    from sparkgraft.ext.dedup import HASH64_SQL  # local: text<->dedup import cycle
+
+    bucket = f"CAST(pmod({HASH64_SQL.format(x='t')}, {dim}) AS INT)"
     milli_sum = (
         f"aggregate(transform({tks}, t -> element_at(array({arr}), {bucket} + 1)),"
         " CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"

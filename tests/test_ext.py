@@ -802,3 +802,49 @@ def test_incremental_minhash_planted_crossset_only(spark):
     assert all(a in (1, 2) and b in (10, 11, 12) for a, b in pairs), pairs
     assert (10, 11) not in pairs and (11, 10) not in pairs
     assert not any(b == 12 for _, b in pairs)
+
+
+def test_incremental_minhash_survives_colliding_ids(spark):
+    """Daily crawls often restart doc ids at 0, so a history doc and a
+    batch doc can share an id while holding DIFFERENT text.  The per-side
+    shingle relations must keep them apart: the shared id must not merge
+    shingle sets (which would corrupt every Jaccard touching it)."""
+    from sparkgraft.ext import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hist = spark.createDataFrame(
+        [(7, base)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (7, "entirely different words about warehouses and parquet footers"),
+            (8, base + " ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.incremental_minhash_pairs(hist, batch, threshold=0.5).collect()
+    }
+    # hist 7 near-dups batch 8 with HIGH jaccard computed from the TRUE
+    # per-side sets; a merged-key bug would deflate it below threshold
+    assert (7, 8) in pairs and pairs[(7, 8)] > 0.8, pairs
+    # hist 7 vs batch 7 share nothing: never emitted
+    assert (7, 7) not in pairs
+
+
+def test_connected_components_selfloop_paths_agree(spark):
+    """Self-loop edges must yield the SAME relation from the driver
+    union-find fast path and the distributed pointer-doubling path —
+    previously the answer depended on which side of driver_max_pairs the
+    input landed."""
+    from sparkgraft.ext import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 1)], "doc_a bigint, doc_b bigint"
+    )
+    fast = sorted(map(tuple, dedup.connected_components(edges).collect()))
+    dist = sorted(
+        map(tuple, dedup.connected_components(edges, driver_max_pairs=0).collect())
+    )
+    assert fast == dist == [(1, 1), (2, 1)]
