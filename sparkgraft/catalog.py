@@ -182,6 +182,13 @@ def save_zordered(
     them beside the table when appending later batches so the curve stays
     stable.
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * len(cols) = {bits * len(cols)} exceeds 63: Spark's "
+            "shiftleft masks shift amounts mod 64, so the interleave would "
+            "silently alias bit positions and the curve would NOT be a "
+            "Morton order — lower bits or split the column set"
+        )
     bounds = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
@@ -273,15 +280,35 @@ def compact_small_files(
     first — compaction is embarrassingly parallel across partitions and
     each is a single coalesce-free write job.
     """
+    import glob
     import os
     import shutil
 
     _recover_interrupted_compaction(path)
+    # GC temp dirs stranded by rewrites that FAILED before the first
+    # rename (job death mid-write): they are never referenced again, and a
+    # flapping nightly job would otherwise leak one per attempt
+    for leftover in glob.glob(f"{glob.escape(path.rstrip('/'))}__compact_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    entries = os.listdir(path)
     parts = [
         os.path.join(path, f)
-        for f in os.listdir(path)
+        for f in entries
         if f.endswith(".parquet") and not f.startswith("_")
     ]
+    if not parts:
+        subdirs = [f for f in entries if os.path.isdir(os.path.join(path, f))]
+        raise ValueError(
+            f"no top-level parquet files under {path!r}"
+            + (
+                f" (partition subdirectories found: {subdirs[:3]}...) — "
+                "compact per PARTITION directory, as the docstring "
+                "prescribes; compacting the root would flatten the "
+                "partition layout into one unpartitioned file set"
+                if subdirs
+                else ""
+            )
+        )
     total = sum(os.path.getsize(p) for p in parts)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
@@ -310,7 +337,10 @@ def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
     yields byte-identical table contents.
     """
     ensure_table(spark, spec)
-    staging = f"temp_{spec.name}_{time.time_ns()}"
+    # dots in a qualified table name would misparse the staging name as
+    # db-qualified ("temp_analytics.events_<ns>" -> table "events_<ns>" in
+    # db "temp_analytics") — flatten them
+    staging = f"temp_{spec.name.replace('.', '_')}_{time.time_ns()}"
     ordered = df.select(*spec.ordered_columns)
     ordered.write.mode("errorifexists").format("parquet").option(
         "compression", "snappy"

@@ -215,9 +215,20 @@ def register(spark) -> None:
 class JsonlSimpleStreamReader:
     """Streaming face of the JSONL source (Spark 4
     ``SimpleDataSourceStreamReader``): one *.jsonl file per micro-batch,
-    in sorted filename order — the deterministic replay convention
-    (offsets are {"files_read": N}, so a restart resumes at the next file
-    and ``readBetweenOffsets`` re-reads any committed span exactly).
+    in sorted filename order.
+
+    Offset protocol: the offset is the NAME of the last file read
+    ({"last_file": name}), not a positional index — a positional index
+    into a re-sorted listing breaks the moment a producer writes a file
+    that sorts BEFORE already-read ones (the index then points at a
+    different file: duplicated reads, skipped files, and corrupted
+    ``readBetweenOffsets`` replay).  With a name watermark, replay of a
+    committed span is exact under ANY later directory state: the span
+    (start, end] selects files by name, which never re-maps.  The
+    corollary producers must honor (standard for file streams): file
+    names must be written in ascending sort order; a late file sorting
+    below the watermark is ignored rather than silently corrupting
+    offsets — same contract as a Kafka partition's monotone offsets.
 
     The simple-reader API reads on the DRIVER (Spark re-distributes rows
     to executors) — right for control-plane streams (file manifests,
@@ -232,7 +243,7 @@ class JsonlSimpleStreamReader:
         self.fields = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"files_read": 0}
+        return {"last_file": ""}
 
     def _files(self) -> list[str]:
         import glob
@@ -251,17 +262,23 @@ class JsonlSimpleStreamReader:
         return out
 
     def read(self, start: dict):  # noqa: N802 (API name)
-        files = self._files()
-        i = start["files_read"]
-        if i >= len(files):
+        import os
+
+        last = start["last_file"]
+        pending = [f for f in self._files() if os.path.basename(f) > last]
+        if not pending:
             return iter([]), start
-        return iter(self._rows(files[i])), {"files_read": i + 1}
+        nxt = pending[0]
+        return iter(self._rows(nxt)), {"last_file": os.path.basename(nxt)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        files = self._files()
+        import os
+
         rows: list[tuple] = []
-        for i in range(start["files_read"], end["files_read"]):
-            rows.extend(self._rows(files[i]))
+        for f in self._files():
+            name = os.path.basename(f)
+            if start["last_file"] < name <= end["last_file"]:
+                rows.extend(self._rows(f))
         return iter(rows)
 
     def commit(self, end: dict) -> None:

@@ -591,7 +591,6 @@ def q_q4_order_priority(spark, sf_dir):
 def q_q10_returned_revenue(spark, sf_dir):
     """TPC-H Q10 shape: lost revenue from returned items, top-20 customers
     (deterministic tie-break; TakeOrderedAndProject)."""
-    from sparkgraft.ops.relational import exact_sum, top_k
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -625,7 +624,6 @@ def q_q10_returned_revenue(spark, sf_dir):
 def q_q14_promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue percentage — fact⋈dim join with a
     LIKE-predicated conditional aggregate ratio."""
-    from sparkgraft.ops.relational import exact_sum
 
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -744,7 +742,6 @@ def q_nation_pair_volume(spark, sf_dir):
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
     )
-    from sparkgraft.ops.relational import exact_sum
 
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
@@ -780,7 +777,6 @@ def q_asia_market_share(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    from sparkgraft.ops.relational import exact_sum
 
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     asia_rev = F.when(F.col("r_name") == "ASIA", revenue).otherwise(F.lit(0.0))
@@ -813,13 +809,10 @@ def q_orders_above_avg_price(spark, sf_dir):
     The average is computed with exact decimal internals so the predicate
     boundary is identical across engines (a float-summed average could
     flip rows sitting exactly at the mean)."""
+    from sparkgraft.ops.relational import exact_avg
+
     orders = _t(spark, sf_dir, "orders")
-    avg_df = orders.agg(
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
-            / F.count("o_totalprice")
-        ).alias("__avg")
-    )
+    avg_df = orders.agg(exact_avg("o_totalprice").alias("__avg"))
     # lazily-planned scalar: broadcast the 1-row aggregate, no driver action
     return (
         orders.crossJoin(F.broadcast(avg_df))
@@ -1128,7 +1121,7 @@ def q_range_join_event_windows(spark, sf_dir):
     window. ops/relational.range_join slab-buckets the intervals into an
     equi-join on the time slab — linear shuffle, no nested loop (plan
     gate)."""
-    from sparkgraft.ops.relational import range_join, top_k
+    from sparkgraft.ops.relational import range_join
 
     ev = _t(spark, sf_dir, "events")
     win = top_k(
@@ -3602,8 +3595,8 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
     """Custom Python STREAMING DataSource end-to-end (Spark 4
     SimpleDataSourceStreamReader, io/jsonl_source.JsonlSimpleStreamReader):
     the events table is materialized as three JSONL chunk files, streamed
-    through the registered format one file per micro-batch (offsets =
-    files_read, replayable via readBetweenOffsets), appended to parquet by
+    through the registered format one file per micro-batch (offset = last
+    file-name watermark, replayable via readBetweenOffsets), appended to parquet by
     foreachBatch, and aggregated. The oracle reads the same rows straight
     from parquet, so exactly-once delivery across the three micro-batches
     is hash-checked: any dropped or replayed file changes the counts.
@@ -3731,26 +3724,35 @@ def q_scd2_point_in_time_lookup(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@register(
-    "recursive_cte_hierarchy",
-    """
+# ONE template for the recursive-hierarchy SQL, formatted with real view
+# names per engine — no post-hoc string surgery on the SQL text (a
+# " region"-prefix .replace() silently corrupts any future token that
+# happens to share the prefix).
+_RECURSIVE_HIERARCHY_TPL = """
     WITH RECURSIVE edges AS (
       SELECT 'region' AS pkind, r_regionkey AS pid,
              'nation' AS ckind, n_nationkey AS cid, n_name AS cname
-      FROM nation JOIN region ON n_regionkey = r_regionkey
+      FROM {nation} JOIN {region} ON n_regionkey = r_regionkey
       UNION ALL
       SELECT 'nation', n_nationkey, 'customer', c_custkey, c_name
-      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey),
     walk AS (
       SELECT 'region' AS kind, CAST(r_regionkey AS BIGINT) AS id,
              r_name AS path, 0 AS lvl
-      FROM region
+      FROM {region}
       UNION ALL
       SELECT e.ckind, CAST(e.cid AS BIGINT), concat(w.path, '/', e.cname),
              w.lvl + 1
       FROM walk w JOIN edges e ON e.pkind = w.kind AND e.pid = w.id)
     SELECT kind, id, path, lvl FROM walk ORDER BY kind, id
-    """,
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    _RECURSIVE_HIERARCHY_TPL.format(
+        region="region", nation="nation", customer="customer"
+    ),
 )
 def q_recursive_cte_hierarchy(spark, sf_dir):
     """Recursive CTE (Spark 4 WITH RECURSIVE) materializing the
@@ -3772,27 +3774,12 @@ def q_recursive_cte_hierarchy(spark, sf_dir):
     the pagerank iteration; depth is the hierarchy's, not the data's.
     """
     for t in ("region", "nation", "customer"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"__rh_{t}".format(t=t))
-    sql = """
-    WITH RECURSIVE edges AS (
-      SELECT 'region' AS pkind, r_regionkey AS pid,
-             'nation' AS ckind, n_nationkey AS cid, n_name AS cname
-      FROM nation JOIN region ON n_regionkey = r_regionkey
-      UNION ALL
-      SELECT 'nation', n_nationkey, 'customer', c_custkey, c_name
-      FROM customer JOIN nation ON c_nationkey = n_nationkey),
-    walk AS (
-      SELECT 'region' AS kind, CAST(r_regionkey AS BIGINT) AS id,
-             r_name AS path, 0 AS lvl
-      FROM region
-      UNION ALL
-      SELECT e.ckind, CAST(e.cid AS BIGINT), concat(w.path, '/', e.cname),
-             w.lvl + 1
-      FROM walk w JOIN edges e ON e.pkind = w.kind AND e.pid = w.id)
-    SELECT kind, id, path, lvl FROM walk ORDER BY kind, id
-    """.replace(" region", " __rh_region").replace(
-        " nation", " __rh_nation").replace(" customer", " __rh_customer")
-    return spark.sql(sql)
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__rh_{t}")
+    return spark.sql(
+        _RECURSIVE_HIERARCHY_TPL.format(
+            region="__rh_region", nation="__rh_nation", customer="__rh_customer"
+        )
+    )
 
 
 @register(

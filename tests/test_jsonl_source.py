@@ -113,24 +113,31 @@ def test_simple_stream_reader_offsets_and_replay(spark, tmp_path):
     schema = StructType.fromDDL("a bigint")
     rd = JsonlSimpleStreamReader(schema, {"path": str(tmp_path)})
     off = rd.initialOffset()
-    assert off == {"files_read": 0}
+    assert off == {"last_file": ""}
     seq = []
     for _ in range(3):
         rows, off = rd.read(off)
         seq.append(list(rows))
     assert seq == [[(1,), (2,)], [(3,)], [(4,)]]
     rows, off2 = rd.read(off)
-    assert list(rows) == [] and off2 == off == {"files_read": 3}
-    # replay the middle span
-    assert list(rd.readBetweenOffsets({"files_read": 0}, {"files_read": 2})) == [
-        (1,), (2,), (3,),
-    ]
+    assert list(rows) == [] and off2 == off == {"last_file": "c2.jsonl"}
+    # replay the middle span by NAME watermark
+    assert list(
+        rd.readBetweenOffsets({"last_file": ""}, {"last_file": "c1.jsonl"})
+    ) == [(1,), (2,), (3,)]
+    # a late file sorting BELOW the committed watermark must not remap a
+    # committed span's replay (the positional-index failure mode)
+    with open(tmp_path / "a0.jsonl", "w") as fh:
+        fh.write(json.dumps({"a": 99}) + "\n")
+    assert list(
+        rd.readBetweenOffsets({"last_file": "c0.jsonl"}, {"last_file": "c1.jsonl"})
+    ) == [(3,)]
 
 
 def test_simple_stream_reader_restart_resumes(spark, tmp_path):
     """Checkpoint restart: run 1 drains two files and stops; a file lands
     AFTER the stop; run 2 (new query object, same checkpoint) picks up at
-    files_read=2 and emits only the new file — no replay, no loss."""
+    the committed name watermark and emits only the new file — no replay, no loss."""
     import json
 
     from sparkgraft.io import jsonl_source
@@ -167,4 +174,4 @@ def test_simple_stream_reader_restart_resumes(spark, tmp_path):
         fh.write(json.dumps({"a": 2}) + "\n")
     run_once()
     got2 = sorted(r.a for r in spark.read.parquet(out).collect())
-    assert got2 == [0, 1, 2], "restart must resume at files_read=2, exactly-once"
+    assert got2 == [0, 1, 2], "restart must resume at the watermark, exactly-once"
