@@ -50,6 +50,7 @@ def main() -> None:
     # is the cost of the PLAN, which is what this benchmark grades.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    n_samples: dict[str, int] = {}
     for name in headline + extra:
         samples: list[float] = []
         try:
@@ -62,6 +63,7 @@ def main() -> None:
                     if hi <= 2.0 * lo or len(samples) >= 5:
                         break
             timings[name] = round(min(samples), 3)
+            n_samples[name] = len(samples)
         except Exception as exc:  # noqa: BLE001 — one broken query must not
             # take down the whole benchmark; surface it loudly in the JSON
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -81,7 +83,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "runs_per_query": 2,
+                # adaptive: 2 normally, up to 5 when samples disagree >2x
+                "runs_per_query_min": 2,
+                "runs_per_query_max": max(n_samples.values(), default=0),
                 "n_queries": len(timings),
                 **({"errors": errors} if errors else {}),
             }

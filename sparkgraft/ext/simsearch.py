@@ -1003,3 +1003,52 @@ def pq_topk(
         )
     finally:
         q.unpersist()
+
+
+def _rk_side(deg, key, alias):
+    return deg.select(F.col("node").alias(key), F.col("d").alias(alias))
+
+
+def triangle_counts(e):
+    """Per-node triangle counts of an undirected edge list (columns
+    vec_a < vec_b, unique pairs — :func:`knn_graph` output satisfies this
+    by construction via its final groupBy).  Degree-ordered orientation: each triangle
+    is enumerated exactly once as a wedge at its lowest-(degree, id)
+    corner (lexicographic struct rank — total order at any id range);
+    per-node wedge fan-out is bounded by oriented out-degree."""
+    deg = (
+        e.select(F.col("vec_a").alias("node"))
+        .unionAll(e.select("vec_b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # rank = lexicographic (degree, node) STRUCT — a packed integer
+    # d*K + node silently collides for node ids >= K; struct comparison
+    # is a strict total order at any id range (DuckDB twin: row compare)
+    a_lt_b = F.struct(F.col("ra"), F.col("vec_a")) < F.struct(
+        F.col("rb"), F.col("vec_b")
+    )
+    o = (
+        e.join(_rk_side(deg, "vec_a", "ra"), "vec_a")
+        .join(_rk_side(deg, "vec_b", "rb"), "vec_b")
+        .select(
+            F.when(a_lt_b, F.col("vec_a")).otherwise(F.col("vec_b")).alias("u"),
+            F.when(a_lt_b, F.col("vec_b")).otherwise(F.col("vec_a")).alias("v"),
+            F.when(a_lt_b, F.col("rb")).otherwise(F.col("ra")).alias("rvd"),
+        )
+    )
+    o = o.localCheckpoint(eager=True)  # referenced by both wedge legs + closure
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rvd").alias("rxd"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rvd").alias("ryd"))
+    wedges = o1.join(o2, "u").where(
+        F.struct(F.col("rxd"), F.col("x")) < F.struct(F.col("ryd"), F.col("y"))
+    )
+    closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"])
+    return (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x")))
+        .unionAll(tri.select(F.col("y")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

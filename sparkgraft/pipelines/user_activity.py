@@ -165,6 +165,8 @@ def _edge_preserved_rows(
 def load_months(spark: SparkSession, raw_dir: str, months: list[str]) -> None:
     """The full idempotent backfill: any month subset, any order, rerun-safe."""
     catalog.ensure_table(spark, USER_ACTIVITY)
+    if not months:
+        return  # empty backfill set: table ensured, nothing to load
     parts: list[DataFrame] = []
     for run in coalesce_runs(months):
         run_df = normalize(extract_months(spark, raw_dir, run))

@@ -115,12 +115,16 @@ def q_text_quality(spark, sf_dir):
     return text.quality_features(_t(spark, sf_dir, "documents"))
 
 
-def _lang_oracle() -> str:
+def _lang_case() -> str:
+    """Marker-scoring CASE shared by the lang-ID oracles: tie precedence
+    en > es > de > fr with a >0 floor — ONE definition so text_lang_id and
+    text_langid_confusion can never drift from each other or from
+    ext/text.lang_id."""
     scores = {
         k: f"len(list_filter(t, x -> list_contains([{', '.join(repr(w) for w in v)}], x)))"
         for k, v in text.LANG_MARKERS.items()
     }
-    case = (
+    return (
         "CASE "
         f"WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
         f" AND {scores['en']} >= {scores['fr']} AND {scores['en']} > 0 THEN 'en' "
@@ -130,7 +134,10 @@ def _lang_oracle() -> str:
         f"WHEN {scores['fr']} > 0 THEN 'fr' "
         "ELSE 'und' END"
     )
-    return _TOK_CTE + f" SELECT doc_id, {case} AS lang_pred FROM tok"
+
+
+def _lang_oracle() -> str:
+    return _TOK_CTE + f" SELECT doc_id, {_lang_case()} AS lang_pred FROM tok"
 
 
 @register("text_lang_id", _lang_oracle())
@@ -535,7 +542,11 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     return dedup.incremental_bloom_dedup(docs, batch)
 
 
-def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+def _minhash_oracle_body(cand_pred: str, k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+    """One builder for both MinHash oracles: sig/band/stack construction is
+    the persisted-index layout contract (ext/dedup.banded_signatures), so
+    it must exist ONCE on the oracle side too — the within-corpus and
+    incremental oracles differ only in the candidate predicate."""
     rows = k // bands
     p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B
     sig_cols = ", ".join(
@@ -561,7 +572,7 @@ def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
           SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
           FROM stacked a
           JOIN stacked b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                        AND a.doc < b.doc),
+          WHERE {cand_pred}),
         inter AS (
           SELECT doc_a, doc_b, count(*) AS n_inter
           FROM cand
@@ -571,6 +582,10 @@ def _minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
         """
         + _JACCARD_SELECT.format(thr=thr)
     )
+
+
+def _minhash_oracle() -> str:
+    return _minhash_oracle_body(cand_pred="a.doc < b.doc")
 
 
 @register("dedup_minhash_lsh", _minhash_oracle())
@@ -894,8 +909,8 @@ def _weighted_score_oracle() -> str:
         _TOK_CTE
         + f"""
         SELECT doc_id,
-               CAST(list_sum(list_transform(t,
-                   x -> CASE {cases} ELSE 0 END)) AS BIGINT) AS score_centi
+               CAST(coalesce(list_sum(list_transform(t,
+                   x -> CASE {cases} ELSE 0 END)), 0) AS BIGINT) AS score_centi
         FROM tok
         """
     )
@@ -921,7 +936,11 @@ def q_text_weighted_score(spark, sf_dir):
         # (PEP 563, active in this module) reach pandas_udf as unresolvable
         # strings and it rejects the signature.
         w = bc.value
-        return tok_lists.map(lambda toks: int(sum(w.get(t, 0) for t in toks)))
+        # None-safe: a NULL text tokenizes to NULL, which must score 0
+        # (the oracle's coalesce(list_sum(...), 0)) — not raise
+        return tok_lists.map(
+            lambda toks: int(sum(w.get(t, 0) for t in toks)) if toks is not None else 0
+        )
 
     score = pandas_udf(_score, "bigint")
 
@@ -1518,23 +1537,9 @@ def q_events_variant_k_stats(spark, sf_dir):
 
 
 def _langid_confusion_oracle() -> str:
-    scores = {
-        k: f"len(list_filter(t, x -> list_contains([{', '.join(repr(w) for w in v)}], x)))"
-        for k, v in text.LANG_MARKERS.items()
-    }
-    case = (
-        "CASE "
-        f"WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}"
-        f" AND {scores['en']} >= {scores['fr']} AND {scores['en']} > 0 THEN 'en' "
-        f"WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']}"
-        f" AND {scores['es']} > 0 THEN 'es' "
-        f"WHEN {scores['de']} >= {scores['fr']} AND {scores['de']} > 0 THEN 'de' "
-        f"WHEN {scores['fr']} > 0 THEN 'fr' "
-        "ELSE 'und' END"
-    )
     return f"""
     WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
-    pred AS (SELECT lang, {case} AS lang_pred FROM tok)
+    pred AS (SELECT lang, {_lang_case()} AS lang_pred FROM tok)
     SELECT lang, lang_pred, count(*) AS n
     FROM pred GROUP BY lang, lang_pred
     ORDER BY lang, lang_pred
@@ -1667,58 +1672,9 @@ def q_graph_triangle_count(spark, sf_dir):
     e = (
         simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
         .select("vec_a", "vec_b")
-        .distinct()
         .localCheckpoint(eager=True)
     )
-    return triangle_counts(e).orderBy("node")
-
-
-def rk_side(deg, key, alias):
-    return deg.select(F.col("node").alias(key), F.col("d").alias(alias))
-
-
-def triangle_counts(e):
-    """Per-node triangle counts of an undirected edge list (columns
-    vec_a < vec_b, distinct).  Degree-ordered orientation: each triangle
-    is enumerated exactly once as a wedge at its lowest-(degree, id)
-    corner (lexicographic struct rank — total order at any id range);
-    per-node wedge fan-out is bounded by oriented out-degree."""
-    deg = (
-        e.select(F.col("vec_a").alias("node"))
-        .unionAll(e.select("vec_b"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # rank = lexicographic (degree, node) STRUCT — a packed integer
-    # d*K + node silently collides for node ids >= K; struct comparison
-    # is a strict total order at any id range (DuckDB twin: row compare)
-    a_lt_b = F.struct(F.col("ra"), F.col("vec_a")) < F.struct(
-        F.col("rb"), F.col("vec_b")
-    )
-    o = (
-        e.join(rk_side(deg, "vec_a", "ra"), "vec_a")
-        .join(rk_side(deg, "vec_b", "rb"), "vec_b")
-        .select(
-            F.when(a_lt_b, F.col("vec_a")).otherwise(F.col("vec_b")).alias("u"),
-            F.when(a_lt_b, F.col("vec_b")).otherwise(F.col("vec_a")).alias("v"),
-            F.when(a_lt_b, F.col("rb")).otherwise(F.col("ra")).alias("rvd"),
-        )
-    )
-    o = o.localCheckpoint(eager=True)  # referenced by both wedge legs + closure
-    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("rvd").alias("rxd"))
-    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("rvd").alias("ryd"))
-    wedges = o1.join(o2, "u").where(
-        F.struct(F.col("rxd"), F.col("x")) < F.struct(F.col("ryd"), F.col("y"))
-    )
-    closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closure, ["x", "y"])
-    return (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("x")))
-        .unionAll(tri.select(F.col("y")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
+    return simsearch.triangle_counts(e).orderBy("node")
 
 
 def _pq_oracle(
@@ -1827,47 +1783,15 @@ def q_embed_pq_topk(spark, sf_dir):
     return simsearch.pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
-def _inc_minhash_oracle(k: int = 16, bands: int = 8, thr: float = 0.5) -> str:
-    """_minhash_oracle with the candidate join split ACROSS the history
-    (doc % 5 <> 0) / batch (doc % 5 = 0) sides instead of doc_a < doc_b —
-    signatures and shingle sets are per-doc, so computing them over the
-    union and filtering at candidate time is identical to per-side
-    computation (what ext/dedup.incremental_minhash_pairs does)."""
-    rows = k // bands
-    p, A, B = dedup.MINHASH_P, dedup.MINHASH_A, dedup.MINHASH_B
-    sig_cols = ", ".join(
-        f"list_min(list_transform(hs, h -> ({A[i]} * h + {B[i]}) % {p})) AS sig_{i}"
-        for i in range(k)
-    )
-    band_cols = ", ".join(
-        f"md5(concat_ws(',', {', '.join(f'sig_{b * rows + r}' for r in range(rows))})) AS band_{b}"
-        for b in range(bands)
-    )
-    stacked = " UNION ALL ".join(
-        f"SELECT doc, {b} AS band_idx, band_{b} AS band_hash FROM banded"
-        for b in range(bands)
-    )
+def _inc_minhash_oracle() -> str:
+    """The shared MinHash oracle body with the candidate join split ACROSS
+    the history (doc % 5 <> 0) / batch (doc % 5 = 0) sides instead of
+    doc_a < doc_b — signatures and shingle sets are per-doc, so computing
+    them over the union and filtering at candidate time is identical to
+    per-side computation (what ext/dedup.incremental_minhash_pairs
+    does)."""
     return (
-        _SHINGLE_SET_CTES
-        + f""",
-        shl AS (SELECT doc_id AS doc, {_shingles_d()} AS s FROM tok),
-        hshl AS (SELECT doc, list_transform(s, x -> {_hash64_d('x')} % {p}) AS hs FROM shl),
-        sigs AS (SELECT doc, {sig_cols} FROM hshl),
-        banded AS (SELECT doc, {band_cols} FROM sigs),
-        stacked AS ({stacked}),
-        cand AS (
-          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-          FROM stacked a
-          JOIN stacked b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-          WHERE a.doc % 5 <> 0 AND b.doc % 5 = 0),
-        inter AS (
-          SELECT doc_a, doc_b, count(*) AS n_inter
-          FROM cand
-          JOIN ds da ON da.doc = doc_a
-          JOIN ds db ON db.doc = doc_b AND da.sh = db.sh
-          GROUP BY 1, 2)
-        """
-        + _JACCARD_SELECT.format(thr=thr)
+        _minhash_oracle_body(cand_pred="a.doc % 5 <> 0 AND b.doc % 5 = 0")
         + " ORDER BY doc_a, doc_b"
     )
 

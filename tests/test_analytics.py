@@ -550,7 +550,7 @@ def test_triangle_counts_planted_graph(spark):
     """K4 + a pendant edge: every K4 node sits in exactly C(3,2)=3
     triangles, the pendant node in none; total triangle mass = 3 * 4
     (each of the 4 triangles credits 3 nodes)."""
-    from sparkgraft.registry_ext import triangle_counts
+    from sparkgraft.ext.simsearch import triangle_counts
 
     k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
     edges = spark.createDataFrame(

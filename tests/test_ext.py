@@ -848,3 +848,31 @@ def test_connected_components_selfloop_paths_agree(spark):
         map(tuple, dedup.connected_components(edges, driver_max_pairs=0).collect())
     )
     assert fast == dist == [(1, 1), (2, 1)]
+
+
+def test_weighted_score_empty_and_null_text(spark, tmp_path):
+    """Zero-token and NULL texts must score 0 on BOTH sides (DuckDB
+    list_sum([]) is NULL — the oracle coalesces; the pandas UDF must not
+    raise on a NULL token list)."""
+    import duckdb
+
+    from sparkgraft.registry import oracles, queries
+
+    docs = spark.createDataFrame(
+        [(1, "fast slow"), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["score_centi"]
+        for r in queries()["text_weighted_score"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 30, 2: 0, 3: 0, 4: 0}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: r[1] for r in con.execute(oracles()["text_weighted_score"]).fetchall()
+    }
+    assert oracle == got
