@@ -318,3 +318,79 @@ def test_scalable_row_number_equals_naive_window(spark_global, raw):
             ).collect()
         }
         assert two_level == naive, f"n_chunks={n_chunks}"
+
+
+digest_rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(10**9), max_value=10**9)),
+        # quarters: exact binary fractions whose *100 products land on .0,
+        # .25 and exactly .5 — the rounding-tie cases the digest's scaled-
+        # integer rendering must resolve identically on both engines
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-4000, max_value=4000).map(lambda q: q / 4.0),
+        ),
+        st.one_of(st.none(), st.text(alphabet="ab|<NUL>", max_size=6)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(digest_rows_strategy)
+def test_table_digest_cross_engine_fuzz(spark_global, rows):
+    """The table-fingerprint digest recipe (NULL-sentinel canonical render
+    -> HASH64 -> count/decimal-sum/bit_xor) fuzzed across both engines on
+    generated frames with NULLs in every column, negative values, exact
+    .5 scaled-rounding ties, and pipe/sentinel-looking strings — the
+    digest must agree bit-for-bit between Spark and DuckDB on every
+    frame."""
+    import tempfile
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, k, v, txt) for i, (k, v, txt) in enumerate(rows)],
+        "rid long, k long, v double, s string",
+    )
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_digfuzz_") as work:
+        df.coalesce(1).write.parquet(f"{work}/t")
+        canon_s = (
+            "concat_ws('|', coalesce(CAST(rid AS STRING), '<NULL>'),"
+            " coalesce(CAST(k AS STRING), '<NULL>'),"
+            " coalesce(CAST(CAST(round(v * 100) AS BIGINT) AS STRING), '<NULL>'),"
+            " coalesce(s, '<NULL>'))"
+        )
+        got = (
+            spark.read.parquet(f"{work}/t")
+            .select(
+                F.expr(
+                    f"CAST(conv(substr(md5({canon_s}), 1, 15), 16, 10) AS BIGINT)"
+                ).alias("h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sm"),
+                F.expr("bit_xor(h)").alias("xr"),
+            )
+            .collect()[0]
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            f"""
+            WITH c AS (
+              SELECT concat_ws('|', coalesce(CAST(rid AS VARCHAR), '<NULL>'),
+                       coalesce(CAST(k AS VARCHAR), '<NULL>'),
+                       coalesce(CAST(CAST(round(v * 100) AS BIGINT) AS VARCHAR), '<NULL>'),
+                       coalesce(s, '<NULL>')) AS cs
+              FROM '{work}/t/*.parquet'),
+            h AS (SELECT CAST('0x' || substr(md5(cs), 1, 15) AS BIGINT) AS h FROM c)
+            SELECT count(*), CAST(sum(CAST(h AS HUGEINT)) AS VARCHAR), bit_xor(h)
+            FROM h
+            """
+        ).fetchone()
+    assert (got["n"], got["sm"], got["xr"]) == exp, (rows, tuple(got), exp)
