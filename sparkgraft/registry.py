@@ -4611,6 +4611,105 @@ def q_orc_roundtrip_events(spark, sf_dir):
     )
 
 
+@register(
+    "value_mad_outliers",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, round(avg(value), 6) AS med,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type),
+    d AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.n
+      FROM events e JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, event_id) AS rn2
+      FROM d),
+    mad AS (
+      SELECT event_type, round(avg(dev), 6) AS mad
+      FROM r2 WHERE rn2 = (n + 1) // 2 OR rn2 = n // 2 + 1
+      GROUP BY event_type),
+    o AS (
+      SELECT d.event_type,
+             CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * mad.mad)
+                  AS BIGINT) AS n_outliers
+      FROM d JOIN mad USING (event_type) GROUP BY d.event_type)
+    SELECT m.event_type, m.med AS median_value, mad.mad AS mad,
+           o.n_outliers, m.n
+    FROM med m JOIN mad USING (event_type) JOIN o USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def q_value_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe alternative to value_zscore_outliers (one wild sensor
+    reading inflates a z-score's mean AND stddev, masking other outliers;
+    the median/MAD pair has a 50% breakdown point).  Rule: |v - median| >
+    3 * 1.4826 * MAD, the normal-consistency-scaled 3-sigma analogue.
+
+    Two EXACT medians per type at scale: both ride the two-level rank
+    (ops/windows.scalable_row_number — bounded chunk sorts, never an
+    ordered window over the ~6-value event_type key; same machinery as
+    value_median_exact), with the tiny per-type median/MAD relations
+    broadcast back for the deviation and classification passes.  All
+    comparisons are deterministic IEEE doubles off exact inputs, so the
+    hash is engine-stable."""
+    from sparkgraft.ops.windows import group_sizes, scalable_row_number
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    sizes = group_sizes(ev, ["event_type"])
+    mid = (F.col("__rn") == F.expr("(__n + 1) div 2")) | (
+        F.col("__rn") == F.expr("__n div 2 + 1")
+    )
+    r1 = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    med = (
+        r1.join(F.broadcast(sizes), "event_type")
+        .where(mid)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("med"),
+            F.max("__n").cast("bigint").alias("n"),
+        )
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    r2 = scalable_row_number(d, ["event_type"], ["dev", "event_id"], "__rn")
+    mad = (
+        r2.join(F.broadcast(sizes), "event_type")
+        .where(mid)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("dev"), 6).alias("mad"))
+    )
+    o = (
+        d.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(o, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("med").alias("median_value"),
+            "mad",
+            F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
@@ -4642,7 +4741,7 @@ def q_orc_roundtrip_events(spark, sf_dir):
 # corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
 # zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
 # graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct,
-# dedup_incremental_minhash, orc_roundtrip_events —
+# dedup_incremental_minhash, orc_roundtrip_events, value_mad_outliers —
 # plus ~3 proven sentinels; remaining slots re-prove
 # high-value composites. The only intentionally oracle-less query is
 # multimodal_decode_stub (env-blocked codec).

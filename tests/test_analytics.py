@@ -558,3 +558,32 @@ def test_triangle_counts_planted_graph(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_mad_outliers_robust_to_planted_spike(spark, sf_dir):
+    """The point of MAD over z-score: one enormous planted value must be
+    flagged without dragging the median/MAD (robustness), and the flagged
+    set must equal a brute-force recompute."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.registry import queries
+
+    rows = queries()["value_mad_outliers"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    ).collect()
+    import statistics
+
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for out in rows:
+        vals = by_type[out["event_type"]]
+        med = round(statistics.median(vals), 6)
+        assert out["median_value"] == med
+        mad = round(statistics.median(abs(v - med) for v in vals), 6)
+        assert out["mad"] == mad
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
+        assert out["n_outliers"] == n_out
+        assert out["n"] == len(vals)

@@ -717,3 +717,19 @@ def test_repo_wide_plan_sweep_no_cartesian_no_row_udf(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+def test_mad_outliers_two_level_rank_no_lowcard_window(spark, sf_dir):
+    """Both exact medians must ride the two-level rank: windows keyed by
+    event_type may only be the bounded (event_type, __chunk) local sorts —
+    never over raw (value|dev) rows (same gate as value_median_exact)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "value_mad_outliers")
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, (value|dev|event_id)#", plan
+    ), plan
+    assert len(re.findall(
+        r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan
+    )) >= 2, "expected two two-level ranks (median + MAD)"
+    assert "percentile(" not in plan, plan

@@ -106,6 +106,7 @@ def test_driver_rows_cumulative_coverage():
         "streaming_bitmap_distinct",
         "dedup_incremental_minhash",
         "orc_roundtrip_events",
+        "value_mad_outliers",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
