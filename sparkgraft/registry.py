@@ -4669,6 +4669,9 @@ def q_value_mad_outliers(spark, sf_dir):
         F.col("__rn") == F.expr("__n div 2 + 1")
     )
     r1 = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    # med/mad are ~|event_type| rows but their LINEAGE is a full two-level
+    # rank — checkpoint so downstream references replay 6 rows, not the
+    # rank pipeline (same contract as the triangle edge materialization)
     med = (
         r1.join(F.broadcast(sizes), "event_type")
         .where(mid)
@@ -4677,6 +4680,7 @@ def q_value_mad_outliers(spark, sf_dir):
             F.round(F.avg("value"), 6).alias("med"),
             F.max("__n").cast("bigint").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     d = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -4689,6 +4693,7 @@ def q_value_mad_outliers(spark, sf_dir):
         .where(mid)
         .groupBy("event_type")
         .agg(F.round(F.avg("dev"), 6).alias("mad"))
+        .localCheckpoint(eager=True)
     )
     o = (
         d.join(F.broadcast(mad), "event_type")

@@ -729,7 +729,10 @@ def test_mad_outliers_two_level_rank_no_lowcard_window(spark, sf_dir):
     assert not re.search(
         r"windowspecdefinition\(event_type#\d+, (value|dev|event_id)#", plan
     ), plan
-    assert len(re.findall(
-        r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan
-    )) >= 2, "expected two two-level ranks (median + MAD)"
+    # both ranks run eagerly at the med/mad localCheckpoints and are
+    # lineage-truncated out of this plan (their two-level shape is gated on
+    # the same scalable_row_number helper in
+    # test_value_median_two_level_rank_no_lowcard_window); what must hold
+    # HERE is that nothing in the remaining pipeline fell back to an
+    # ordered low-card window or a percentile buffering aggregate
     assert "percentile(" not in plan, plan
