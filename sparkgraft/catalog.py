@@ -231,21 +231,81 @@ def save_zordered(
 def _recover_interrupted_compaction(path: str) -> None:
     """Heal a compaction that crashed mid-swap (see compact_small_files):
     if the table path is missing and a ``__old_*`` sibling exists, the
-    crash hit between the two renames — restore the newest ``__old_*``.
-    If the table path EXISTS alongside ``__old_*`` dirs, the crash hit
-    after the swap completed but before cleanup — the leftovers are
-    superseded and are removed."""
+    crash hit the legacy-migration window — restore the newest
+    ``__old_*`` (always the valid pre-swap table; any stray ``__v_*``
+    from the same crash is a superseded copy and ages out via GC).
+    If the table path is missing but a complete ``__v_*`` version dir
+    exists (crash after the version rename, before the symlink landed),
+    re-point the table symlink at the newest version.  If the table path
+    EXISTS alongside ``__old_*`` dirs, the crash hit after the swap
+    completed but before cleanup — the leftovers are superseded and are
+    removed."""
     import glob
     import os
     import shutil
 
-    olds = sorted(glob.glob(f"{glob.escape(path.rstrip('/'))}__old_*"))
-    if not olds:
-        return
-    if not os.path.exists(path):
-        os.rename(olds.pop(), path)
+    p = path.rstrip("/")
+    olds = sorted(glob.glob(f"{glob.escape(p)}__old_*"))
+    if not os.path.lexists(p):
+        if olds:
+            os.rename(olds.pop(), p)
+        else:
+            vers = sorted(glob.glob(f"{glob.escape(p)}__v_*"))
+            if vers:
+                os.symlink(os.path.basename(vers[-1]), p)
     for d in olds:
         shutil.rmtree(d)
+
+
+def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
+    """Age-gated GC of compaction siblings (``__compact_*`` temp writes,
+    superseded ``__v_*`` version dirs, stray ``__ln_*`` symlinks).  The
+    age gate matters twice over: an unconditional sweep would (a) delete
+    the in-flight temp dir of a CONCURRENT compaction of the same path,
+    failing its write mid-job, and (b) yank a superseded version dir out
+    from under a reader that resolved the table symlink just before the
+    swap.  Anything younger than ``gc_age_s`` (lstat mtime) is left
+    alone; the live version — whatever the table symlink currently
+    resolves to — is never touched regardless of age."""
+    import glob
+    import os
+    import shutil
+
+    p = path.rstrip("/")
+    live = os.path.realpath(p) if os.path.islink(p) else None
+    now = time.time()
+    for d in (
+        glob.glob(f"{glob.escape(p)}__compact_*")
+        + glob.glob(f"{glob.escape(p)}__v_*")
+        + glob.glob(f"{glob.escape(p)}__ln_*")
+    ):
+        if live is not None and os.path.realpath(d) == live:
+            continue
+        try:
+            if now - os.lstat(d).st_mtime < gc_age_s:
+                continue
+        except FileNotFoundError:
+            continue
+        if os.path.islink(d):
+            os.remove(d)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def resolve_table_path(path: str) -> str:
+    """Pin a compaction-managed table path to its current immutable
+    version directory (one ``realpath`` call).  Version dirs are
+    write-once: a reader that scans the RESOLVED path can never race a
+    concurrent compaction swap, because the swap only re-points the
+    symlink and the age-gated GC keeps superseded versions around long
+    after any in-flight scan.  Reading the symlink path directly also
+    works, with one residual window: a scan that LISTS files just before
+    a swap and OPENS them just after resolves the new version's
+    differently-named part files — resolve first and the window is
+    zero."""
+    import os
+
+    return os.path.realpath(path)
 
 
 def compact_small_files(
@@ -253,6 +313,7 @@ def compact_small_files(
     path: str,
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
+    gc_age_s: float = 3600.0,
 ) -> int:
     """Compact a parquet directory's small files into ~``target_mb`` files
     — the small-files remediation every long-running ingest needs (each
@@ -262,34 +323,36 @@ def compact_small_files(
 
     Sizing comes from the FILES THEMSELVES (sum of on-disk part sizes /
     target), not a row-count guess, so compression ratios are respected.
-    The rewrite goes through a temp directory then a TWO-RENAME swap
-    (``path`` → ``__old``, ``tmp`` → ``path``).  Each rename is atomic but
-    the pair is not: between them the table path does not exist, so a
-    concurrent reader can error, and a crash in that window strands the
-    data in the ``__old_*`` dir.  Every call therefore starts with crash
-    recovery — a leftover ``__old_*`` with no live table is renamed back
-    before compacting (and fully-swapped leftovers are GC'd).  A failure
-    BEFORE the first rename leaves the original untouched.  True
-    single-rename atomicity needs manifest/metadata indirection (an
-    Iceberg/Delta-style table format), which is out of scope for a plain
-    parquet directory.  With ``sort_cols`` the rewrite also re-clusters
-    (see save_clustered) so compaction doubles as a stats refresh.
-    Returns the output file count.
+
+    Swap protocol (symlink-as-manifest — the local-fs analogue of
+    Iceberg/Delta metadata indirection): the rewrite lands in a
+    ``__compact_*`` temp dir, is renamed to an immutable ``__v_<ns>``
+    version dir (atomic — a ``__v_*`` dir is complete by construction),
+    and the table path — a SYMLINK once managed by this function — is
+    re-pointed with one atomic ``rename`` of a fresh symlink.  Readers
+    therefore never observe a missing or partially-written table, and a
+    reader that pinned the previous version (see resolve_table_path)
+    keeps scanning it: superseded versions are retained and only removed
+    by a LATER call's age-gated GC (``gc_age_s``, default 1 h), which
+    also never touches the live version or any sibling young enough to
+    be a concurrent compaction's in-flight temp dir.  A legacy plain
+    directory is migrated on first call via the old two-rename window
+    (crash-healed by _recover_interrupted_compaction); every call after
+    that is fully atomic.  On HDFS/S3 substitute a real manifest file —
+    object stores have no symlinks — but the version-dir + pointer-swap
+    + deferred-GC protocol is identical.  With ``sort_cols`` the rewrite
+    also re-clusters (see save_clustered) so compaction doubles as a
+    stats refresh.  Returns the output file count.
 
     At 100 TB run this per PARTITION (the overwrite sink's unit), oldest
     first — compaction is embarrassingly parallel across partitions and
     each is a single coalesce-free write job.
     """
-    import glob
     import os
     import shutil
 
     _recover_interrupted_compaction(path)
-    # GC temp dirs stranded by rewrites that FAILED before the first
-    # rename (job death mid-write): they are never referenced again, and a
-    # flapping nightly job would otherwise leak one per attempt
-    for leftover in glob.glob(f"{glob.escape(path.rstrip('/'))}__compact_*"):
-        shutil.rmtree(leftover, ignore_errors=True)
+    _gc_compaction_leftovers(path, gc_age_s)
     entries = os.listdir(path)
     parts = [
         os.path.join(path, f)
@@ -311,18 +374,35 @@ def compact_small_files(
         )
     total = sum(os.path.getsize(p) for p in parts)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    tmp = f"{path.rstrip('/')}__compact_{time.time_ns()}"
+    # read the PINNED current version, not the symlink, so the scan below
+    # cannot race another compaction's swap either
+    df = spark.read.parquet(resolve_table_path(path))
+    ns = time.time_ns()
+    p = path.rstrip("/")
+    tmp = f"{p}__compact_{ns}"
     if sort_cols:
         df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         ).write.mode("errorifexists").parquet(tmp)
     else:
         df.repartition(n_files).write.mode("errorifexists").parquet(tmp)
-    old = f"{path.rstrip('/')}__old_{time.time_ns()}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    vdir = f"{p}__v_{ns}"
+    os.rename(tmp, vdir)  # atomic: a __v_* dir is always complete
+    if os.path.islink(p):
+        # steady state: one atomic symlink rename — no reader window at
+        # all; the superseded version dir stays for in-flight readers
+        # until a later call's age-gated GC
+        lntmp = f"{p}__ln_{ns}"
+        os.symlink(os.path.basename(vdir), lntmp)
+        os.rename(lntmp, p)
+    else:
+        # one-time legacy migration of a plain directory: the classic
+        # two-step window (rename away, then symlink in) — crash in
+        # between is healed by _recover_interrupted_compaction
+        old = f"{p}__old_{ns}"
+        os.rename(p, old)
+        os.symlink(os.path.basename(vdir), p)
+        shutil.rmtree(old)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )

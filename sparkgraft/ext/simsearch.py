@@ -636,6 +636,9 @@ def kmeans_assign(
             f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
         ).alias("qv"),
     )
+    # persisted for the fitting iterations' collects; the returned
+    # assignment DataFrame is lazy and recomputes q from lineage after the
+    # finally-unpersist — intentional (one map-only scan+quantize pass).
     q = q.persist()
     try:
         init = {
@@ -786,9 +789,14 @@ def pca_pc1_projections(
     quant_sql = (
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
     )
-    # persisted: three separate actions read this relation (the means
-    # collect, the covariance mapInArrow collect, the final projection) —
-    # same contract as kmeans_assign / pq_topk
+    # persisted for the DRIVER-SIDE fitting actions only (the means
+    # collect and the covariance mapInArrow collect, plus the power
+    # iterations inside _pca_body).  The returned projection DataFrame is
+    # lazy: by the time the caller executes it the finally-block has
+    # already unpersisted q, so it recomputes from lineage — intentional,
+    # since the recompute is a single map-only scan+quantize pass and a
+    # persist must not outlive this function.  Same contract as
+    # kmeans_assign / pq_topk.
     q = emb.select(F.col(id_col), F.expr(quant_sql).alias("qv")).persist()
     try:
         return _pca_body(q, n, iters, id_col, dim)
@@ -907,6 +915,9 @@ def pq_topk(
             f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
         ).alias("qv"),
     ).persist()
+    # persisted for the codebook-fitting collects below; the returned ADC
+    # scoring DataFrame is lazy and recomputes q from lineage after the
+    # finally-unpersist — intentional (one map-only scan+quantize pass).
     try:
         init_rows = {
             r[id_col]: list(r["qv"])

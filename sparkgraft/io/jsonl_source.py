@@ -261,23 +261,54 @@ class JsonlSimpleStreamReader:
                     out.append(tuple(rec.get(f) for f in self.fields))
         return out
 
+    def _last_file(self, offset: dict) -> str:
+        """Extract the high-watermark filename from an offset, accepting
+        the LEGACY ``{"files_read": N}`` format a pre-rename checkpoint
+        may have committed: N files read == the Nth sorted filename is
+        the watermark (file order is the offset order by contract, so
+        the translation is exact).  Unknown shapes raise a descriptive
+        error instead of a bare KeyError so an operator knows to reset
+        the checkpoint rather than chase a source bug."""
+        import os
+
+        if "last_file" in offset:
+            return offset["last_file"]
+        if "files_read" in offset:
+            n = int(offset["files_read"])
+            files = self._files()
+            if n <= 0:
+                return ""
+            if n > len(files):
+                raise ValueError(
+                    f"legacy offset files_read={n} exceeds the {len(files)} "
+                    f"files currently in {self.dir!r} — files were deleted "
+                    "after the checkpoint; reset the checkpoint directory"
+                )
+            return os.path.basename(files[n - 1])
+        raise ValueError(
+            f"unrecognized stream offset {offset!r} (expected 'last_file' "
+            "or legacy 'files_read') — reset the checkpoint directory to "
+            "restart this stream from scratch"
+        )
+
     def read(self, start: dict):  # noqa: N802 (API name)
         import os
 
-        last = start["last_file"]
+        last = self._last_file(start)
         pending = [f for f in self._files() if os.path.basename(f) > last]
         if not pending:
-            return iter([]), start
+            return iter([]), {"last_file": last}
         nxt = pending[0]
         return iter(self._rows(nxt)), {"last_file": os.path.basename(nxt)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         import os
 
+        lo, hi = self._last_file(start), self._last_file(end)
         rows: list[tuple] = []
         for f in self._files():
             name = os.path.basename(f)
-            if start["last_file"] < name <= end["last_file"]:
+            if lo < name <= hi:
                 rows.extend(self._rows(f))
         return iter(rows)
 

@@ -4143,11 +4143,14 @@ def q_column_profile_lineitem(spark, sf_dir):
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) - 1 AS k
       FROM events),
-    t AS (SELECT user_id, value, pow(0.5, k) AS w FROM r WHERE k < 64)
+    t AS (SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(pow(2.0, 23 - k) AS BIGINT) AS iw
+          FROM r WHERE k < 24)
     SELECT user_id,
            count(*) AS n_terms,
-           CAST(sum(CAST(value * w AS DECIMAL(38,12))) AS DOUBLE)
-             / CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS ewma_value
+           CAST(sum(cents * iw) AS DOUBLE)
+             / CAST(sum(iw) AS DOUBLE) / 100.0 AS ewma_value
     FROM t
     GROUP BY user_id
     ORDER BY user_id
@@ -4155,36 +4158,46 @@ def q_column_profile_lineitem(spark, sf_dir):
 )
 def q_ewma_user_value(spark, sf_dir):
     """Exponentially-weighted moving average of each user's value series
-    (newest-first weights 0.5^k over the last 64 events) — the recency-
+    (newest-first weights 0.5^k over the last 24 events) — the recency-
     weighted feature every behavioral model wants, normalized so a constant
     series returns the constant (pandas ewm(adjust=True) semantics).
 
-    Exactness: alpha is 1/2, so every weight 0.5^k is a power of two —
-    EXACTLY representable in a double, and pow(0.5, k) is correctly
-    rounded (hence identical) in both engines; value * w is then a single
-    deterministic IEEE multiply per row, and numerator/denominator go
-    through the exact-decimal order-free sum before ONE final division.
-    The k < 64 cut keeps weights far above subnormal territory and bounds
-    per-row work.  Plan: one user-partitioned row_number window, then a
-    groupBy on the SAME key — the aggregate reuses the window's hash
-    partitioning, one events-sized exchange total."""
+    Exactness (engine-bit-stable BY CONSTRUCTION): the earlier
+    double->decimal(38,12) formulation was not — Spark casts scale-12
+    ties HALF_UP, DuckDB half-to-even, and 0.5^13 is an exact tie at
+    scale 12; even round(x,12)-before-cast diverges on arbitrary doubles.
+    So the query never rounds a double at all.  `value` is a 2-decimal
+    column, so round(value*100) is an exact int64 (never a .5 tie — the
+    stored double is within ~1e-11 of an integer); the weight becomes the
+    exact integer 2^(23-k); the truncation at k < 24 drops only weights
+    <= 0.5^24 (~6e-8 relative, below double visibility after division).
+    Numerator sum(cents * 2^(23-k)) < 2^16 * 2^23 * 24 < 2^45 and the
+    denominator < 2^24 are exact int64 sums (order-free), both exactly
+    representable as doubles, so the final IEEE divisions are the only
+    roundings — correctly rounded, hence identical, in every engine.
+    Plan: one user-partitioned row_number window, then a groupBy on the
+    SAME key — the aggregate reuses the window's hash partitioning, one
+    events-sized exchange total."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     r = ev.select(
         "user_id", "value", (F.row_number().over(w) - 1).alias("k")
-    ).where(F.col("k") < 64)
-    t = r.select("user_id", "value", F.pow(F.lit(0.5), F.col("k")).alias("w"))
+    ).where(F.col("k") < 24)
+    t = r.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pow(F.lit(2.0), F.lit(23) - F.col("k")).cast("bigint").alias("iw"),
+    )
     return (
         t.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             (
-                F.sum((F.col("value") * F.col("w")).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-                / F.sum(F.col("w").cast("decimal(38,12)")).cast("double")
+                F.sum(F.col("cents") * F.col("iw")).cast("double")
+                / F.sum("iw").cast("double")
+                / F.lit(100.0)
             ).alias("ewma_value"),
         )
         .orderBy("user_id")

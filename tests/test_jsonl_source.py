@@ -134,6 +134,46 @@ def test_simple_stream_reader_offsets_and_replay(spark, tmp_path):
     ) == [(3,)]
 
 
+def test_simple_stream_reader_legacy_offset_migration(spark, tmp_path):
+    """A checkpoint committed under the pre-rename {"files_read": N}
+    offset format must resume (N files read == the Nth sorted filename is
+    the watermark), not KeyError; an out-of-range or unrecognized offset
+    raises a descriptive reset-the-checkpoint error."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from sparkgraft.io.jsonl_source import JsonlSimpleStreamReader  # noqa: I001
+
+    for i, rows in enumerate(([{"a": 1}], [{"a": 2}], [{"a": 3}])):
+        with open(tmp_path / f"c{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    schema = StructType.fromDDL("a bigint")
+    rd = JsonlSimpleStreamReader(schema, {"path": str(tmp_path)})
+
+    # legacy resume mid-stream: 2 files read -> watermark c1, next is c2
+    rows, off = rd.read({"files_read": 2})
+    assert list(rows) == [(3,)] and off == {"last_file": "c2.jsonl"}
+    # legacy zero offset == initial offset
+    rows, off = rd.read({"files_read": 0})
+    assert list(rows) == [(1,)] and off == {"last_file": "c0.jsonl"}
+    # replay across a mixed-format span
+    assert list(
+        rd.readBetweenOffsets({"files_read": 1}, {"last_file": "c2.jsonl"})
+    ) == [(2,), (3,)]
+    # fully-drained legacy offset at EOF stays put, normalized to the new
+    # format so subsequent commits never carry the legacy shape forward
+    rows, off = rd.read({"files_read": 3})
+    assert list(rows) == [] and off == {"last_file": "c2.jsonl"}
+
+    with pytest.raises(ValueError, match="exceeds"):
+        rd.read({"files_read": 7})
+    with pytest.raises(ValueError, match="unrecognized"):
+        rd.read({"bogus": 1})
+
+
 def test_simple_stream_reader_restart_resumes(spark, tmp_path):
     """Checkpoint restart: run 1 drains two files and stops; a file lands
     AFTER the stop; run 2 (new query object, same checkpoint) picks up at
