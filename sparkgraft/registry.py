@@ -4731,97 +4731,81 @@ def q_value_mad_outliers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 4's window: the 45
-# oracle-backed queries added in round 3 AFTER the r03 window freeze (they
-# have pytest parity at sf0.001 + sf0.01 but never had a driver row), plus
-# wau_sketch_weekly — driver-seen in r03 but only as a rows-only `no_oracle`
-# row; it is now an oracle-backed error-audit relation and needs its first
-# HASH-checked row — plus 4 already-proven sentinels.  Rounds 1+2+3+4
-# together then driver-prove every query registered as of the r04 window
-# freeze.  tests/test_registry_parity.py pins the window composition so
+# artifact, not an accident of module layout.  Round 5's window: the 40
+# oracle-backed queries registered after the r04 freeze (pytest parity at
+# sf0.001 + sf0.01 but never a driver row), the two ml twins whose latest
+# driver status is still the rows-only `no_oracle` r03 row (both have since
+# gained recall-audit oracles and need their first HASH-checked row), and 8
+# proven sentinels.  Rounds r01∪…∪r05 then driver-prove EVERY oracle-backed
+# query registered as of this freeze — the proof surface closes; the only
+# intentionally oracle-less query is multimodal_decode_stub (env-blocked
+# codec).  tests/test_registry_parity.py pins the window composition so
 # future insertions can't silently evict proof again.
 #
-# ROUND 5 ROTATION: lead with the oracle-backed queries added after this
-# freeze (43 as of the end of round 4 — more than one 50-slot window
-# holds alongside sentinels; prioritize never-driver-checked over re-proofs
-# and spill the remainder to round 6) — corpus_chunk_overlap, corpus_dup_span_fraction,
-# corpus_source_datacard, dedup_keep_canonical, embed_arrow_norms,
-# embed_kmeans_clusters, embed_knn_graph, events_variant_k_stats,
-# ml_ann_neighbors + ml_minhash_pairs (now recall-AUDIT relations: their
-# old r03 rows were rows-only `no_oracle`, they need a first HASH row),
-# streaming_session_window, streaming_state_inspect, text_bigram_lm_score,
-# text_gopher_repetition, text_quality_classifier, udtf_split_sentences,
-# value_median_exact, corpus_shard_assign, text_langid_confusion,
-# custom_stream_jsonl_counts, scd2_point_in_time_lookup,
-# recursive_cte_hierarchy, sql_udf_value_buckets, collation_distinct_audit,
-# corpus_vocab_growth, embed_pca_projection, table_fingerprint,
-# skew_key_audit, time_weighted_avg_value, column_profile_lineitem,
-# corpus_temperature_mix, ewma_user_value, snapshot_diff_orders,
-# zorder_layout_audit, bitmap_distinct_rollup, user_value_trend,
-# graph_triangle_count, embed_pq_topk, streaming_bitmap_distinct,
-# dedup_incremental_minhash, orc_roundtrip_events, value_mad_outliers —
-# plus ~3 proven sentinels; remaining slots re-prove
-# high-value composites. The only intentionally oracle-less query is
-# multimodal_decode_stub (env-blocked codec).
+# ROUND 6 ROTATION: any query registered after THIS freeze (list them in
+# tests/test_registry_parity.py `added_after_r05_freeze` as you add them)
+# plus sentinels.  Keep new registrations few enough to drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the 45 post-r03-freeze queries needing their FIRST driver row
-    "text_pii_scrub",
-    "text_lm_score",
-    "text_bm25_search",
-    "text_hybrid_rrf",
-    "text_fuzzy_probe_match",
-    "funnel_conversion",
-    "merge_upsert_customers",
-    "scd2_type_history",
-    "grouping_sets_event_margins",
-    "wau_wow_growth",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "value_zscore_outliers",
-    "session_window_stats",
-    "session_window_dynamic_gap",
-    "unpivot_lineitem_measures",
-    "custom_source_jsonl",
-    "custom_sink_jsonl_roundtrip",
-    "streaming_stream_join",
-    "streaming_static_enrich",
-    "streaming_replay_dedup",
-    "streaming_windowed_counts",
-    "dq_constraint_report",
-    "pseudonymous_join",
-    "k_anonymity_audit",
-    "gdpr_erasure_report",
-    "incremental_view_merge",
-    "value_decile_bins",
-    "window_rank_zoo",
-    "value_quantiles_approx",
-    "value_histogram",
-    "value_time_correlation",
-    "rolling_7d_active_users",
-    "peak_concurrent_sessions",
-    "attribution_linear",
-    "trade_pagerank",
-    "timeseries_gapfill",
-    "asof_nearest_signup",
-    "props_map_stats",
-    "embed_vector_algebra",
-    "embed_quantized_topk",
-    "dedup_incremental_bloom",
-    "grouped_weighted_mean_pandas",
-    "corpus_chunk_dedup",
-    "corpus_e2e_curation",
-    # r03 driver row was rows-only (`no_oracle`); now an oracle-backed
-    # sketch error-audit — needs its first hash-checked row
-    "wau_sketch_weekly",
-    # 4 already-proven sentinels (regression canaries: the reference WAU
+    # the 40 post-r04-freeze queries needing their FIRST driver row
+    "dedup_keep_canonical",
+    "text_bigram_lm_score",
+    "embed_knn_graph",
+    "text_gopher_repetition",
+    "udtf_split_sentences",
+    "embed_kmeans_clusters",
+    "text_quality_classifier",
+    "embed_arrow_norms",
+    "events_variant_k_stats",
+    "text_langid_confusion",
+    "embed_pca_projection",
+    "graph_triangle_count",
+    "embed_pq_topk",
+    "dedup_incremental_minhash",
+    "corpus_source_datacard",
+    "corpus_chunk_overlap",
+    "corpus_dup_span_fraction",
+    "corpus_shard_assign",
+    "corpus_vocab_growth",
+    "corpus_temperature_mix",
+    "value_median_exact",
+    "streaming_session_window",
+    "streaming_state_inspect",
+    "custom_stream_jsonl_counts",
+    "scd2_point_in_time_lookup",
+    "recursive_cte_hierarchy",
+    "sql_udf_value_buckets",
+    "collation_distinct_audit",
+    "table_fingerprint",
+    "skew_key_audit",
+    "time_weighted_avg_value",
+    "column_profile_lineitem",
+    "ewma_user_value",
+    "snapshot_diff_orders",
+    "zorder_layout_audit",
+    "bitmap_distinct_rollup",
+    "user_value_trend",
+    "streaming_bitmap_distinct",
+    "orc_roundtrip_events",
+    "value_mad_outliers",
+    # r03 driver rows were rows-only (`no_oracle`); both are now
+    # oracle-backed recall-AUDIT relations — first hash-checked rows
+    "ml_minhash_pairs",
+    "ml_ann_neighbors",
+    # 8 already-proven sentinels (regression canaries: the reference WAU
     # query, the reference sessionization composite, the LSH dedup
-    # flagship, and the round-1 oracle-defect query)
+    # flagship, the round-1 oracle-defect query, the two round-4
+    # two-level-rank re-plans, the TPC-H headline, and the corpus
+    # end-to-end composite)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",
     "cumulative_purchases",
+    "value_decile_bins",
+    "window_rank_zoo",
+    "q1_pricing_summary",
+    "corpus_e2e_curation",
 )
 
 

@@ -46,10 +46,10 @@ def test_registry_contract():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-4 window:
+    inserts silently evicted driver-proven queries).  Pin the round-5 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-5 rotation — so this test does NOT claim full cumulative
+    the round-6 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -58,56 +58,16 @@ def test_driver_window_composition():
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r04 window freeze must have a driver row
-    in r01..r03 or sit in the r04 window awaiting one.  Queries added after
-    the freeze are exempt (next round's rotation) but must be listed here
-    EXPLICITLY so the exemption is a conscious act, not a silent hole."""
+    """Every query present at the r05 window freeze must have a driver row
+    in r01..r04 or sit in the r05 window awaiting one — at this freeze the
+    set is EMPTY-gap by construction: r01∪…∪r04 rows plus the r05 window
+    cover all 183 registered queries.  Queries added after the freeze are
+    exempt (next round's rotation) but must be listed here EXPLICITLY so
+    the exemption is a conscious act, not a silent hole."""
     import json
     import pathlib
 
-    added_after_r04_freeze: set[str] = {
-        "value_median_exact",
-        "streaming_session_window",
-        "text_bigram_lm_score",
-        "embed_knn_graph",
-        "text_gopher_repetition",
-        "dedup_keep_canonical",
-        "udtf_split_sentences",
-        # round-4 session additions (this round's build, next round's rotation)
-        "embed_kmeans_clusters",
-        "text_quality_classifier",
-        "corpus_source_datacard",
-        "corpus_chunk_overlap",
-        "corpus_dup_span_fraction",
-        "embed_arrow_norms",
-        "events_variant_k_stats",
-        "streaming_state_inspect",
-        "corpus_shard_assign",
-        "text_langid_confusion",
-        "custom_stream_jsonl_counts",
-        "scd2_point_in_time_lookup",
-        "recursive_cte_hierarchy",
-        "sql_udf_value_buckets",
-        "collation_distinct_audit",
-        "corpus_vocab_growth",
-        "embed_pca_projection",
-        "table_fingerprint",
-        "skew_key_audit",
-        "time_weighted_avg_value",
-        "column_profile_lineitem",
-        "corpus_temperature_mix",
-        "ewma_user_value",
-        "snapshot_diff_orders",
-        "zorder_layout_audit",
-        "bitmap_distinct_rollup",
-        "user_value_trend",
-        "graph_triangle_count",
-        "embed_pq_topk",
-        "streaming_bitmap_distinct",
-        "dedup_incremental_minhash",
-        "orc_roundtrip_events",
-        "value_mad_outliers",
-    }
+    added_after_r05_freeze: set[str] = set()
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -118,6 +78,36 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r04_freeze
+        and n not in added_after_r05_freeze
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
+
+
+def test_driver_window_drains_the_backlog():
+    """Round-5 window audit: (a) every registered query either has a prior
+    driver row or a slot in THIS window (no orphans), and (b) every window
+    slot that re-proves an already-proven query is one of the 8 declared
+    sentinels (no wasted slots)."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(f.read_text()))
+    sentinels = {
+        "wau_user",
+        "sessionize_ids",
+        "dedup_minhash_lsh",
+        "cumulative_purchases",
+        "value_decile_bins",
+        "window_rank_zoo",
+        "q1_pricing_summary",
+        "corpus_e2e_curation",
+    }
+    reproofs = [n for n in registry.DRIVER_WINDOW if n in seen]
+    # the two ml twins have r03 rows, but those were rows-only `no_oracle`
+    # entries — their window slots are first HASH proofs, not re-proofs
+    assert set(reproofs) == sentinels | {"ml_minhash_pairs", "ml_ann_neighbors"}
+    never = [n for n in registry.queries() if n not in seen]
+    assert set(never) <= set(registry.DRIVER_WINDOW)
