@@ -75,22 +75,33 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                # adaptive: 2 normally, up to 5 when samples disagree >2x
-                "runs_per_query_min": 2,
-                "runs_per_query_max": max(n_samples.values(), default=0),
-                "n_queries": len(timings),
-                **({"errors": errors} if errors else {}),
-            }
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        # adaptive: 2 normally, up to 5 when samples disagree >2x
+        "runs_per_query_min": 2,
+        "runs_per_query_max": max(n_samples.values(), default=0),
+        "n_queries": len(timings),
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(payload))
+    # The driver truncates the stdout JSON it records (BENCH_r{N}.json tail
+    # cuts at ~2000 chars, so only ~60 of the per-query timings survive in
+    # the round artifact).  Durable full map: also write it to a file next
+    # to the repo root — committed per round, it makes every cross-round
+    # per-query comparison a plain diff instead of an archaeology exercise.
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
         )
-    )
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"bench: could not write BENCH_LOCAL_latest.json: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -342,9 +342,11 @@ def test_twap_constant_value_user(spark):
 
 def test_ewma_matches_pandas_ewm(spark, sf_dir):
     """Independent replica: pandas ewm(alpha=0.5, adjust=True) over each
-    user's last-64 series (oldest->newest) must agree with the registry
+    user's last-24 series (oldest->newest) must agree with the registry
     EWMA to float tolerance — pinning the weight orientation (newest gets
-    0.5^0) and the adjust-normalization semantics."""
+    0.5^0), the adjust-normalization semantics, and the round-5 integer
+    re-plan (cents x 2^(23-k)) against an arithmetic path that shares
+    none of its machinery."""
     import pandas as pd
 
     from sparkgraft.io.readers import read_table
@@ -361,7 +363,7 @@ def test_ewma_matches_pandas_ewm(spark, sf_dir):
         .sort_values(["user_id", "ts", "event_id"])
     )
     for uid, g in ev.groupby("user_id"):
-        tail = g["value"].tail(64)
+        tail = g["value"].tail(24)
         exp = tail.ewm(alpha=0.5, adjust=True).mean().iloc[-1]
         n, ewma = got[uid]
         assert n == len(tail)
