@@ -4767,6 +4767,70 @@ def q_value_mad_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "bucketed_join_zero_shuffle",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_bucketed_join_zero_shuffle(spark, sf_dir):
+    """Fact-to-fact equi-join over BUCKETED tables — the static
+    co-partitioning contract that moves the join shuffle to write time,
+    promoting the long-standing catalog.save_bucketed capability (plan-
+    gated since round 1) to a driver-provable query.
+
+    Both sides are persisted via catalog.save_bucketed (hash-bucketed +
+    per-bucket sorted on the join key, layout recorded in the catalog);
+    the join then plans as a sort-merge join whose physical plan shows
+    `Bucketed: true` on both scans and ZERO exchange below the join —
+    the only shuffles left are the 5-row aggregate and the final sort
+    (plan-gated in tests/test_plans.py).  At 100 TB this is the lever
+    for a fact pair joined by every downstream query (lineitem ⋈ orders
+    here): pay the co-location shuffle once at ingest, never again.
+    Broadcast is disabled for the join so the measured plan is the one
+    that matters at scale (neither side of a fact-fact join broadcasts);
+    the result is materialized eagerly (localCheckpoint) so the conf
+    tweak and the scratch tables never escape this function.  Revenue
+    rides the exact integer-cents path, so the 5-row result is
+    engine-bit-identical."""
+    import time as _time
+
+    from sparkgraft.catalog import save_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    ns = _time.time_ns()
+    tl, to = f"bkt_li_{ns}", f"bkt_ord_{ns}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_bucketed(spark, li, tl, "l_orderkey", n_buckets=8)
+        save_bucketed(spark, od, to, "o_orderkey", n_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table(tl)
+            .join(spark.table(to), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return j.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
