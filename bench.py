@@ -93,6 +93,9 @@ def main() -> None:
     # the round artifact).  Durable full map: also write it to a file next
     # to the repo root — committed per round, it makes every cross-round
     # per-query comparison a plain diff instead of an archaeology exercise.
+    # DELIBERATELY not gitignored: the round driver auto-commits leftover
+    # working-tree files at round end, so the driver's own bench run is
+    # what persists this map.
     try:
         out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"

@@ -257,6 +257,28 @@ def _recover_interrupted_compaction(path: str) -> None:
         shutil.rmtree(d)
 
 
+def _tree_mtime(d: str) -> float:
+    """Newest lstat mtime anywhere under ``d`` (the dir itself included).
+    A directory's own top-level mtime is NOT a liveness signal for a
+    Spark write in progress: tasks write under ``_temporary/`` subdirs,
+    so the top level goes quiet right after creation while the tree is
+    very much alive — age decisions must look at the whole tree."""
+    import os
+
+    newest = 0.0
+    try:
+        newest = os.lstat(d).st_mtime
+    except FileNotFoundError:
+        return newest
+    for root, dirs, files in os.walk(d):
+        for name in (*dirs, *files):
+            try:
+                newest = max(newest, os.lstat(os.path.join(root, name)).st_mtime)
+            except FileNotFoundError:
+                continue
+    return newest
+
+
 def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     """Age-gated GC of compaction siblings (``__compact_*`` temp writes,
     superseded ``__v_*`` version dirs, stray ``__ln_*`` symlinks).  The
@@ -264,9 +286,11 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     the in-flight temp dir of a CONCURRENT compaction of the same path,
     failing its write mid-job, and (b) yank a superseded version dir out
     from under a reader that resolved the table symlink just before the
-    swap.  Anything younger than ``gc_age_s`` (lstat mtime) is left
-    alone; the live version — whatever the table symlink currently
-    resolves to — is never touched regardless of age."""
+    swap.  Anything whose NEWEST tree entry (not just the top-level dir
+    — a long Spark write mutates only ``_temporary/`` subtrees) is
+    younger than ``gc_age_s`` is left alone; the live version — whatever
+    the table symlink currently resolves to — is never touched
+    regardless of age."""
     import glob
     import os
     import shutil
@@ -281,10 +305,7 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     ):
         if live is not None and os.path.realpath(d) == live:
             continue
-        try:
-            if now - os.lstat(d).st_mtime < gc_age_s:
-                continue
-        except FileNotFoundError:
+        if now - _tree_mtime(d) < gc_age_s:
             continue
         if os.path.islink(d):
             os.remove(d)
@@ -336,8 +357,10 @@ def compact_small_files(
     by a LATER call's age-gated GC (``gc_age_s``, default 1 h), which
     also never touches the live version or any sibling young enough to
     be a concurrent compaction's in-flight temp dir.  A legacy plain
-    directory is migrated on first call via the old two-rename window
-    (crash-healed by _recover_interrupted_compaction); every call after
+    directory is migrated on first call (renamed into the version
+    namespace — kept, not deleted — then symlinked; a mid-migration
+    crash leaves two complete ``__v_*`` dirs for
+    _recover_interrupted_compaction to re-point at); every call after
     that is fully atomic.  On HDFS/S3 substitute a real manifest file —
     object stores have no symlinks — but the version-dir + pointer-swap
     + deferred-GC protocol is identical.  With ``sort_cols`` the rewrite
@@ -349,18 +372,21 @@ def compact_small_files(
     each is a single coalesce-free write job.
     """
     import os
-    import shutil
 
     _recover_interrupted_compaction(path)
     _gc_compaction_leftovers(path, gc_age_s)
-    entries = os.listdir(path)
+    # pin the current version ONCE — listing, sizing, the rewrite scan and
+    # the final count all use the same immutable dir, so a concurrent
+    # swap between any two of those steps cannot mix versions
+    src = resolve_table_path(path)
+    entries = os.listdir(src)
     parts = [
-        os.path.join(path, f)
+        os.path.join(src, f)
         for f in entries
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     if not parts:
-        subdirs = [f for f in entries if os.path.isdir(os.path.join(path, f))]
+        subdirs = [f for f in entries if os.path.isdir(os.path.join(src, f))]
         raise ValueError(
             f"no top-level parquet files under {path!r}"
             + (
@@ -374,9 +400,7 @@ def compact_small_files(
         )
     total = sum(os.path.getsize(p) for p in parts)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    # read the PINNED current version, not the symlink, so the scan below
-    # cannot race another compaction's swap either
-    df = spark.read.parquet(resolve_table_path(path))
+    df = spark.read.parquet(src)  # same pinned version the sizing saw
     ns = time.time_ns()
     p = path.rstrip("/")
     tmp = f"{p}__compact_{ns}"
@@ -397,14 +421,20 @@ def compact_small_files(
         os.rename(lntmp, p)
     else:
         # one-time legacy migration of a plain directory: the classic
-        # two-step window (rename away, then symlink in) — crash in
-        # between is healed by _recover_interrupted_compaction
-        old = f"{p}__old_{ns}"
-        os.rename(p, old)
+        # two-step window (rename away, then symlink in).  The original
+        # data is NOT deleted — it becomes the immediately-older version
+        # dir (ns-1 sorts just below the new one), so it gets the same
+        # age-gated retention every superseded version gets, and a crash
+        # between the two steps leaves two complete __v_* dirs for
+        # _recover_interrupted_compaction to re-point at.  Migration is
+        # the one transition version-pinning cannot protect a concurrent
+        # reader through (pre-migration pins resolve to the plain dir's
+        # own path, which this rename repurposes) — quiesce readers for a
+        # legacy table's FIRST compaction; steady state needs no quiesce.
+        os.rename(p, f"{p}__v_{ns - 1}")
         os.symlink(os.path.basename(vdir), p)
-        shutil.rmtree(old)
     return len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
+        [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     )
 
 

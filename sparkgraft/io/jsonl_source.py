@@ -265,10 +265,19 @@ class JsonlSimpleStreamReader:
         """Extract the high-watermark filename from an offset, accepting
         the LEGACY ``{"files_read": N}`` format a pre-rename checkpoint
         may have committed: N files read == the Nth sorted filename is
-        the watermark (file order is the offset order by contract, so
-        the translation is exact).  Unknown shapes raise a descriptive
-        error instead of a bare KeyError so an operator knows to reset
-        the checkpoint rather than chase a source bug."""
+        the watermark.  The legacy format is POSITIONAL, so this
+        translation is exact only while the directory is append-only —
+        the same assumption the legacy offsets themselves required to be
+        meaningful.  A rotation that deletes old files AND adds new ones
+        between the legacy commit and the resume keeps len(files)
+        constant and would map N onto the wrong name undetectably (the
+        guard below only catches net shrinkage); if files may have
+        rotated, reset the checkpoint instead of resuming a legacy one.
+        The name-watermark format this source now commits has no such
+        fragility — deletions below the watermark are harmless.  Unknown
+        shapes raise a descriptive error instead of a bare KeyError so
+        an operator knows to reset the checkpoint rather than chase a
+        source bug."""
         import os
 
         if "last_file" in offset:

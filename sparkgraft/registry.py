@@ -4207,8 +4207,14 @@ def q_ewma_user_value(spark, sf_dir):
     So the query never rounds a double at all.  `value` is a 2-decimal
     column, so round(value*100) is an exact int64 (never a .5 tie — the
     stored double is within ~1e-11 of an integer); the weight becomes the
-    exact integer 2^(23-k); the truncation at k < 24 drops only weights
-    <= 0.5^24 (~6e-8 relative, below double visibility after division).
+    exact integer 2^(23-k).  NOTE the k < 24 cut is a DELIBERATE semantic
+    change from the original k < 64: truncated weights <= 0.5^24 shift
+    the average by up to ~6e-8 relative (very visible at double
+    precision) and n_terms now caps at 24 — the SQL oracle and the pandas
+    ewm() replica test were changed in lockstep, which is what keeps
+    parity, not any claim that the cut is a no-op.  The trade is exact
+    integer arithmetic for a negligible-to-consumers tail (0.5^24 of the
+    24th-newest event's influence).
     Numerator sum(cents * 2^(23-k)) < 2^16 * 2^23 * 24 < 2^45 and the
     denominator < 2^24 are exact int64 sums (order-free), both exactly
     representable as doubles, so the final IEEE divisions are the only
@@ -4767,6 +4773,36 @@ def q_value_mad_outliers(spark, sf_dir):
     )
 
 
+def _bucketed_join_relation(spark, sf_dir, tl, to):
+    """The bucketed-join shape SHARED between q_bucketed_join_zero_shuffle
+    and its post-AQE plan gate (tests/test_plans.py
+    test_bucketed_join_no_exchange_below_the_join — the query itself
+    returns an eager checkpoint, which truncates the plan the gate needs
+    to see).  Writes both bucketed tables and returns the joined +
+    aggregated relation pre-checkpoint; a single definition means an
+    edit to the shipped shape (bucket count, projection, join key) is
+    automatically the shape the gate grades.  Caller owns the
+    broadcast-threshold toggle and the DROP lifecycle."""
+    from sparkgraft.catalog import save_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    save_bucketed(spark, li, tl, "l_orderkey", n_buckets=8)
+    save_bucketed(spark, od, to, "o_orderkey", n_buckets=8)
+    return (
+        spark.table(tl)
+        .join(spark.table(to), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register(
     "bucketed_join_zero_shuffle",
     """
@@ -4801,29 +4837,12 @@ def q_bucketed_join_zero_shuffle(spark, sf_dir):
     engine-bit-identical."""
     import time as _time
 
-    from sparkgraft.catalog import save_bucketed
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     ns = _time.time_ns()
     tl, to = f"bkt_li_{ns}", f"bkt_ord_{ns}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        save_bucketed(spark, li, tl, "l_orderkey", n_buckets=8)
-        save_bucketed(spark, od, to, "o_orderkey", n_buckets=8)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = (
-            spark.table(tl)
-            .join(spark.table(to), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_items"),
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
-                .cast("bigint")
-                .alias("revenue_cents"),
-            )
-            .orderBy("o_orderpriority")
-        )
+        j = _bucketed_join_relation(spark, sf_dir, tl, to)
         return j.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -739,50 +739,24 @@ def test_mad_outliers_two_level_rank_no_lowcard_window(spark, sf_dir):
 
 
 def test_bucketed_join_no_exchange_below_the_join(spark, sf_dir):
-    """Replays the bucketed_join_zero_shuffle registry query's exact join
-    shape (the query itself returns an eager checkpoint, which truncates
-    the plan) and gates the POST-AQE final plan: both scans `Bucketed:
-    true` and ZERO exchange anywhere below the sort-merge join — the only
-    shuffle left is the 5-row aggregate (plus the final sort's range
-    exchange).  Complements test_bucketed_join_has_no_exchange, which
-    gates the bare pre-aggregation join."""
+    """Gates the POST-AQE final plan of the bucketed_join_zero_shuffle
+    registry query's EXACT shape, via the shared builder
+    (registry._bucketed_join_relation — the query itself returns an eager
+    checkpoint, which truncates the plan; sharing the builder means any
+    edit to the shipped shape is automatically the shape graded here):
+    both scans `Bucketed: true` and ZERO exchange anywhere below the
+    sort-merge join — the only shuffle left is the 5-row aggregate (plus
+    the final sort's range exchange).  Complements
+    test_bucketed_join_has_no_exchange, which gates the bare
+    pre-aggregation join."""
     import time as t
-
-    from pyspark.sql import functions as F
-
-    from sparkgraft.catalog import save_bucketed
-    from sparkgraft.io.readers import read_table
 
     ns = t.time_ns()
     tl, to = f"bkt_li_test_{ns}", f"bkt_ord_test_{ns}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        save_bucketed(
-            spark,
-            read_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            ),
-            tl,
-            "l_orderkey",
-            n_buckets=8,
-        )
-        save_bucketed(
-            spark,
-            read_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderpriority"
-            ),
-            to,
-            "o_orderkey",
-            n_buckets=8,
-        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = (
-            spark.table(tl)
-            .join(spark.table(to), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_items"))
-            .orderBy("o_orderpriority")
-        )
+        j = registry._bucketed_join_relation(spark, sf_dir, tl, to)
         j.collect()
         # the executed-plan string repeats the tree as "Final Plan" then
         # "Initial Plan" — grade only the final one
