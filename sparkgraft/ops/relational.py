@@ -202,6 +202,16 @@ def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     is whole-stage-codegen'd — no measurable cost next to the shuffle.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # Cross-engine validity domain (measured, round 5): the decimal sum is
+    # exact in every engine, but the final decimal->double conversion is
+    # only guaranteed engine-identical while |sum| * 10^scale < 2^53.
+    # Beyond that, Spark (BigDecimal.doubleValue) stays correctly rounded
+    # while DuckDB's int128 -> double -> /10^scale path can double-round
+    # 1 ulp off (observed at a 3.8e16 micro-unit sum: ...93881 vs the
+    # correct ...93882).  At scale 6 the boundary is ~9e9 in column units
+    # per group — driver scales sit >20x under it; a deployment summing
+    # past it should compare the DECIMAL (or its string) instead of the
+    # double.
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
