@@ -290,7 +290,11 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     — a long Spark write mutates only ``_temporary/`` subtrees) is
     younger than ``gc_age_s`` is left alone; the live version — whatever
     the table symlink currently resolves to — is never touched
-    regardless of age."""
+    regardless of age.  For (b) the age is time since SUPERSESSION, not
+    time since last write: the swap in compact_small_files re-stamps the
+    outgoing version dir (``os.utime``) the moment the symlink moves
+    away, so a version that sat live-and-quiet for hours still gets the
+    full ``gc_age_s`` of post-swap retention for in-flight readers."""
     import glob
     import os
     import shutil
@@ -419,6 +423,19 @@ def compact_small_files(
         lntmp = f"{p}__ln_{ns}"
         os.symlink(os.path.basename(vdir), lntmp)
         os.rename(lntmp, p)
+        # Re-stamp the superseded version dir NOW: the GC age gate keys off
+        # the newest tree mtime, and a version that sat live (quiet) for
+        # longer than gc_age_s would otherwise be GC-eligible the instant
+        # the symlink moved away — racing a reader that pinned it via
+        # resolve_table_path just before this swap.  Bumping the dir's own
+        # mtime makes the gate measure time SINCE SUPERSESSION, so every
+        # superseded version gets the full gc_age_s retention from the
+        # moment it stops being live.
+        if src != os.path.realpath(p):
+            try:
+                os.utime(src)
+            except FileNotFoundError:
+                pass
     else:
         # one-time legacy migration of a plain directory: the classic
         # two-step window (rename away, then symlink in).  The original
@@ -433,6 +450,9 @@ def compact_small_files(
         # legacy table's FIRST compaction; steady state needs no quiesce.
         os.rename(p, f"{p}__v_{ns - 1}")
         os.symlink(os.path.basename(vdir), p)
+        # same supersession re-stamp as the steady-state branch: retention
+        # for the migrated legacy dir starts at the swap, not its last write
+        os.utime(f"{p}__v_{ns - 1}")
     return len(
         [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     )

@@ -384,3 +384,112 @@ def test_fingerprint_invariant_under_compaction_and_reload(spark, sf_dir, tmp_pa
         assert got == base
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_events")
+
+
+def test_gc_age_counts_from_supersession_not_last_write(spark, sf_dir, tmp_path):
+    """Round-6 ADVICE (medium): a version dir that sat LIVE and quiet for
+    longer than gc_age_s must NOT become GC-eligible the instant a swap
+    re-points the symlink away from it — a reader that pinned it via
+    resolve_table_path just before the swap may still be scanning.  The
+    swap re-stamps the outgoing version (os.utime), so the age gate
+    measures time since SUPERSESSION and every superseded version gets
+    the full gc_age_s of post-swap retention."""
+    import os
+    import time
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    path = str(tmp_path / "aged")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(8).write.parquet(path)
+    catalog.compact_small_files(spark, path, target_mb=128)  # migrate to symlink
+
+    # age the ENTIRE live tree far past the 1h gate (a table written long
+    # ago and never touched since — the adversarial case from the advice)
+    live = catalog.resolve_table_path(path)
+    old = time.time() - 7200
+    os.utime(live, (old, old))
+    for root, dirs, files in os.walk(live):
+        for name in (*dirs, *files):
+            os.utime(os.path.join(root, name), (old, old))
+
+    # supersede it: the swap must re-stamp `live` even though nothing
+    # inside it was written this side of the gate
+    catalog.compact_small_files(spark, path, target_mb=128, gc_age_s=3600.0)
+    assert os.path.exists(live), "superseded version vanished at swap time"
+    catalog._gc_compaction_leftovers(path, gc_age_s=3600.0)
+    assert os.path.exists(live), (
+        "superseded version GC'd within gc_age_s of the swap — the age "
+        "gate is reading last-write time, not supersession time"
+    )
+
+    # and once genuinely aged past the gate AFTER supersession, it goes
+    os.utime(live, (old, old))
+    catalog._gc_compaction_leftovers(path, gc_age_s=3600.0)
+    assert not os.path.exists(live)
+
+
+def test_compact_two_process_stress(spark, sf_dir, tmp_path):
+    """Two REAL concurrent compactor processes (separate JVMs — not
+    threads, so there is no shared driver lock hiding races) pound the
+    same table path while each also read-verifies the row count across
+    every swap.  The protocol under test: temp-dir uniqueness (time_ns
+    suffix), atomic symlink rename (last writer wins, content identical),
+    age-gated GC never deleting the other process's in-flight temp dir,
+    and version pinning keeping every read count exact mid-swap."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    path = str(tmp_path / "contended")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n_rows = ev.count()
+    ev.repartition(16).write.parquet(path)
+    catalog.compact_small_files(spark, path, target_mb=128)  # migrate once
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from sparkgraft.session import get_spark
+        from sparkgraft import catalog
+
+        tag, path, n_rows = sys.argv[1], {path!r}, {n_rows}
+        spark = get_spark(f"compact-stress-" + tag, master="local[4]",
+                          shuffle_partitions=4)
+        for i in range(3):
+            catalog.compact_small_files(spark, path, target_mb=128)
+            pinned = catalog.resolve_table_path(path)
+            got = spark.read.parquet(pinned).count()
+            assert got == n_rows, (tag, i, got, n_rows)
+        print("STRESS_OK_" + tag)
+        spark.stop()
+        """
+    ).format(repo="/root/repo", path=path, n_rows=n_rows)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, tag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=str(tmp_path),
+        )
+        for tag in ("A", "B")
+    ]
+    outs = []
+    for p, tag in zip(procs, ("A", "B")):
+        out, err = p.communicate(timeout=600)
+        outs.append((tag, p.returncode, out, err))
+    for tag, rc, out, err in outs:
+        assert rc == 0 and f"STRESS_OK_{tag}" in out, (
+            f"compactor {tag} rc={rc}\nstdout={out[-2000:]}\nstderr={err[-3000:]}"
+        )
+    # contents survived six racing swaps bit-for-bit
+    assert sorted(spark.read.parquet(catalog.resolve_table_path(path)).collect()) \
+        == sorted(ev.collect())
