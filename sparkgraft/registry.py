@@ -4851,72 +4851,173 @@ def q_bucketed_join_zero_shuffle(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 adversarial-skew lanes (SURVEY risk #5: the hot key at 100 TB).
+# The provided events table is uniform — a plain run of the skew-safe
+# operators never actually exercises their skew machinery on skewed DATA.
+# These two queries build the adversary IN-QUERY (deterministic remap of
+# every 5th event to one bot user = 20% of all rows on a single key; the
+# oracle applies the identical remap in SQL), then run the two skew
+# defenses over it: pre-split sessionization and the salted join.
+# ---------------------------------------------------------------------------
+
+# the bot-user remap, shared by both lanes: hash-free and engine-identical
+_HOT_REMAP_SQL = """
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE user_id END AS user_id,
+               ts
+        FROM events
+"""
+
+# canonical sessionize CTE re-pointed at the remapped relation; built by
+# substitution so the session-id contract can never drift from
+# _SESSIONIZE_CTE (order matters: retarget FROM first, then prepend hot)
+_SESSIONIZE_HOT_CTE = _SESSIONIZE_CTE.replace("FROM events", "FROM hot").replace(
+    "WITH lagged AS (", f"WITH hot AS ({_HOT_REMAP_SQL}    ), lagged AS ("
+)
+
+
+def _hot_events(ev):
+    """Deterministic hot-key adversary: every 5th event re-keyed to bot
+    user -1 (20% of all rows on one key — far past the ~1/n_users uniform
+    share, and past AQE's skewedPartitionFactor at any real scale)."""
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(-1).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+
+
+@register(
+    "sessionize_hotkey",
+    _SESSIONIZE_HOT_CTE
+    + """
+    SELECT event_id, user_id, ts, session_id FROM sessioned
+    """,
+)
+def q_sessionize_hotkey(spark, sf_dir):
+    """Sessionization under a 20%-of-rows hot key — the adversarial-data
+    proof for sessionize_skew_split (its uniform-data twin shares the
+    oracle CONTRACT but never stresses the split).  The bot user's rows
+    land in many (user, 6h-bucket) window partitions instead of one
+    user-sized task, and the boundary stitch re-links chains across
+    buckets; session ids stay byte-identical to the canonical single-pass
+    definition, which is exactly what the driver hash certifies.  At
+    100 TB this is THE sessionization failure mode: one bot/default id
+    holding percent-scale row share turns a bare PARTITION BY user_id
+    into a straggler task holding billions of rows."""
+    ev = _hot_events(_t(spark, sf_dir, "events"))
+    from sparkgraft.ops.sessionize import sessionize_skew_split
+
+    return sessionize_skew_split(
+        ev, order_tiebreak=("event_id",), bucket_seconds=6 * 3600
+    ).select("event_id", "user_id", "ts", "session_id")
+
+
+@register(
+    "salted_join_hotkey",
+    f"""
+    WITH hot AS ({_HOT_REMAP_SQL}    ),
+    totals AS (SELECT user_id, count(*) AS n_events FROM hot GROUP BY user_id)
+    SELECT e.event_id, e.user_id, t.n_events
+    FROM hot e JOIN totals t USING (user_id)
+    ORDER BY e.event_id
+    """,
+)
+def q_salted_join_hotkey(spark, sf_dir):
+    """Salted equi-join under a 20%-of-rows hot key — the adversarial-data
+    proof for ops/relational.salted_join (salted_join_user_events runs the
+    same pattern on uniform keys, where the salt never actually saves a
+    reducer).  The bot key's rows spread across 32 (user_id, __salt)
+    reducers — the salt fan-out is plan-gated — while the oracle states
+    the PLAIN join: salting must be invisible in the results, hot key or
+    not."""
+    from sparkgraft.ops.relational import salted_join
+
+    hot = _hot_events(_t(spark, sf_dir, "events")).select("event_id", "user_id")
+    totals = hot.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        salted_join(hot, totals, "user_id", n_salts=32, salt_source="event_id")
+        .select("event_id", "user_id", "n_events")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 5's window: the 40
-# oracle-backed queries registered after the r04 freeze (pytest parity at
-# sf0.001 + sf0.01 but never a driver row), the two ml twins whose latest
-# driver status is still the rows-only `no_oracle` r03 row (both have since
-# gained recall-audit oracles and need their first HASH-checked row), and 8
-# proven sentinels.  Rounds r01∪…∪r05 then driver-prove EVERY oracle-backed
-# query registered as of this freeze — the proof surface closes; the only
-# intentionally oracle-less query is multimodal_decode_stub (env-blocked
-# codec).  tests/test_registry_parity.py pins the window composition so
-# future insertions can't silently evict proof again.
+# artifact, not an accident of module layout.  Round 6's window, in three
+# tiers:
+#   (1) the 7 queries without a driver HASH row — bucketed_join_zero_shuffle
+#       (registered after the r05 freeze, judge-verified at sf0.01 but never
+#       driver-run), multimodal_decode_stub (its only cumulative row is the
+#       r03 rows-only `no_oracle` entry; it gained a full value oracle this
+#       round — the fake decode is pure byte arithmetic, SQL-expressible),
+#       and the 5 round-6 additions (TPC-H q2/q7/q8 tail + the two
+#       adversarial hot-key skew lanes);
+#   (2) 35 stale-refresh re-proofs — every one last driver-proven in ROUND 2
+#       (the oldest proofs in the cumulative ledger; four rounds of testdata
+#       regeneration since), refreshed oldest-first;
+#   (3) the 8 canonical sentinels (same set as r04/r05).
+# With (1) drained, every registered query has a driver HASH row and the
+# cumulative ledger carries zero `no_oracle` entries.
+# tests/test_registry_parity.py pins the window composition so future
+# insertions can't silently evict proof again.
 #
-# ROUND 6 ROTATION: any query registered after THIS freeze (list them in
-# tests/test_registry_parity.py `added_after_r05_freeze` as you add them)
-# plus sentinels.  Keep new registrations few enough to drain in one window.
+# ROUND 7 ROTATION: any query registered after THIS freeze (list them in
+# tests/test_registry_parity.py `added_after_r06_freeze` as you add them)
+# plus stale-refresh re-proofs (r03 rows are oldest next round) and the 8
+# sentinels.  Keep new registrations few enough to drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the 40 post-r04-freeze queries needing their FIRST driver row
-    "dedup_keep_canonical",
-    "text_bigram_lm_score",
-    "embed_knn_graph",
-    "text_gopher_repetition",
-    "udtf_split_sentences",
-    "embed_kmeans_clusters",
-    "text_quality_classifier",
-    "embed_arrow_norms",
-    "events_variant_k_stats",
-    "text_langid_confusion",
-    "embed_pca_projection",
-    "graph_triangle_count",
-    "embed_pq_topk",
-    "dedup_incremental_minhash",
-    "corpus_source_datacard",
-    "corpus_chunk_overlap",
-    "corpus_dup_span_fraction",
-    "corpus_shard_assign",
-    "corpus_vocab_growth",
-    "corpus_temperature_mix",
-    "value_median_exact",
-    "streaming_session_window",
-    "streaming_state_inspect",
-    "custom_stream_jsonl_counts",
-    "scd2_point_in_time_lookup",
-    "recursive_cte_hierarchy",
-    "sql_udf_value_buckets",
-    "collation_distinct_audit",
-    "table_fingerprint",
-    "skew_key_audit",
-    "time_weighted_avg_value",
-    "column_profile_lineitem",
-    "ewma_user_value",
-    "snapshot_diff_orders",
-    "zorder_layout_audit",
-    "bitmap_distinct_rollup",
-    "user_value_trend",
-    "streaming_bitmap_distinct",
-    "orc_roundtrip_events",
-    "value_mad_outliers",
-    # r03 driver rows were rows-only (`no_oracle`); both are now
-    # oracle-backed recall-AUDIT relations — first hash-checked rows
-    "ml_minhash_pairs",
-    "ml_ann_neighbors",
-    # 8 already-proven sentinels (regression canaries: the reference WAU
-    # query, the reference sessionization composite, the LSH dedup
+    # tier 1: the 7 queries needing their FIRST driver hash row
+    "bucketed_join_zero_shuffle",
+    "multimodal_decode_stub",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_nation_market_share",
+    "sessionize_hotkey",
+    "salted_join_hotkey",
+    # tier 2: 35 stale-refresh re-proofs, all last proven in round 2
+    "anti_join_dormant_customers",
+    "asia_market_share",
+    "asof_last_signup",
+    "case_when_buckets",
+    "cheapest_shipment_per_part",
+    "cube_event_counts",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "filter_edge_slivers",
+    "filter_time_range",
+    "forward_fill_last_purchase",
+    "json_extract_props",
+    "kst_daily_counts",
+    "lag_gap_seconds",
+    "latest_event_per_user",
+    "lead_next_event_gap",
+    "left_join_orders_customers",
+    "nation_pair_volume",
+    "nation_set_ops",
+    "orders_above_avg_price",
+    "percentile_value_by_type",
+    "pivot_daily_event_types",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "range_join_event_windows",
+    "rank_orders_per_customer",
+    "rollup_order_counts",
+    "semi_join_active_customers",
+    "sessionize_skew_split",
+    "sessions_per_user_window",
+    "sliding_hour_stats",
+    # tier 3: the 8 canonical sentinels (regression canaries: the reference
+    # WAU query, the reference sessionization composite, the LSH dedup
     # flagship, the round-1 oracle-defect query, the two round-4
     # two-level-rank re-plans, the TPC-H headline, and the corpus
     # end-to-end composite)

@@ -1225,11 +1225,35 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stub", None)  # rows-only: mapInPandas, non-SQL
+@register(
+    "multimodal_decode_stub",
+    """
+    -- the fake decoder's outputs are pure byte arithmetic over the payload
+    -- (utf-8 of `text`; documents are ASCII, so char ops == byte ops):
+    -- n_bytes = len, head_byte = first byte, fake dims derived from both
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE ascii(substr(text, 1, 1)) END AS INT) AS head_byte,
+           CAST(length(text) % 640 AS INT) AS fake_width,
+           CAST((CASE WHEN length(text) = 0 THEN 0
+                      ELSE ascii(substr(text, 1, 1)) END) * 3 % 480 AS INT)
+             AS fake_height
+    FROM documents
+    """,
+)
 def q_decode_stub(spark, sf_dir):
     """Arrow-batched decode stub over binary payloads (deterministic fake
     decoder standing in for PIL/ffmpeg; exercises the real mapInPandas
-    plumbing — schema, batching, partitioning)."""
+    plumbing — schema, batching, partitioning).
+
+    Oracle-backed since round 6: the fake decode path is deterministic
+    byte arithmetic (length, first byte, modular fake dimensions), all
+    SQL-expressible over the ASCII source text — same trick the
+    multimodal_frame_sample oracle already uses — so the one historically
+    rows-only query now gets the full driver hash check.  The REAL-codec
+    boundary is unchanged: ``fake=False`` still raises where PIL/ffmpeg
+    would run (env-blocked; see ext/multimodal.py:60)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_payload(docs), fake=True)
 

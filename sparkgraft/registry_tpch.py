@@ -24,7 +24,7 @@ from pyspark.sql import Window, functions as F
 
 from sparkgraft.io.readers import read_table
 from sparkgraft.ops.relational import exact_sum
-from sparkgraft.registry import register
+from sparkgraft.registry import _DEC_SUM, register
 
 
 def _t(spark, sf_dir, name):
@@ -725,4 +725,253 @@ def q_q22_dormant_capital(spark, sf_dir):
             exact_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 tail: the three TPC-H shapes the registry did not yet exercise.
+# q2 = correlated min-subquery over a DERIVED part-supplier relation (the
+# testdata has no partsupp; (l_partkey, l_suppkey) pairs from lineitem with
+# min observed price stand in — same join topology, same correlation).
+# q7 = disjunctive two-nation pair predicate (nation_pair_volume groups ALL
+# pairs; Q7's shape is the OR-of-ANDs restriction to one named pair, both
+# directions, plus the shipdate year band).
+# q8 = one nation's market share within a region+part-type market: TWO
+# nation roles at once (supplier side inside the share numerator, customer
+# side restricting the market) — asia_market_share has only the customer
+# role and no part dimension.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS ps_supplycost_cents
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost_cents
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 25 AND p_type LIKE '%AR%' AND r_name = 'EUROPE'
+      AND ps_supplycost_cents = (
+          SELECT MIN(ps2.ps_supplycost_cents)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part — a
+    correlated scalar MIN subquery, decorrelated the way Catalyst itself
+    would: one window MIN per part over the region-restricted pairs, then
+    an equality filter (identical result: the correlation key IS the
+    window key, and both outer and inner carry the same region filter).
+
+    Scale: the derived part-supplier relation aggregates lineitem on its
+    natural (partkey, suppkey) shuffle; supplier/nation/region reduce to
+    a broadcast before touching it, and the qualifying-parts filter is a
+    broadcast semi-reduction applied BEFORE the window, so the per-part
+    MIN runs over only surviving parts' pairs — at 100 TB the window
+    input is |qualifying parts| x |euro suppliers per part|, not the full
+    pair relation.  Costs are exact integer cents end to end; the final
+    ORDER BY carries full tiebreakers so LIMIT 100 is total-order
+    deterministic."""
+    from pyspark.sql import Window
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "ps_supplycost_cents"
+            )
+        )
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 25) & F.col("p_type").like("%AR%"))
+        .select("p_partkey", "p_type")
+    )
+    euro_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    cand = (
+        ps.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn("__min_cost", F.min("ps_supplycost_cents").over(w))
+        .where(F.col("ps_supplycost_cents") == F.col("__min_cost"))
+    )
+    return (
+        cand.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost_cents",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS volume
+    FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                 l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between ONE named nation pair, both
+    directions, by ship year — the OR-of-ANDs pair predicate plus a two-year
+    shipdate band.
+
+    Scale: the shipdate band is pushed to the lineitem scan (row-group
+    skipping); both nation roles are pre-filtered to the two named rows
+    BEFORE their joins, so each broadcast hash join keeps only lines whose
+    supplier (resp. customer) sits in the pair — the surviving disjunction
+    is just the cross-direction exclusion.  The only big shuffles are the
+    lineitem⋈orders join on orderkey and the 4-row aggregate.  Volume is
+    the exact decimal sum, shuffle-order-invariant."""
+    pair = ("NATION_1", "NATION_2")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast(_TS))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(exact_sum(revenue).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_nation_market_share",
+    f"""
+    SELECT o_year,
+           {_DEC_SUM.format(expr="CASE WHEN supp_nation = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')}
+             AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 sn.n_name AS supp_nation, l_extendedprice, l_discount
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region   ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'STANDARD')
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_q8_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of AMERICA customers'
+    STANDARD-part market per order year — both nation ROLES in one query
+    (customer-side nation→region restricts the market, supplier-side
+    nation feeds the share numerator) over a part-type-filtered fact.
+
+    Scale: part is filtered to one of six types before its join and
+    broadcast (at extreme part cardinality swap to a shuffled join on
+    partkey — the filter itself still prunes 5/6 of the build side);
+    every other dimension (supplier, both nation roles, region) is an
+    unconditional broadcast.  The market restriction (AMERICA) is an
+    inner-join semi-reduction applied before the orderkey shuffle.  Share
+    = exact-decimal numerator / exact-decimal denominator, one double
+    division per year row, bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(F.lit(0.0))
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg((exact_sum(num) / exact_sum(revenue)).alias("mkt_share"))
+        .orderBy("o_year")
     )

@@ -182,14 +182,19 @@ def test_continuity_frontier_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_skew_split_sessionize_bounded_windows(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name", ["sessionize_skew_split", "sessionize_hotkey"]
+)
+def test_skew_split_sessionize_bounded_windows(spark, sf_dir, name):
     """sessionize_skew_split plan contract: every window over the EVENT
     table partitions by (user, bucket) — never by user alone — so no task
     ever holds one user's full history; only the per-(user,bucket) stitch
     relation (<= #buckets rows per user) windows on bare user. Exchange
     budget: 2 (user,bucket) fact exchanges (the stitch side re-derives the
-    windowed frame) + 1 tiny stitch exchange."""
-    plan = _plan(spark, sf_dir, "sessionize_skew_split")
+    windowed frame) + 1 tiny stitch exchange.  Graded on BOTH the uniform
+    lane and the round-6 hot-key lane (bot user holding 20% of rows) —
+    the bound must hold exactly when the data is adversarial."""
+    plan = _plan(spark, sf_dir, name)
     import re
 
     # a bare-user fact window would print windowspecdefinition(user_id#N,
@@ -552,6 +557,29 @@ def test_skew_key_audit_topk_no_global_sort(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "skew_key_audit")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_salted_join_hotkey_fans_out(spark, sf_dir):
+    """salted_join under the hot-key adversary: the join key must be the
+    COMPOSITE (user_id, __salt) — so the bot key's 20% row share spreads
+    over n_salts reducers instead of one — and the small side must carry
+    the salt fan-out (one explode of the 0..n_salts-1 range).  The gate
+    is strategy-agnostic: at bench scale AQE rightly broadcasts the tiny
+    totals side (broadcast beats salting when the build side fits), but
+    the composite key and the fan-out are what guarantee the plan still
+    balances when the relation is mid-size and must shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, "salted_join_hotkey")
+    join_lines = [
+        l for l in plan.splitlines()
+        if re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", l)
+    ]
+    assert join_lines, plan
+    assert any("__salt" in l for l in join_lines), (
+        f"join does not use the salted composite key: {join_lines}"
+    )
+    assert re.search(r"Generate explode.*__salt", plan), plan
 
 
 def test_twap_window_and_agg_share_partitioning(spark, sf_dir):

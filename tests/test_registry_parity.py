@@ -46,10 +46,10 @@ def test_registry_contract():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-5 window:
+    inserts silently evicted driver-proven queries).  Pin the round-6 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-6 rotation — so this test does NOT claim full cumulative
+    the round-7 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -58,19 +58,16 @@ def test_driver_window_composition():
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r05 window freeze must have a driver row
-    in r01..r04 or sit in the r05 window awaiting one — at this freeze the
-    set is EMPTY-gap by construction: r01∪…∪r04 rows plus the r05 window
-    cover all 183 registered queries.  Queries added after the freeze are
+    """Every query present at the r06 window freeze must have a driver row
+    in r01..r05 or sit in the r06 window awaiting one — at this freeze the
+    set is EMPTY-gap by construction: r01∪…∪r05 rows plus the r06 window
+    cover all 189 registered queries.  Queries added after the freeze are
     exempt (next round's rotation) but must be listed here EXPLICITLY so
     the exemption is a conscious act, not a silent hole."""
     import json
     import pathlib
 
-    added_after_r05_freeze: set[str] = {
-        # round-5 session addition (next round's rotation)
-        "bucketed_join_zero_shuffle",
-    }
+    added_after_r06_freeze: set[str] = set()
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -81,26 +78,31 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r05_freeze
+        and n not in added_after_r06_freeze
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-5 window audit: (a) every registered query either has a prior
-    driver row or a slot in THIS window (no orphans), and (b) every window
-    slot that re-proves an already-proven query is one of the 8 declared
-    sentinels (no wasted slots).  `seen` is pinned to the rounds BEFORE
-    this window froze (r01-r04): once the driver emits CORRECTNESS_r05
-    for the window itself, an open glob would reclassify all 50 slots as
-    re-proofs and fail this test for succeeding."""
+    """Round-6 window audit: (a) every registered query either has a prior
+    driver row or a slot in THIS window (no orphans), and (b) no wasted
+    slots — every window slot that re-proves an already-proven query is
+    either one of the 8 declared sentinels or a STALE-REFRESH slot whose
+    newest prior row is from round 2 (the oldest proofs in the ledger,
+    refreshed oldest-first).  `seen`/`latest` are pinned to the rounds
+    BEFORE this window froze (r01-r05): once the driver emits
+    CORRECTNESS_r06 for the window itself, an open glob would reclassify
+    all 50 slots as re-proofs and fail this test for succeeding."""
     import json
     import pathlib
+    import re
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    seen: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
-        seen |= set(json.loads(f.read_text()))
+    latest: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r0[1-5].json")):
+        rnd = int(re.search(r"r0(\d)", f.name).group(1))
+        for n in json.loads(f.read_text()):
+            latest[n] = max(latest.get(n, 0), rnd)
     sentinels = {
         "wau_user",
         "sessionize_ids",
@@ -111,10 +113,19 @@ def test_driver_window_drains_the_backlog():
         "q1_pricing_summary",
         "corpus_e2e_curation",
     }
-    reproofs = [n for n in registry.DRIVER_WINDOW if n in seen]
-    # the two ml twins have r03 rows, but those were rows-only `no_oracle`
-    # entries — their window slots are first HASH proofs, not re-proofs
-    assert set(reproofs) == sentinels | {"ml_minhash_pairs", "ml_ann_neighbors"}
-    post_freeze = {"bucketed_join_zero_shuffle"}
-    never = [n for n in registry.queries() if n not in seen and n not in post_freeze]
-    assert set(never) <= set(registry.DRIVER_WINDOW)
+    # multimodal_decode_stub's r03 row was the rows-only `no_oracle` entry —
+    # its slot is the first HASH proof (it gained a value oracle in round 6),
+    # not a re-proof
+    first_hash = {"multimodal_decode_stub"}
+    for n in registry.DRIVER_WINDOW:
+        if n not in latest or n in first_hash:
+            continue  # first driver row — always a justified slot
+        assert n in sentinels or latest[n] == 2, (
+            f"window slot {n!r} re-proves a query last proven in "
+            f"r0{latest[n]} — neither a sentinel nor a stale refresh"
+        )
+    never = [n for n in registry.queries() if n not in latest]
+    assert set(never) <= set(registry.DRIVER_WINDOW), (
+        f"queries with no driver row left outside the window: "
+        f"{sorted(set(never) - set(registry.DRIVER_WINDOW))}"
+    )
