@@ -90,21 +90,26 @@ def main() -> None:
     print(json.dumps(payload))
     # The driver truncates the stdout JSON it records (BENCH_r{N}.json tail
     # cuts at ~2000 chars, so only ~60 of the per-query timings survive in
-    # the round artifact).  Durable full map: also write it to a file next
-    # to the repo root — committed per round, it makes every cross-round
-    # per-query comparison a plain diff instead of an archaeology exercise.
-    # DELIBERATELY not gitignored: the round driver auto-commits leftover
-    # working-tree files at round end, so the driver's own bench run is
-    # what persists this map.
-    try:
-        out = os.path.join(
+    # the round artifact).  Durable full map: also write it to an EXPLICIT
+    # artifact path — SPARK_GRAFT_BENCH_OUT when set, else
+    # BENCH_LOCAL_latest.json next to the repo root (the per-round record is
+    # then committed intentionally as BENCH_LOCAL_r{N}.json, per
+    # BASELINE_QUERIES.md).  Set SPARK_GRAFT_BENCH_OUT="" to suppress the
+    # file entirely (e.g. when benching from a checkout that must stay
+    # clean).
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
-        )
-        with open(out, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:  # read-only checkout must not fail the bench
-        print(f"bench: could not write BENCH_LOCAL_latest.json: {exc}", file=sys.stderr)
+        ),
+    )
+    if out:
+        try:
+            with open(out, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:  # read-only checkout must not fail the bench
+            print(f"bench: could not write {out}: {exc}", file=sys.stderr)
     spark.stop()
 
 

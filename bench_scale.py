@@ -20,9 +20,19 @@ so the scaling slope is measured rather than argued.  The cache lives
 under the repo (.scale_cache/, gitignored) and is rebuilt only when
 absent.
 
+Round-6 additions: every lane also records its EMITTED row count per grid
+point, and the declared pair-generation lanes get a normalized metric
+(sec per 1k emitted rows) whose slope separates data-driven growth (more
+true duplicate pairs on replicated data) from plan regressions.  With
+SPARK_GRAFT_SCALE_DEEP=1 the two historically-steep lanes run one step
+further (per-lane factors, see DEEP below) and are graded against their
+CONTRACT curve — quadratic for the exact-kNN triangle lane, flat
+normalized per-pair cost for LSH dedup — instead of a linear bar.
+
 Usage:
     python bench_scale.py            # writes one JSON line to stdout
     SPARK_GRAFT_SCALE_REPL=10 SPARK_GRAFT_CPUS=32 python bench_scale.py
+    SPARK_GRAFT_SCALE_DEEP=1 python bench_scale.py   # + deep contract lanes
 """
 
 from __future__ import annotations
@@ -74,23 +84,30 @@ SHIFT = {
 COPY = ["region", "nation", "supplier", "part"]
 
 
-def _build_scaled(spark, out_dir: str) -> None:
+def _build_scaled(
+    spark, out_dir: str, repl: int = REPL, tables: list[str] | None = None
+) -> None:
+    """Replicate the sf0.1 tables ``repl``x with key-shifted ids into
+    ``out_dir``.  ``tables`` restricts the build to a subset of the SHIFT
+    tables (the deep-decade lanes each read exactly one table — building
+    the rest at 100x would cost minutes of disk for nothing)."""
     from pyspark.sql import functions as F
 
     from sparkgraft.io.readers import read_table
 
     os.makedirs(out_dir, exist_ok=True)
+    shift = {t: c for t, c in SHIFT.items() if tables is None or t in tables}
     # one offset per key-space: max+1 over every column in the space
     spaces: dict[str, int] = {}
-    tabs = {t: read_table(spark, BASE, t) for t in SHIFT}
-    for t, cols in SHIFT.items():
+    tabs = {t: read_table(spark, BASE, t) for t in shift}
+    for t, cols in shift.items():
         for c, space in cols.items():
             mx = tabs[t].agg(F.max(c)).collect()[0][0] or 0
             spaces[space] = max(spaces.get(space, 0), int(mx) + 1)
-    for t, cols in SHIFT.items():
+    for t, cols in shift.items():
         df = tabs[t]
         reps = []
-        for i in range(REPL):
+        for i in range(repl):
             r = df
             for c, space in cols.items():
                 r = r.withColumn(c, F.col(c) + F.lit(i * spaces[space]))
@@ -99,12 +116,41 @@ def _build_scaled(spark, out_dir: str) -> None:
         for r in reps[1:]:
             out = out.unionAll(r)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
-    for t in COPY:
+    for t in COPY if tables is None else []:
         src = os.path.join(BASE, f"{t}.parquet")
         if os.path.exists(src):
             read_table(spark, BASE, t).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{t}.parquet")
             )
+
+
+def _ensure_cache(spark, repl: int, tables: list[str] | None = None) -> str:
+    suffix = "" if tables is None else "-" + "-".join(sorted(tables))
+    scaled = os.path.join(CACHE, f"sf0.1x{repl}{suffix}")
+    marker = os.path.join(scaled, "_COMPLETE")
+    if os.path.exists(marker):
+        # staleness guard: the driver regenerates /root/testdata between
+        # rounds — a cache built from last round's parquet would silently
+        # measure different data
+        base_mtime = max(
+            os.path.getmtime(os.path.join(BASE, f))
+            for f in os.listdir(BASE)
+            if f.endswith(".parquet")
+        )
+        if base_mtime > os.path.getmtime(marker):
+            print(f"# {scaled} stale vs {BASE}; rebuilding", file=sys.stderr)
+            os.remove(marker)
+    if not os.path.exists(marker):
+        shutil.rmtree(scaled, ignore_errors=True)
+        t0 = time.monotonic()
+        _build_scaled(spark, scaled, repl, tables)
+        with open(marker, "w") as fh:
+            fh.write(f"repl={repl} base={BASE} tables={tables}\n")
+        print(
+            f"# built {scaled} in {time.monotonic() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return scaled
 
 
 def main() -> int:
@@ -117,30 +163,29 @@ def main() -> int:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM",
+                # deep-decade lanes shuffle 100x-replicated pair relations
+                # in a single local JVM — give it headroom by default
+                "24g" if os.environ.get("SPARK_GRAFT_SCALE_DEEP", "0") != "0" else "8g",
+            ),
+        )
         .appName("sparkgraft-bench-scale")
         .getOrCreate()
     )
-    scaled = os.path.join(CACHE, f"sf0.1x{REPL}")
-    marker = os.path.join(scaled, "_COMPLETE")
-    if not os.path.exists(marker):
-        shutil.rmtree(scaled, ignore_errors=True)
-        t0 = time.monotonic()
-        _build_scaled(spark, scaled)
-        with open(marker, "w") as fh:
-            fh.write(f"repl={REPL} base={BASE}\n")
-        print(
-            f"# built {scaled} in {time.monotonic() - t0:.1f}s",
-            file=sys.stderr,
-        )
+    scaled = _ensure_cache(spark, REPL)
 
     qs = entry.queries()
     grid = [*DECADES, scaled]
     labels = [os.path.basename(p.rstrip("/")) for p in grid]
     results: dict[str, dict[str, float]] = {}
+    emitted: dict[str, dict[str, int]] = {}
     for name in FLAGSHIPS:
         fn = qs[name]
         per: dict[str, float] = {}
+        rows: dict[str, int] = {}
         for label, d in zip(labels, grid):
             best = float("inf")
             for _ in range(2):
@@ -151,7 +196,15 @@ def main() -> int:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.monotonic() - t0)
             per[label] = round(best, 3)
+            # emitted-rows companion (round-5 verdict ask #3): pair-lane
+            # wall time tracks OUTPUT size on replicated data (every doc
+            # gains repl-1 exact twins, so true pairs grow ~quadratically
+            # in the replication factor); recording rows lets drift
+            # detection separate data growth from plan regressions.
+            # count() is fine here: pruning never changes the row count.
+            rows[label] = int(fn(spark, d).count())
         results[name] = per
+        emitted[name] = rows
     # slope of the synthetic decade: t(10x sf0.1) / t(sf0.1); ~<= REPL
     # means at-worst-linear on a fixed-core box.  graph_triangle_count is
     # excluded from the headline max: exact kNN is O(N^2) FLOPs by
@@ -159,9 +212,27 @@ def main() -> int:
     # per-query number still prints; the documented scale path beyond
     # this point is IVF cells, not a bigger exact join).
     QUADRATIC = {"graph_triangle_count"}
+    # pair-generation lanes: wall time is output-driven; the normalized
+    # metric (sec per 1k emitted rows) is the plan-regression detector
+    PAIR_LANES = {"dedup_minhash_lsh"}
     slopes = {
         n: round(r[labels[-1]] / r[labels[-2]], 2) if r[labels[-2]] > 0 else None
         for n, r in results.items()
+    }
+    sec_per_1k = {
+        n: {
+            lb: round(results[n][lb] / max(emitted[n][lb] / 1000.0, 1e-9), 4)
+            for lb in labels
+        }
+        for n in PAIR_LANES
+    }
+    slopes_norm = {
+        n: (
+            round(v[labels[-1]] / v[labels[-2]], 2)
+            if v[labels[-2]] > 0
+            else None
+        )
+        for n, v in sec_per_1k.items()
     }
     out = {
         "metric": "scale_slope_last_decade_max_subquadratic",
@@ -171,12 +242,87 @@ def main() -> int:
         "unit": "x",
         "replication": REPL,
         "queries": results,
+        "emitted_rows": emitted,
         "slopes_last_decade": slopes,
+        "pair_lanes_sec_per_1k_rows": sec_per_1k,
+        "slopes_last_decade_normalized_per_1k_rows": slopes_norm,
         "quadratic_contract_lanes": sorted(QUADRATIC),
     }
+
+    if os.environ.get("SPARK_GRAFT_SCALE_DEEP", "0") != "0":
+        out["deep_decade"] = _deep_decade(spark, qs, results, emitted, scaled)
+
     print(json.dumps(out))
     spark.stop()
     return 0
+
+
+# Deep-decade contract lanes (round-5 verdict ask #4): push the two steep
+# lanes one more step beyond the shared 10x grid and grade each against its
+# CONTRACT curve, not a linear bar.  Factors are per-lane because the cost
+# models differ: dedup_minhash_lsh is output-driven (true pairs grow with
+# the square of the replication factor; the normalized per-pair cost is the
+# regression detector), so 100x is feasible; graph_triangle_count's exact
+# blocked kNN holds an (N/n_blocks)^2 doubles matrix per task — at 100x
+# (200k vectors, fixed n_blocks=8) that is a 5 GB task allocation, so its
+# deep point is 30x, which still fits per-task memory while adding a
+# half-decade above the 10x measurement for the exponent fit.  Each lane
+# builds a cache with ONLY the table it reads.
+DEEP = {
+    "dedup_minhash_lsh": {
+        "table": "documents",
+        "repl": int(os.environ.get("SPARK_GRAFT_SCALE_DEEP_DEDUP", "100")),
+        "contract": "pairs_normalized",
+        # sec-per-1k-pairs may not inflate more than 2x vs the 10x point
+        "bar": 2.0,
+    },
+    "graph_triangle_count": {
+        "table": "embeddings",
+        "repl": int(os.environ.get("SPARK_GRAFT_SCALE_DEEP_TRI", "30")),
+        "contract": "quadratic",
+        # fitted exponent (log t-ratio / log n-ratio) must stay at or
+        # below quadratic-with-slack
+        "bar": 2.3,
+    },
+}
+
+
+def _deep_decade(spark, qs, results, emitted, scaled10):
+    label10 = os.path.basename(scaled10.rstrip("/"))
+    report = {}
+    for name, spec in DEEP.items():
+        deep_dir = _ensure_cache(spark, spec["repl"], [spec["table"]])
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, deep_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.monotonic() - t0, 3)
+        rows = int(fn(spark, deep_dir).count())
+        t10, r10 = results[name][label10], emitted[name][label10]
+        factor = spec["repl"] / REPL
+        if spec["contract"] == "pairs_normalized":
+            norm10 = t10 / max(r10 / 1000.0, 1e-9)
+            norm_deep = wall / max(rows / 1000.0, 1e-9)
+            measure = round(norm_deep / norm10, 3) if norm10 > 0 else None
+        else:  # quadratic: fit the exponent across the deep step
+            import math
+
+            measure = (
+                round(math.log(wall / t10) / math.log(factor), 3)
+                if t10 > 0 and wall > 0
+                else None
+            )
+        report[name] = {
+            "replication": spec["repl"],
+            "wall_s": wall,
+            "emitted_rows": rows,
+            "x10_wall_s": t10,
+            "x10_emitted_rows": r10,
+            "contract": spec["contract"],
+            "contract_measure": measure,
+            "contract_bar": spec["bar"],
+            "contract_ok": measure is not None and measure <= spec["bar"],
+        }
+    return report
 
 
 if __name__ == "__main__":

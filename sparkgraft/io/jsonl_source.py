@@ -241,6 +241,12 @@ class JsonlSimpleStreamReader:
         self.schema = schema
         self.dir = options["path"]
         self.fields = [f.name for f in schema.fields]
+        # positional legacy-offset translation is only sound on a directory
+        # that was append-only since the legacy commit — a silent-corruption
+        # risk the operator must accept explicitly (round-6 advice)
+        self.legacy_resume = str(
+            options.get("legacy_resume", "false")
+        ).lower() in ("true", "1")
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"last_file": ""}
@@ -271,13 +277,17 @@ class JsonlSimpleStreamReader:
         meaningful.  A rotation that deletes old files AND adds new ones
         between the legacy commit and the resume keeps len(files)
         constant and would map N onto the wrong name undetectably (the
-        guard below only catches net shrinkage); if files may have
-        rotated, reset the checkpoint instead of resuming a legacy one.
-        The name-watermark format this source now commits has no such
-        fragility — deletions below the watermark are harmless.  Unknown
-        shapes raise a descriptive error instead of a bare KeyError so
-        an operator knows to reset the checkpoint rather than chase a
-        source bug."""
+        range guard below only catches net shrinkage), so translating a
+        MID-STREAM legacy offset requires the explicit
+        ``legacy_resume=true`` source option — the operator's statement
+        that the directory was append-only since the legacy commit;
+        without it the resume refuses with guidance instead of risking a
+        silent skip/duplication (``files_read: 0`` needs no such claim —
+        it is the initial offset under any history).  The name-watermark
+        format this source now commits has no such fragility — deletions
+        below the watermark are harmless.  Unknown shapes raise a
+        descriptive error instead of a bare KeyError so an operator
+        knows to reset the checkpoint rather than chase a source bug."""
         import os
 
         if "last_file" in offset:
@@ -287,6 +297,16 @@ class JsonlSimpleStreamReader:
             files = self._files()
             if n <= 0:
                 return ""
+            if not self.legacy_resume:
+                raise ValueError(
+                    f"checkpoint carries a legacy positional offset "
+                    f"(files_read={n}); resuming it maps position onto "
+                    f"filename and silently skips or re-reads data if "
+                    f"{self.dir!r} rotated since the commit.  Pass source "
+                    "option legacy_resume=true if the directory has only "
+                    "ever been appended to, or reset the checkpoint "
+                    "directory to restart from scratch"
+                )
             if n > len(files):
                 raise ValueError(
                     f"legacy offset files_read={n} exceeds the {len(files)} "

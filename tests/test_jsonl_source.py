@@ -137,8 +137,12 @@ def test_simple_stream_reader_offsets_and_replay(spark, tmp_path):
 def test_simple_stream_reader_legacy_offset_migration(spark, tmp_path):
     """A checkpoint committed under the pre-rename {"files_read": N}
     offset format must resume (N files read == the Nth sorted filename is
-    the watermark), not KeyError; an out-of-range or unrecognized offset
-    raises a descriptive reset-the-checkpoint error."""
+    the watermark) — but only under the explicit legacy_resume=true
+    option: the translation is positional, and a rotated directory would
+    map N onto the wrong name undetectably, so the default REFUSES
+    mid-stream legacy offsets with guidance (round-6 advice).  An
+    out-of-range or unrecognized offset raises a descriptive
+    reset-the-checkpoint error either way."""
     import json
 
     import pytest
@@ -151,7 +155,18 @@ def test_simple_stream_reader_legacy_offset_migration(spark, tmp_path):
             for r in rows:
                 fh.write(json.dumps(r) + "\n")
     schema = StructType.fromDDL("a bigint")
-    rd = JsonlSimpleStreamReader(schema, {"path": str(tmp_path)})
+
+    # default: mid-stream legacy offsets refuse (rotation risk); the
+    # zero offset carries no positional claim and still works
+    strict = JsonlSimpleStreamReader(schema, {"path": str(tmp_path)})
+    with pytest.raises(ValueError, match="legacy_resume=true"):
+        strict.read({"files_read": 2})
+    rows, off = strict.read({"files_read": 0})
+    assert list(rows) == [(1,)] and off == {"last_file": "c0.jsonl"}
+
+    rd = JsonlSimpleStreamReader(
+        schema, {"path": str(tmp_path), "legacy_resume": "true"}
+    )
 
     # legacy resume mid-stream: 2 files read -> watermark c1, next is c2
     rows, off = rd.read({"files_read": 2})

@@ -161,13 +161,27 @@ def test_evicting_sessionize_matches_batch(spark, tmp_path, batch_df):
 def test_tws_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas sessionizer == batch sessionization
     (same contract as the applyInPandasWithState twin). The v2 state API
-    requires google.protobuf, absent in this container — skip there."""
+    requires google.protobuf, absent in this container — skip there.
+
+    EXACT VERSION GATE (so the next environment bump un-skips this
+    automatically): this PySpark build ships
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py`` generated by
+    protoc gencode 6.33.0 (PUBLIC domain), whose import-time
+    ``ValidateProtobufRuntimeVersion`` check demands a ``protobuf``
+    runtime >= 6.33 on the same major version.  Installing any protobuf
+    satisfying ``protobuf>=6.33,<7`` makes the import below succeed and
+    the test run; older runtimes (5.x) would fail the generated module's
+    own version validation, not just this guard."""
     import pytest
 
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState env-blocked")
+        pytest.skip(
+            "google.protobuf unavailable (needs protobuf>=6.33,<7 to match "
+            "this PySpark's StateMessage_pb2 gencode): transformWithState "
+            "env-blocked"
+        )
 
     import os
 
