@@ -15,11 +15,18 @@ from sparkgraft.io.readers import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single parquet FILES; the scale caches
+        # (.scale_cache/sf0.1x10 etc.) are Spark-written DIRECTORIES —
+        # DuckDB needs the part-file glob for those
+        if not os.path.exists(path):
+            continue  # partial dirs (per-table deep-decade caches)
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con.execute(sql).df()
 
 
