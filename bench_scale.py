@@ -153,6 +153,25 @@ def _ensure_cache(spark, repl: int, tables: list[str] | None = None) -> str:
     return scaled
 
 
+def _noop_write_counting(spark, df) -> int:
+    """Noop-write ``df`` and return its row count FROM THE SAME execution.
+
+    A separate ``.count()`` used to re-run every lane a third time;
+    besides the extra cost, the additional shuffle footprint filled the
+    disk once on the 10x grid point (round 6).  ``Observation``
+    piggybacks a CollectMetrics accumulator on the noop write — one
+    execution, exact count, and no subtree pruning (the sink still
+    consumes every column)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return int(obs.get["n"])
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -163,6 +182,12 @@ def main() -> int:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # the grid runs dozens of heavy lanes in one JVM; shuffle files are
+        # only reclaimed when the driver GCs the ShuffleDependency, and an
+        # idle 24g driver can go the whole run without a collection — the
+        # accumulated spill filled the disk once (round 6).  Force a
+        # periodic ContextCleaner sweep instead.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config(
             "spark.driver.memory",
             os.environ.get(
@@ -188,12 +213,13 @@ def main() -> int:
         rows: dict[str, int] = {}
         for label, d in zip(labels, grid):
             best = float("inf")
+            n_rows = 0
             for _ in range(2):
                 t0 = time.monotonic()
                 # noop sink, same as bench.py: full execution of every
                 # operator (count() would let Catalyst prune whole
                 # subtrees, e.g. a Window with unused output)
-                fn(spark, d).write.format("noop").mode("overwrite").save()
+                n_rows = _noop_write_counting(spark, fn(spark, d))
                 best = min(best, time.monotonic() - t0)
             per[label] = round(best, 3)
             # emitted-rows companion (round-5 verdict ask #3): pair-lane
@@ -201,8 +227,7 @@ def main() -> int:
             # gains repl-1 exact twins, so true pairs grow ~quadratically
             # in the replication factor); recording rows lets drift
             # detection separate data growth from plan regressions.
-            # count() is fine here: pruning never changes the row count.
-            rows[label] = int(fn(spark, d).count())
+            rows[label] = n_rows
         results[name] = per
         emitted[name] = rows
     # slope of the synthetic decade: t(10x sf0.1) / t(sf0.1); ~<= REPL
@@ -294,9 +319,8 @@ def _deep_decade(spark, qs, results, emitted, scaled10):
         deep_dir = _ensure_cache(spark, spec["repl"], [spec["table"]])
         fn = qs[name]
         t0 = time.monotonic()
-        fn(spark, deep_dir).write.format("noop").mode("overwrite").save()
+        rows = _noop_write_counting(spark, fn(spark, deep_dir))
         wall = round(time.monotonic() - t0, 3)
-        rows = int(fn(spark, deep_dir).count())
         t10, r10 = results[name][label10], emitted[name][label10]
         factor = spec["repl"] / REPL
         if spec["contract"] == "pairs_normalized":
