@@ -438,14 +438,43 @@ def minhash_lsh_pairs(
     (1/b)^(1/r) ~= 0.35, comfortably under the 0.5 verify threshold: pairs
     at jaccard 0.7 are caught with p > 0.99.
 
-    signatures -> band hashes -> stack -> bucket self-join -> distinct
-    candidates -> exact Jaccard -> threshold. The bucket join replaces the
-    all-pairs product: only same-band-hash docs ever meet, so the candidate
-    set stays near-linear in corpus size at any scale.
+    content classes -> signatures -> band hashes -> stack -> bucket
+    self-join -> distinct candidates -> exact Jaccard -> threshold ->
+    class expansion.  The bucket join replaces the all-pairs product:
+    only same-band-hash docs ever meet, so the candidate set stays
+    near-linear in corpus size at any scale.
+
+    Content-class canonicalization (round 6): every Jaccard relation
+    depends only on a document's TEXT, so byte-identical documents are
+    interchangeable — the pipeline groups them into content classes
+    (md5 of the text), runs LSH + verify on one representative per
+    class, and expands class-level results back to document pairs
+    (within-class pairs carry jaccard exactly 1.0 = round(S/S, 6);
+    cross-class pairs inherit the representative pair's value, which is
+    computed from the very same shingle counts any member pair would
+    produce — the output relation is bit-identical to the
+    per-document formulation).  This bounds the verify join's
+    intermediate — O(candidate pairs x shingles) rows — by DISTINCT
+    contents, not documents: on a corpus where each document has d
+    exact twins the old plan shuffled d^2 x more verify rows than
+    needed (measured: the 100x-replicated deep-decade lane spilled
+    >35 GB and filled the local disk; with classes it returns to the
+    1x verify cost plus an output-sized expansion join).  Exact
+    duplication at that rate is the NORM in web-scale training
+    corpora, not an adversarial corner.
     """
+    # ---- content classes: one representative per distinct text ----
+    members = df.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(col).cast("string")).alias("cls")
+    )
+    rep_of_cls = members.groupBy("cls").agg(F.min("doc").alias("rep"))
+    rep_docs = df.join(
+        rep_of_cls.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+
     # the banding relation is materialized once inside banded_signatures
-    # (both bucket-join legs read it)
-    stacked = banded_signatures(df, col, id_col, k, bands, n)
+    # (both bucket-join legs read it); representatives only
+    stacked = banded_signatures(rep_docs, col, id_col, k, bands, n)
     cand = (
         stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
         .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
@@ -453,7 +482,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
+    ds = doc_shingles(rep_docs, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
@@ -462,7 +491,58 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_from_counts(inter, sizes, threshold)
+    rep_pairs = _jaccard_from_counts(inter, sizes, threshold)
+
+    # ---- expand class-level results back to document pairs ----
+    r2c = rep_of_cls.select("rep", "cls")
+    cls_pairs = (
+        rep_pairs.join(
+            r2c.select(F.col("rep").alias("doc_a"), F.col("cls").alias("cls_a")),
+            "doc_a",
+        )
+        .join(
+            r2c.select(F.col("rep").alias("doc_b"), F.col("cls").alias("cls_b")),
+            "doc_b",
+        )
+        .select("cls_a", "cls_b", "jaccard")
+    )
+    cross = (
+        cls_pairs.join(
+            members.select(F.col("cls").alias("cls_a"), F.col("doc").alias("a")),
+            "cls_a",
+        )
+        .join(
+            members.select(F.col("cls").alias("cls_b"), F.col("doc").alias("b")),
+            "cls_b",
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # within-class pairs: identical text => jaccard exactly 1.0, but only
+    # for classes whose documents produce >= 1 shingle (zero-shingle docs
+    # have no signature and never paired under the per-document plan)
+    eligible = members.join(
+        r2c.join(sizes.select(F.col("doc").alias("rep")), "rep", "left_semi").select(
+            "cls"
+        ),
+        "cls",
+    )
+    within = (
+        eligible.select("cls", F.col("doc").alias("a"))
+        .join(eligible.select("cls", F.col("doc").alias("b")), "cls")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(
