@@ -122,6 +122,15 @@ def brute_force_topk(
     )
 
 
+#: adaptive blocking targets ~4k vectors per block: a float64 block-pair
+#: matrix is then <= 4096^2 x 8 B = 128 MB per task — bounded TASK size with
+#: quadratic task COUNT, which is the shape that distributes (fixed B made
+#: per-task matrices grow (N/B)^2: at 60k vectors the 7.5k-square tasks
+#: thrashed memory and bent the measured exponent to 2.85, past the
+#: quadratic-flops contract)
+_BLOCK_TARGET = 4096
+
+
 def _block_pair_legs(emb, id_col, vec_col, n_blocks):
     """Shared block-matrix scaffolding for the exact O(N^2) operators
     (:func:`cosine_neardup_pairs`, :func:`knn_graph`): hash-block
@@ -130,9 +139,21 @@ def _block_pair_legs(emb, id_col, vec_col, n_blocks):
     change (e.g. the overflow-safe hash noted below) cannot drift between
     the consumers.
 
+    ``n_blocks=None`` sizes the grid from the corpus: ceil(N /
+    _BLOCK_TARGET) blocks, floored at 8 (small corpora keep enough tasks
+    to fill a machine) and capped at 256 (65k block pairs of scheduling
+    is plenty ahead of any single-box corpus; a cluster-scale caller
+    passes its own B).  The one count() is a columnar id scan — same
+    scalar-stat plan-flip precedent as the ppjoin auto-select.  Blocking
+    touches only the physical grouping; the emitted relation is
+    identical for every B (the oracle proves it bit-exact).
+
     Returns (left, right) keyed by (ba, bb) with columns (id, v).
     """
     spark = emb.sparkSession
+    if n_blocks is None:
+        n = emb.select(id_col).count()
+        n_blocks = min(256, max(8, -(-n // _BLOCK_TARGET)))
     vecs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -174,7 +195,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine >= threshold (embedding near-dup dedup).
 
@@ -191,9 +212,9 @@ def cosine_neardup_pairs(
        diagonal and de-dups symmetric hits.
 
     No driver collect, no full-table broadcast: a task's working set is two
-    blocks, so executor memory bounds block size — at corpus scale raise
-    ``n_blocks`` so N/B stays at ~10⁵ vectors (the flop count is inherent
-    to the exact contract; the *distribution* is what must not bottleneck).
+    blocks, and the adaptive default grid (ceil(N / 4096) blocks) keeps it
+    ~128 MB no matter the corpus (the flop count is inherent to the exact
+    contract; the *distribution* is what must not bottleneck).
     numpy matmul beats Spark's interpreted higher-order-function dot by
     ~10x; float64 + round(8) keeps results identical to the SQL oracle
     (error ~1e-15 vs the 5e-9 rounding boundary)."""
@@ -238,7 +259,7 @@ def knn_graph(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Symmetrized exact kNN graph over the whole embedding table — the
     edge list SemDeDup-style clustering, label propagation, and
@@ -252,9 +273,11 @@ def knn_graph(
     per node (both orientations), so the shuffle that follows carries
     ≤ B·k candidate rows per node instead of N. The global per-node top-k
     is then a bounded window on the high-cardinality node id. No driver
-    collect, no full-table broadcast; at corpus scale raise ``n_blocks``
-    so N/B stays ~10⁵ and swap brute blocks for the IVF cells
-    (:func:`ivf_topk`) when approximate recall is acceptable.
+    collect, no full-table broadcast; the adaptive default grid keeps
+    per-task matrices ~constant as the corpus grows (quadratic task
+    count, bounded task size), and the scale path past exact flops is
+    the IVF cells (:func:`ivf_topk`) when approximate recall is
+    acceptable.
     """
     import numpy as np
     import pandas as pd
@@ -265,6 +288,13 @@ def knn_graph(
     def _local_topk(key, a_pdf, b_pdf):
         if not len(a_pdf) or not len(b_pdf):
             return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        # sort both legs by id: a stable argsort on NEGATED cosine then
+        # breaks ties by column POSITION == ascending id — the same
+        # deterministic (cosine desc, id asc) order the per-row lexsort
+        # produced, but vectorized across all rows (the python
+        # row-at-a-time loop dominated task time on big blocks)
+        a_pdf = a_pdf.sort_values("id")
+        b_pdf = b_pdf.sort_values("id")
         a_ids = a_pdf["id"].to_numpy()
         b_ids = b_pdf["id"].to_numpy()
         a_mat = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
@@ -273,25 +303,29 @@ def knn_graph(
         b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
         cos = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 8)
         self_mask = a_ids[:, None] == b_ids[None, :]
-        out_src, out_dst, out_cos = [], [], []
+        frames = []
 
         def _emit(mat, row_ids, col_ids, mask):
             # per row: top-k cols by (cosine desc, col id asc), self excluded
             m = np.where(mask, -np.inf, mat)
             kk = min(k, m.shape[1])
-            for i in range(m.shape[0]):
-                row = m[i]
-                # lexsort on (-cosine, col id) gives the deterministic order
-                order = np.lexsort((col_ids, -row))[:kk]
-                order = order[np.isfinite(row[order])]
-                out_src.extend([row_ids[i]] * len(order))
-                out_dst.extend(col_ids[order])
-                out_cos.extend(row[order])
+            idx = np.argsort(-m, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(m, idx, axis=1)
+            keep = np.isfinite(vals)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": np.broadcast_to(row_ids[:, None], idx.shape)[keep],
+                        "dst": col_ids[idx][keep],
+                        "cosine": vals[keep],
+                    }
+                )
+            )
 
         _emit(cos, a_ids, b_ids, self_mask)
         if key[0] != key[1]:  # cross pair: b-nodes also see a as candidates
             _emit(cos.T, b_ids, a_ids, self_mask.T)
-        return pd.DataFrame({"src": out_src, "dst": out_dst, "cosine": out_cos})
+        return pd.concat(frames, ignore_index=True)
 
     cands = (
         left.groupBy("ba", "bb")
