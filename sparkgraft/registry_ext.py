@@ -594,6 +594,43 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+#: in-query twin offset for the adversarial duplication lane — far above
+#: any generated doc_id, so twin ids never collide with real ones
+_TWIN_OFFSET = 1 << 40
+
+
+def _minhash_twins_oracle() -> str:
+    """The within-corpus MinHash oracle over a corpus where EVERY document
+    has one byte-identical twin: a ``documents`` CTE shadows the view
+    (doc_id ∪ doc_id + 2^40, same text), then the standard per-document
+    sig/band/verify body runs unchanged — the oracle states the plain
+    semantics; only the engine uses content classes."""
+    dup = (
+        "WITH documents AS ("
+        "SELECT doc_id, text FROM main.documents "
+        "UNION ALL SELECT doc_id + "
+        f"{_TWIN_OFFSET} AS doc_id, text FROM main.documents), "
+    )
+    return _minhash_oracle().replace("WITH ", dup, 1)
+
+
+@register("dedup_minhash_lsh_twins", _minhash_twins_oracle())
+def q_dedup_minhash_twins(spark, sf_dir):
+    """Adversarial duplication lane: every document duplicated in-query
+    (doc_id + 2^40, identical text), then MinHash+LSH near-dup through the
+    content-class path (ext/dedup.minhash_lsh_pairs) — maximal exact
+    duplication, the shape that made the per-document verify plan spill
+    >35 GB at 100x replication.  The driver's hash proves the class
+    expansion (within-class jaccard-1.0 rows + cross-class inheritance)
+    against an oracle that states the PER-DOCUMENT semantics over the
+    same duplicated corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(_TWIN_OFFSET)).alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_pairs(docs.unionByName(twins), threshold=0.5)
+
+
 def _simhash_cte(bits: int = 16) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)

@@ -67,7 +67,7 @@ def test_driver_rows_cumulative_coverage():
     import json
     import pathlib
 
-    added_after_r06_freeze: set[str] = set()
+    added_after_r06_freeze: set[str] = {"dedup_minhash_lsh_twins"}
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -124,7 +124,15 @@ def test_driver_window_drains_the_backlog():
             f"window slot {n!r} re-proves a query last proven in "
             f"r0{latest[n]} — neither a sentinel nor a stale refresh"
         )
-    never = [n for n in registry.queries() if n not in latest]
+    # post-freeze additions (the r07 rotation) cannot have a slot in THIS
+    # window by construction — keep in lockstep with
+    # test_driver_rows_cumulative_coverage's added_after_r06_freeze
+    added_after_r06_freeze = {"dedup_minhash_lsh_twins"}
+    never = [
+        n
+        for n in registry.queries()
+        if n not in latest and n not in added_after_r06_freeze
+    ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
         f"{sorted(set(never) - set(registry.DRIVER_WINDOW))}"
