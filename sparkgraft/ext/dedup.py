@@ -264,12 +264,34 @@ def ngram_jaccard_pairs(
     cannot contribute to any intersection; sizes still come from the full
     relation.
     """
+    # Content-class canonicalization (round 6): Jaccard depends only on
+    # text, so compute on one representative per distinct content and
+    # expand back — bit-identical output, verify cost bounded by DISTINCT
+    # contents (see _content_classes).  Exact ONLY without a df cut:
+    # max_doc_freq counts document frequency over the FULL corpus, and
+    # collapsing twins would change which shingles the cut drops — the
+    # cut path keeps the per-document plan.
+    members = rep_of_cls = None
+    if max_doc_freq is None:
+        members, rep_of_cls, df = _content_classes_if_duplicated(df, col, id_col)
+
     # every path reads the shingle relation several times (df stats, freq,
     # blocking/prefix legs, set sizes) — materialize the explode once
     # instead of re-tokenizing the corpus per leg. (On a real cluster with
     # executor churn, swap for reliable .checkpoint().)
     ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def _maybe_expand(pairs: DataFrame) -> DataFrame:
+        if members is None:
+            return pairs
+        return _expand_class_pairs(
+            pairs,
+            members,
+            rep_of_cls,
+            sizes.select(F.col("doc").alias("rep")),
+            threshold,
+        )
     if prefix_filter is None:
         stats = (
             ds.groupBy("sh")
@@ -335,7 +357,7 @@ def ngram_jaccard_pairs(
                 .withColumn("__na", F.size("__sa"))
                 .withColumn("__nb", F.size("__sb"))
             )
-        return (
+        return _maybe_expand(
             verif.withColumn("n_inter", F.size(F.array_intersect("__sa", "__sb")))
             .withColumn(
                 "jaccard",
@@ -361,7 +383,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_from_counts(inter, sizes, threshold)
+    return _maybe_expand(_jaccard_from_counts(inter, sizes, threshold))
 
 
 def minhash_signatures(
@@ -423,47 +445,43 @@ def banded_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 16,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard.
+#: engage content-class canonicalization when measured distinct-content
+#: ratio drops below this — mostly-unique corpora skip the class
+#: bookkeeping (~1.4-1.75x on the base lanes), duplicated ones dodge the
+#: d^2 verify term.  Both paths emit identical relations, so the flip
+#: never changes results — same contract as the ppjoin blowup auto-select.
+_DUP_RATIO_LIMIT = 0.95
 
-    Banding 16 hashes as 8 bands x 2 rows puts the LSH S-curve threshold at
-    (1/b)^(1/r) ~= 0.35, comfortably under the 0.5 verify threshold: pairs
-    at jaccard 0.7 are caught with p > 0.99.
 
-    content classes -> signatures -> band hashes -> stack -> bucket
-    self-join -> distinct candidates -> exact Jaccard -> threshold ->
-    class expansion.  The bucket join replaces the all-pairs product:
-    only same-band-hash docs ever meet, so the candidate set stays
-    near-linear in corpus size at any scale.
+def _content_classes_if_duplicated(df: DataFrame, col: str, id_col: str):
+    """(members, rep_of_cls, rep_docs) — or (None, None, df) when the
+    corpus measures mostly-unique.  One single-pass scalar aggregate
+    (approx_count_distinct over the content hash; ~2% error is plenty for
+    a plan flip) decides; the 1-row collect follows the repo's
+    scalar-stat plan-flip precedent."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.md5(F.col(col).cast("string"))).alias("d"),
+    ).collect()[0]
+    if stats.n == 0 or stats.d / stats.n >= _DUP_RATIO_LIMIT:
+        return None, None, df
+    return _content_classes(df, col, id_col)
 
-    Content-class canonicalization (round 6): every Jaccard relation
-    depends only on a document's TEXT, so byte-identical documents are
-    interchangeable — the pipeline groups them into content classes
-    (md5 of the text), runs LSH + verify on one representative per
-    class, and expands class-level results back to document pairs
-    (within-class pairs carry jaccard exactly 1.0 = round(S/S, 6);
-    cross-class pairs inherit the representative pair's value, which is
-    computed from the very same shingle counts any member pair would
-    produce — the output relation is bit-identical to the
-    per-document formulation).  This bounds the verify join's
-    intermediate — O(candidate pairs x shingles) rows — by DISTINCT
-    contents, not documents: on a corpus where each document has d
-    exact twins the old plan shuffled d^2 x more verify rows than
-    needed (measured: the 100x-replicated deep-decade lane spilled
-    >35 GB and filled the local disk; with classes it returns to the
-    1x verify cost plus an output-sized expansion join).  Exact
-    duplication at that rate is the NORM in web-scale training
-    corpora, not an adversarial corner.
+
+def _content_classes(df: DataFrame, col: str, id_col: str):
+    """(members, rep_of_cls, rep_docs) for content-class canonicalization.
+
+    Near-dup relations that depend only on a document's TEXT (shingle
+    Jaccard, MinHash) treat byte-identical documents as interchangeable:
+    group them into md5 content classes, compute on one representative
+    per class (min doc id — deterministic), expand results back.  This
+    bounds pair-verification work by DISTINCT contents instead of
+    documents — on a corpus where each document has d exact twins the
+    per-document plans shuffled d^2 x more verify rows than needed
+    (measured: 100x replication filled the local disk; canonicalized it
+    runs at 1x verify cost plus an output-sized expansion).  Exact
+    duplication at that rate is the norm in web-scale training corpora.
     """
-    # ---- content classes: one representative per distinct text ----
     members = df.select(
         F.col(id_col).alias("doc"), F.md5(F.col(col).cast("string")).alias("cls")
     )
@@ -471,29 +489,25 @@ def minhash_lsh_pairs(
     rep_docs = df.join(
         rep_of_cls.select(F.col("rep").alias(id_col)), id_col, "left_semi"
     )
+    return members, rep_of_cls, rep_docs
 
-    # the banding relation is materialized once inside banded_signatures
-    # (both bucket-join legs read it); representatives only
-    stacked = banded_signatures(rep_docs, col, id_col, k, bands, n)
-    cand = (
-        stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
-        .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ds = doc_shingles(rep_docs, col, id_col, n).localCheckpoint(eager=True)
-    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
-        .join(ds.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    rep_pairs = _jaccard_from_counts(inter, sizes, threshold)
 
-    # ---- expand class-level results back to document pairs ----
+def _expand_class_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    rep_of_cls: DataFrame,
+    rep_has_shingles: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Expand class-level (doc_a, doc_b, jaccard) representative pairs to
+    document pairs.  Cross-class pairs inherit the representative value —
+    computed from the very same shingle counts any member pair would
+    produce, so the output relation is bit-identical to the per-document
+    formulation.  Within-class pairs carry jaccard exactly 1.0 =
+    round(S/S, 6), emitted only for classes whose documents produce >= 1
+    shingle (``rep_has_shingles``: 1-column ``rep`` relation) — docs
+    below the shingle width never paired under the per-document plans.
+    """
     r2c = rep_of_cls.select("rep", "cls")
     cls_pairs = (
         rep_pairs.join(
@@ -523,14 +537,8 @@ def minhash_lsh_pairs(
     )
     if threshold > 1.0:
         return cross
-    # within-class pairs: identical text => jaccard exactly 1.0, but only
-    # for classes whose documents produce >= 1 shingle (zero-shingle docs
-    # have no signature and never paired under the per-document plan)
     eligible = members.join(
-        r2c.join(sizes.select(F.col("doc").alias("rep")), "rep", "left_semi").select(
-            "cls"
-        ),
-        "cls",
+        r2c.join(rep_has_shingles, "rep", "left_semi").select("cls"), "cls"
     )
     within = (
         eligible.select("cls", F.col("doc").alias("a"))
@@ -543,6 +551,69 @@ def minhash_lsh_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard.
+
+    Banding 16 hashes as 8 bands x 2 rows puts the LSH S-curve threshold at
+    (1/b)^(1/r) ~= 0.35, comfortably under the 0.5 verify threshold: pairs
+    at jaccard 0.7 are caught with p > 0.99.
+
+    content classes -> signatures -> band hashes -> stack -> bucket
+    self-join -> distinct candidates -> exact Jaccard -> threshold ->
+    class expansion.  The bucket join replaces the all-pairs product:
+    only same-band-hash docs ever meet, so the candidate set stays
+    near-linear in corpus size at any scale.
+
+    Content-class canonicalization (round 6, :func:`_content_classes` /
+    :func:`_expand_class_pairs`, gated by the measured duplication ratio):
+    on duplicated corpora LSH + verify runs on one representative per
+    distinct text; the expansion back to document pairs is bit-identical
+    to the per-document formulation, and the verify join's O(candidate
+    pairs x shingles) intermediate is bounded by DISTINCT contents (the
+    100x-replicated deep-decade lane went from a >35 GB disk-filling
+    spill to 6 s).  Mostly-unique corpora skip the class bookkeeping.
+    """
+    members, rep_of_cls, rep_docs = _content_classes_if_duplicated(df, col, id_col)
+
+    # the banding relation is materialized once inside banded_signatures
+    # (both bucket-join legs read it); representatives only
+    stacked = banded_signatures(rep_docs, col, id_col, k, bands, n)
+    cand = (
+        stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
+        .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ds = doc_shingles(rep_docs, col, id_col, n).localCheckpoint(eager=True)
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(ds.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    rep_pairs = _jaccard_from_counts(inter, sizes, threshold)
+    if members is None:
+        return rep_pairs
+    return _expand_class_pairs(
+        rep_pairs,
+        members,
+        rep_of_cls,
+        sizes.select(F.col("doc").alias("rep")),
+        threshold,
+    )
 
 
 def connected_components(

@@ -337,6 +337,46 @@ def test_jaccard_prefix_filter_exact_and_smaller(spark, sf_dir):
     assert n_prefix_cand < n_blocked_cand, (n_prefix_cand, n_blocked_cand)
 
 
+def test_content_class_flip_is_invisible(spark, sf_dir, monkeypatch):
+    """The duplication-ratio plan flip must never change results: on a
+    3x-duplicated corpus, force-engaging and force-bypassing content-class
+    canonicalization must emit bit-identical pair relations for both the
+    Jaccard and the MinHash+LSH paths — and the gate itself must engage on
+    the duplicated corpus but not on the mostly-unique fixture."""
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    dup = docs
+    for i in (1, 2):
+        dup = dup.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000 * i))
+        )
+
+    assert dedup._content_classes_if_duplicated(dup, "text", "doc_id")[0] is not None
+    assert dedup._content_classes_if_duplicated(docs, "text", "doc_id")[0] is None
+
+    for force, engaged in ((0.0, False), (1.01, True)):
+        monkeypatch.setattr(dedup, "_DUP_RATIO_LIMIT", force)
+        got = dedup._content_classes_if_duplicated(dup, "text", "doc_id")[0]
+        assert (got is not None) == engaged
+
+    results = {}
+    for name, limit in (("canon", 1.01), ("plain", 0.0)):
+        monkeypatch.setattr(dedup, "_DUP_RATIO_LIMIT", limit)
+        results[name] = {
+            "jac": sorted(
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs(dup, threshold=0.5).collect()
+            ),
+            "lsh": sorted(
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in dedup.minhash_lsh_pairs(dup, threshold=0.5).collect()
+            ),
+        }
+    assert results["canon"]["jac"] == results["plain"]["jac"]
+    assert results["canon"]["lsh"] == results["plain"]["lsh"]
+    # duplication must actually manufacture pairs (each doc has 2 twins)
+    assert len(results["canon"]["jac"]) >= 3 * 200
+
+
 def test_jaccard_auto_selects_prefix_on_hot_shingles(spark, sf_dir):
     """prefix_filter=None must measure the shingle-df tail and flip to the
     ppjoin path when hot shingles make the plain join quadratic — and the
