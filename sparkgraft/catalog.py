@@ -228,6 +228,36 @@ def save_zordered(
     )
 
 
+def _sibling(path: str, kind: str, ns: int) -> str:
+    """Name a compaction sibling of ``path`` (temp write, version dir,
+    symlink staging): DOT-PREFIXED — ``.{base}__{kind}_{ns}`` in the same
+    parent dir.  The leading dot is load-bearing, not cosmetic: siblings
+    of a PARTITION directory live inside the table root, and Spark's
+    partition discovery parses any visible ``d=x__v_123`` sibling as a
+    real partition value — a compacted partition would silently
+    double-count at the table root.  Hidden names (``.`` / ``_`` prefix)
+    are excluded from both partition discovery and file listing, so the
+    protocol's artifacts are invisible to every reader of the root."""
+    import os
+
+    parent, base = os.path.split(path.rstrip("/"))
+    return os.path.join(parent, f".{base}__{kind}_{ns}")
+
+
+def _sibling_glob(path: str, kind: str) -> list[str]:
+    """All compaction siblings of ``path`` for ``kind`` — both the dotted
+    naming and the pre-round-6 undotted naming (tables compacted by an
+    older build keep their recovery + GC semantics)."""
+    import glob
+    import os
+
+    p = path.rstrip("/")
+    parent, base = os.path.split(p)
+    dotted = os.path.join(parent, f".{glob.escape(base)}__{kind}_*")
+    legacy = f"{glob.escape(p)}__{kind}_*"
+    return sorted(glob.glob(dotted) + glob.glob(legacy))
+
+
 def _recover_interrupted_compaction(path: str) -> None:
     """Heal a compaction that crashed mid-swap (see compact_small_files):
     if the table path is missing and a ``__old_*`` sibling exists, the
@@ -240,17 +270,22 @@ def _recover_interrupted_compaction(path: str) -> None:
     EXISTS alongside ``__old_*`` dirs, the crash hit after the swap
     completed but before cleanup — the leftovers are superseded and are
     removed."""
-    import glob
     import os
     import shutil
 
     p = path.rstrip("/")
-    olds = sorted(glob.glob(f"{glob.escape(p)}__old_*"))
+    olds = _sibling_glob(p, "old")
     if not os.path.lexists(p):
         if olds:
             os.rename(olds.pop(), p)
         else:
-            vers = sorted(glob.glob(f"{glob.escape(p)}__v_*"))
+            # sort by the <ns> suffix, not the full name: dotted and
+            # legacy-undotted versions of the same table must interleave
+            # by recency, and lexicographic paths would sort all dotted
+            # names first
+            vers = sorted(
+                _sibling_glob(p, "v"), key=lambda d: int(d.rsplit("_", 1)[-1])
+            )
             if vers:
                 os.symlink(os.path.basename(vers[-1]), p)
     for d in olds:
@@ -295,7 +330,6 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     outgoing version dir (``os.utime``) the moment the symlink moves
     away, so a version that sat live-and-quiet for hours still gets the
     full ``gc_age_s`` of post-swap retention for in-flight readers."""
-    import glob
     import os
     import shutil
 
@@ -303,9 +337,7 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
     live = os.path.realpath(p) if os.path.islink(p) else None
     now = time.time()
     for d in (
-        glob.glob(f"{glob.escape(p)}__compact_*")
-        + glob.glob(f"{glob.escape(p)}__v_*")
-        + glob.glob(f"{glob.escape(p)}__ln_*")
+        _sibling_glob(p, "compact") + _sibling_glob(p, "v") + _sibling_glob(p, "ln")
     ):
         if live is not None and os.path.realpath(d) == live:
             continue
@@ -351,10 +383,13 @@ def compact_small_files(
 
     Swap protocol (symlink-as-manifest — the local-fs analogue of
     Iceberg/Delta metadata indirection): the rewrite lands in a
-    ``__compact_*`` temp dir, is renamed to an immutable ``__v_<ns>``
-    version dir (atomic — a ``__v_*`` dir is complete by construction),
-    and the table path — a SYMLINK once managed by this function — is
-    re-pointed with one atomic ``rename`` of a fresh symlink.  Readers
+    DOT-PREFIXED ``.{name}__compact_*`` temp dir, is renamed to an
+    immutable ``.{name}__v_<ns>`` version dir (atomic — a version dir is
+    complete by construction; the hidden naming keeps every artifact
+    invisible to Spark's partition discovery when the table path is a
+    partition directory — see ``_sibling``), and the table path — a
+    SYMLINK once managed by this function — is re-pointed with one
+    atomic ``rename`` of a fresh symlink.  Readers
     therefore never observe a missing or partially-written table, and a
     reader that pinned the previous version (see resolve_table_path)
     keeps scanning it: superseded versions are retained and only removed
@@ -407,20 +442,20 @@ def compact_small_files(
     df = spark.read.parquet(src)  # same pinned version the sizing saw
     ns = time.time_ns()
     p = path.rstrip("/")
-    tmp = f"{p}__compact_{ns}"
+    tmp = _sibling(p, "compact", ns)
     if sort_cols:
         df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         ).write.mode("errorifexists").parquet(tmp)
     else:
         df.repartition(n_files).write.mode("errorifexists").parquet(tmp)
-    vdir = f"{p}__v_{ns}"
+    vdir = _sibling(p, "v", ns)
     os.rename(tmp, vdir)  # atomic: a __v_* dir is always complete
     if os.path.islink(p):
         # steady state: one atomic symlink rename — no reader window at
         # all; the superseded version dir stays for in-flight readers
         # until a later call's age-gated GC
-        lntmp = f"{p}__ln_{ns}"
+        lntmp = _sibling(p, "ln", ns)
         os.symlink(os.path.basename(vdir), lntmp)
         os.rename(lntmp, p)
         # Re-stamp the superseded version dir NOW: the GC age gate keys off
@@ -448,14 +483,88 @@ def compact_small_files(
         # reader through (pre-migration pins resolve to the plain dir's
         # own path, which this rename repurposes) — quiesce readers for a
         # legacy table's FIRST compaction; steady state needs no quiesce.
-        os.rename(p, f"{p}__v_{ns - 1}")
+        legacy_v = _sibling(p, "v", ns - 1)
+        os.rename(p, legacy_v)
         os.symlink(os.path.basename(vdir), p)
         # same supersession re-stamp as the steady-state branch: retention
         # for the migrated legacy dir starts at the swap, not its last write
-        os.utime(f"{p}__v_{ns - 1}")
+        os.utime(legacy_v)
     return len(
         [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     )
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    root: str,
+    target_mb: int = 128,
+    max_partitions: int | None = None,
+    sort_cols: list[str] | None = None,
+    gc_age_s: float = 3600.0,
+) -> dict[str, int]:
+    """Walk a partitioned parquet table and ``compact_small_files`` each
+    LEAF partition directory, oldest-first — the incremental operating
+    mode ``compact_small_files`` prescribes for 100 TB tables (its unit
+    is one partition; the table-level loop is this function).
+
+    - **Oldest-first**: partitions are ordered by newest tree mtime, so a
+      bounded run always spends its budget on the longest-uncompacted
+      (i.e. coldest, safest) partitions — hot partitions still receiving
+      micro-batches get compacted once they go quiet.
+    - **Budgeted**: ``max_partitions`` caps the partitions rewritten per
+      call. A nightly budgeted run converges: each call retires the
+      oldest debt, and partitions compacted once are SKIPPED on later
+      calls until new small files appear (a partition whose current file
+      count already matches its size-derived target has nothing to
+      merge — skipping makes re-runs O(listing), not O(table)).
+    - Compaction siblings (``__v_*`` version dirs, ``__compact_*`` temps,
+      ``__ln_*``/``__old_*`` artifacts) are never treated as partitions.
+
+    Returns ``{"compacted": n, "skipped": n, "files_written": n}``.
+    Partition discovery here is filesystem listing; on a real deployment
+    drive the loop from the metastore's partition list instead (same
+    per-partition call).
+    """
+    import os
+
+    def _is_hidden_or_sibling(name: str) -> bool:
+        # dot/underscore prefixes are hidden to Spark's discovery (and
+        # cover the dotted compaction siblings); the undotted markers
+        # cover tables compacted by a pre-round-6 build
+        return name.startswith((".", "_")) or any(
+            t in name for t in ("__v_", "__compact_", "__ln_", "__old_")
+        )
+
+    leaves: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root, followlinks=True):
+        dirnames[:] = [d for d in dirnames if not _is_hidden_or_sibling(d)]
+        if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in filenames):
+            leaves.append(dirpath)
+            dirnames[:] = []  # a leaf holds data files, not sub-partitions
+    # oldest newest-tree-mtime first: longest-uncompacted partitions get
+    # the budget, and anything mid-write (fresh mtimes) sorts last
+    leaves.sort(key=lambda d: _tree_mtime(resolve_table_path(d)))
+
+    out = {"compacted": 0, "skipped": 0, "files_written": 0}
+    for leaf in leaves:
+        if max_partitions is not None and out["compacted"] >= max_partitions:
+            break
+        src = resolve_table_path(leaf)
+        parts = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        total = sum(os.path.getsize(p) for p in parts)
+        n_target = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        if len(parts) <= n_target:
+            out["skipped"] += 1
+            continue
+        out["files_written"] += compact_small_files(
+            spark, leaf, target_mb=target_mb, sort_cols=sort_cols, gc_age_s=gc_age_s
+        )
+        out["compacted"] += 1
+    return out
 
 
 def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:

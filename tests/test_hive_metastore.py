@@ -183,13 +183,64 @@ def test_compact_concurrent_reader(spark, sf_dir, tmp_path):
     assert not errors, f"concurrent reader failed during swap: {errors[0]!r}"
     # superseded versions are retained (reader safety), not leaked forever:
     # an aged-out GC pass removes them but never the live version
-    vers = [d for d in os.listdir(tmp_path) if d.startswith("live__v_")]
+    vers = [d for d in os.listdir(tmp_path) if d.startswith(".live__v_")]
     assert len(vers) >= 2
     catalog._gc_compaction_leftovers(path, gc_age_s=0.0)
     live = os.path.basename(catalog.resolve_table_path(path))
-    vers_after = [d for d in os.listdir(tmp_path) if d.startswith("live__v_")]
+    vers_after = [d for d in os.listdir(tmp_path) if d.startswith(".live__v_")]
     assert vers_after == [live]
     assert sorted(spark.read.parquet(path).collect()) == sorted(ev.collect())
+
+
+def test_compact_partitioned_table(spark, sf_dir, tmp_path):
+    """Partitioned-root compaction: the orchestrator walks leaf partition
+    dirs oldest-first under a budget, compaction artifacts are INVISIBLE
+    to a reader of the table ROOT (the round-6 dot-prefix fix: an
+    undotted ``d=x__v_123`` sibling would parse as a real partition value
+    and double-count the partition), and partitions already at their
+    size-derived file target are skipped on re-runs."""
+    import os
+
+    from sparkgraft import catalog
+    from sparkgraft.io.readers import read_table
+
+    root = str(tmp_path / "ptable")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    )
+    n_rows = ev.count()
+    n_parts = ev.select("d").distinct().count()
+    assert n_parts >= 3
+    ev.repartition(6).write.partitionBy("d").parquet(root)
+    before = sorted(spark.read.parquet(root).collect())
+
+    # budgeted first pass: exactly one (the oldest) partition compacts
+    out1 = catalog.compact_partitioned_table(spark, root, max_partitions=1)
+    assert out1["compacted"] == 1
+    # the root read is the regression this protects: version siblings
+    # live inside the root and MUST NOT surface as partitions
+    assert spark.read.parquet(root).count() == n_rows
+    assert spark.read.parquet(root).select("d").distinct().count() == n_parts
+
+    # unbudgeted pass drains the rest; every leaf is now one ~file
+    out2 = catalog.compact_partitioned_table(spark, root)
+    assert out2["compacted"] == n_parts - 1
+    assert out2["skipped"] == 1
+    assert sorted(spark.read.parquet(root).collect()) == before
+    for leaf in os.listdir(root):
+        if leaf.startswith(("_", ".")):
+            continue
+        files = [
+            f
+            for f in os.listdir(catalog.resolve_table_path(os.path.join(root, leaf)))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (leaf, files)
+
+    # idempotent re-run: all partitions already at target -> all skipped
+    out3 = catalog.compact_partitioned_table(spark, root)
+    assert out3 == {"compacted": 0, "skipped": n_parts, "files_written": 0}
+    assert sorted(spark.read.parquet(root).collect()) == before
 
 
 def test_compact_two_process_writer_race(spark, sf_dir, tmp_path):
