@@ -282,17 +282,23 @@ def main() -> int:
     return 0
 
 
-# Deep-decade contract lanes (round-5 verdict ask #4): push the two steep
-# lanes one more step beyond the shared 10x grid and grade each against its
-# CONTRACT curve, not a linear bar.  Factors are per-lane because the cost
+# Deep-decade contract lanes (round-5 verdict ask #4, widened round 6):
+# push flagship lanes one more step beyond the shared 10x grid and grade
+# each against its CONTRACT curve.  Factors are per-lane because the cost
 # models differ: dedup_minhash_lsh is output-driven (true pairs grow with
 # the square of the replication factor; the normalized per-pair cost is the
 # regression detector), so 100x is feasible; graph_triangle_count's exact
 # blocked kNN holds an (N/n_blocks)^2 doubles matrix per task — at 100x
 # (200k vectors, fixed n_blocks=8) that is a 5 GB task allocation, so its
 # deep point is 30x, which still fits per-task memory while adding a
-# half-decade above the 10x measurement for the exponent fit.  Each lane
-# builds a cache with ONLY the table it reads.
+# half-decade above the 10x measurement for the exponent fit.  The
+# "linear" lanes — one per remaining flagship architecture family
+# (cross-batch sessionize, distinct-agg WAU, scan-agg q1, fused curation
+# screen, PQ ANN) — get a fitted-exponent bar instead: across the 10x->
+# 100x step, log(t-ratio)/log(10) must stay near 1 (1.3 allows shuffle
+# spill and the fixed-overhead noise floor at the small end; a hidden
+# quadratic term would read ~2).  Each lane builds a cache with ONLY the
+# table it reads.
 DEEP = {
     "dedup_minhash_lsh": {
         "table": "documents",
@@ -308,6 +314,31 @@ DEEP = {
         # fitted exponent (log t-ratio / log n-ratio) must stay at or
         # below quadratic-with-slack
         "bar": 2.3,
+    },
+    "sessionize_ids": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "wau_user": {"table": "events", "repl": 100, "contract": "linear", "bar": 1.3},
+    "q1_pricing_summary": {
+        "table": "lineitem",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "corpus_e2e_curation": {
+        "table": "documents",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "embed_pq_topk": {
+        "table": "embeddings",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
     },
 }
 
@@ -327,7 +358,7 @@ def _deep_decade(spark, qs, results, emitted, scaled10):
             norm10 = t10 / max(r10 / 1000.0, 1e-9)
             norm_deep = wall / max(rows / 1000.0, 1e-9)
             measure = round(norm_deep / norm10, 3) if norm10 > 0 else None
-        else:  # quadratic: fit the exponent across the deep step
+        else:  # linear / quadratic: fit the exponent across the deep step
             import math
 
             measure = (
