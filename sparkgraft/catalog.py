@@ -567,6 +567,32 @@ def compact_partitioned_table(
     return out
 
 
+def sweep_stale_temporary(root: str, age_s: float = 3600.0) -> list[str]:
+    """Remove ``_temporary`` directories abandoned by CRASHED Spark write
+    jobs anywhere under ``root``; returns the paths removed.
+
+    A killed executor/driver leaves the FileOutputCommitter's
+    ``_temporary/`` staging tree behind — never visible to readers
+    (hidden prefix) but real bytes, and at ingest scale a year of
+    occasional crashes strands terabytes.  The same newest-tree-mtime
+    age gate as the compaction GC (``_tree_mtime``) protects in-flight
+    writes: a live job keeps mutating its staging tree, so anything
+    quiet for ``age_s`` is debris, not progress."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    now = time.time()
+    for dirpath, dirnames, _ in os.walk(root, followlinks=True):
+        if "_temporary" in dirnames:
+            dirnames.remove("_temporary")
+            t = os.path.join(dirpath, "_temporary")
+            if now - _tree_mtime(t) >= age_s:
+                shutil.rmtree(t, ignore_errors=True)
+                removed.append(t)
+    return removed
+
+
 def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
     """Idempotently (over)write the partitions present in ``df``.
 

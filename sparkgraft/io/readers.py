@@ -89,6 +89,62 @@ def load_tables(
     return out
 
 
+def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Read a parquet directory whose files were written under SEVERAL
+    schema versions and conform the result to ``schema`` — the read-side
+    half of schema evolution, which a multi-year ingest cannot avoid: a
+    100 TB table's oldest shards predate every column added since, and
+    rewriting them per schema change costs a full-table write.
+
+    The whole conformance happens AT THE SCAN via an explicit read
+    schema (no post-hoc projection):
+
+    - columns in ``schema`` missing from a file become typed NULLs in
+      that file's rows (the standard added-column semantics);
+    - columns in a file missing from ``schema`` are pruned — never read,
+      never decoded;
+    - safe widenings (int->long, float->double, …) decode directly into
+      the wider type (Spark 4 parquet type promotion) — the only
+      promotions that cannot lose values;
+    - any other stored-vs-target type change raises ``TypeError`` naming
+      the column: an incompatible rewrite (string->int, struct reshape)
+      is a data migration, not an evolution, and failing AT PLAN TIME
+      beats a mid-job executor error (or worse, a silent coercion).
+
+    Validation reads one footer per file fragment (same cost class as
+    ``mergeSchema``, which cannot handle type drift at all); at scale,
+    store the authoritative schema history in the metastore and skip
+    the sweep — the explicit-schema read is the part that stays.
+    """
+    import pyarrow.dataset as ds
+
+    # arrow physical type -> Spark SQL simpleString name
+    _arrow_to_spark = {
+        "int8": "tinyint", "int16": "smallint", "int32": "int",
+        "int64": "bigint", "float": "float", "double": "double",
+        "string": "string", "large_string": "string", "bool": "boolean",
+    }
+    _widen = {("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+              ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+              ("float", "double"), ("int", "double"), ("bigint", "double")}
+    target = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for frag in ds.dataset(path).get_fragments():
+        for af in frag.physical_schema:
+            want = target.get(af.name)
+            if want is None:
+                continue  # dropped column: pruned at the scan
+            got = _arrow_to_spark.get(str(af.type), str(af.type))
+            if got != want and (got, want) not in _widen:
+                raise TypeError(
+                    f"column {af.name!r}: stored {got} (in "
+                    f"{frag.path}) cannot evolve to {want} — that is a "
+                    "data migration (rewrite), not a schema evolution"
+                )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_table_ranged(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,96 @@
+"""Table-maintenance surfaces for long-lived ingests: read-side schema
+evolution across mixed-version parquet shards, and the stale-staging
+sweeper for crashed Spark writes."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sparkgraft import catalog
+from sparkgraft.io.readers import read_evolved
+
+
+@pytest.fixture()
+def mixed_shards(spark, tmp_path):
+    """A directory whose part files span three schema versions:
+    v1 (k int, a string), v2 adds b, v3 widened k to long."""
+    root = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "x")], "k int, a string").write.mode(
+        "append"
+    ).parquet(root)
+    spark.createDataFrame([(2, "y", 20)], "k int, a string, b int").write.mode(
+        "append"
+    ).parquet(root)
+    spark.createDataFrame(
+        [(2**40, "z", 30)], "k long, a string, b int"
+    ).write.mode("append").parquet(root)
+    return root
+
+
+def test_read_evolved_conforms_mixed_shards(spark, mixed_shards):
+    target = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("b", LongType()),
+            StructField("c", DoubleType()),  # never written: typed NULLs
+        ]
+    )
+    got = read_evolved(spark, mixed_shards, target)
+    assert got.schema == target  # exact target schema, 'a' pruned
+    rows = {r.k: (r.b, r.c) for r in got.collect()}
+    assert rows == {1: (None, None), 2: (20, None), 2**40: (30, None)}
+
+
+def test_read_evolved_rejects_incompatible_change(spark, mixed_shards):
+    bad = StructType([StructField("a", IntegerType())])  # string -> int
+    with pytest.raises(TypeError, match="column 'a'.*data migration"):
+        read_evolved(spark, mixed_shards, bad)
+
+
+def test_read_evolved_plan_prunes_at_scan(spark, mixed_shards):
+    """Pruning must reach the parquet scan: a 2-column conformance over a
+    3-column table may not read the dropped column."""
+    target = StructType(
+        [StructField("k", LongType()), StructField("b", LongType())]
+    )
+    plan = read_evolved(spark, mixed_shards, target)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ReadSchema: struct<k:bigint,b:bigint>" in plan, plan
+
+
+def test_sweep_stale_temporary(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x int").write.parquet(os.path.join(root, "p"))
+    stale = os.path.join(root, "p", "_temporary", "0", "task_1")
+    fresh = os.path.join(root, "q", "_temporary", "0")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    with open(os.path.join(stale, "part-0"), "w") as fh:
+        fh.write("debris")
+    # age the stale tree below the gate; the fresh tree keeps now-mtimes
+    old = time.time() - 7200
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "p", "_temporary")
+    ):
+        for n in (*dirnames, *filenames):
+            os.utime(os.path.join(dirpath, n), (old, old))
+    os.utime(os.path.join(root, "p", "_temporary"), (old, old))
+
+    removed = catalog.sweep_stale_temporary(root, age_s=3600.0)
+    assert removed == [os.path.join(root, "p", "_temporary")]
+    assert not os.path.exists(os.path.join(root, "p", "_temporary"))
+    assert os.path.exists(fresh)  # in-flight staging survives the gate
+    # the data files next to the removed staging tree are untouched
+    assert spark.read.parquet(os.path.join(root, "p")).count() == 1
