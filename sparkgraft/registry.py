@@ -4944,6 +4944,77 @@ def q_salted_join_hotkey(spark, sf_dir):
     )
 
 
+@register(
+    "schema_evolution_read",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_id % 3 <> 0) AS BIGINT)
+             AS n_with_value,
+           CAST(sum(CAST(value AS DECIMAL(28,6)))
+                FILTER (WHERE event_id % 3 <> 0) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_schema_evolution_read(spark, sf_dir):
+    """Read-side schema evolution (io/readers.read_evolved) proven under
+    the driver hash: events is split deterministically into three shards
+    written under three SCHEMA VERSIONS — v1 (event_id % 3 = 0) predates
+    the ``value`` column, v2 has it, v3 additionally narrowed event_id
+    to INT at write — then the mixed directory is read back conformed to
+    one target schema (event_id widened to BIGINT, value present, v1
+    rows surfacing typed NULLs) and aggregated.  The oracle recomputes
+    the same aggregate from the pristine events table, so the hash check
+    certifies that conformance loses nothing: counts see every shard,
+    value sums see exactly the shards that carry the column, and the
+    int->bigint widening is value-preserving.  The tempdir write is the
+    fixture, not the data path; at scale the mixed-version directory IS
+    the table (a multi-year ingest), read once with the explicit target
+    schema — pruning, NULL-fill and widening all happen at the scan."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparkgraft.io.readers import read_evolved
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_evo_")
+    ev = _t(spark, sf_dir, "events")
+    shard = F.col("event_id") % 3
+    ev.where(shard == 0).select("event_id", "event_type").write.mode(
+        "append"
+    ).parquet(work)
+    ev.where(shard == 1).select("event_id", "event_type", "value").write.mode(
+        "append"
+    ).parquet(work)
+    ev.where(shard == 2).select(
+        F.col("event_id").cast("int").alias("event_id"), "event_type", "value"
+    ).write.mode("append").parquet(work)
+
+    target = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = read_evolved(spark, work, target)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_with_value"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated

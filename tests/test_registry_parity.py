@@ -67,7 +67,10 @@ def test_driver_rows_cumulative_coverage():
     import json
     import pathlib
 
-    added_after_r06_freeze: set[str] = {"dedup_minhash_lsh_twins"}
+    added_after_r06_freeze: set[str] = {
+        "dedup_minhash_lsh_twins",
+        "schema_evolution_read",
+    }
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -127,7 +130,7 @@ def test_driver_window_drains_the_backlog():
     # post-freeze additions (the r07 rotation) cannot have a slot in THIS
     # window by construction — keep in lockstep with
     # test_driver_rows_cumulative_coverage's added_after_r06_freeze
-    added_after_r06_freeze = {"dedup_minhash_lsh_twins"}
+    added_after_r06_freeze = {"dedup_minhash_lsh_twins", "schema_evolution_read"}
     never = [
         n
         for n in registry.queries()
