@@ -243,90 +243,6 @@ def test_compact_partitioned_table(spark, sf_dir, tmp_path):
     assert sorted(spark.read.parquet(root).collect()) == before
 
 
-def test_compact_two_process_writer_race(spark, sf_dir, tmp_path):
-    """TWO real concurrent ``compact_small_files`` PROCESSES (separate
-    JVMs, not threads) racing on the same table path, with the parent
-    reading throughout: the protocol's writer-writer claim is that each
-    process lands a complete immutable ``__v_<ns>`` dir and swaps the
-    symlink atomically — last writer wins, no reader ever sees a partial
-    or missing table, and no rows are lost.  The round-4 GC race was
-    fixed by policy (age gate + supersession re-stamp); this proves the
-    policy empirically across OS processes, where no in-process lock can
-    be doing the work."""
-    import os
-    import textwrap
-    import threading
-
-    from sparkgraft import catalog
-    from sparkgraft.io.readers import read_table
-
-    path = str(tmp_path / "race")
-    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
-    n_rows = ev.count()
-    ev.repartition(8).write.parquet(path)
-    # migration (the one documented non-concurrent-safe transition)
-    # happens once, quiesced, before the race starts
-    catalog.compact_small_files(spark, path, target_mb=128)
-    assert os.path.islink(path)
-
-    child = textwrap.dedent(
-        """
-        import sys
-        sys.path.insert(0, {repo!r})
-        from sparkgraft.session import get_spark
-        from sparkgraft import catalog
-
-        tag = sys.argv[1]
-        spark = get_spark("compact-race-" + tag, master="local[2]",
-                          shuffle_partitions=2,
-                          extra_conf={{"spark.ui.enabled": "false"}})
-        for _ in range(3):
-            catalog.compact_small_files(spark, {path!r}, target_mb=128)
-            n = spark.read.parquet(
-                catalog.resolve_table_path({path!r})).count()
-            assert n == {n_rows}, f"child {{tag}} saw {{n}} rows"
-        print("RACE_OK_" + tag)
-        spark.stop()
-        """
-    ).format(repo="/root/repo", path=path, n_rows=n_rows)
-
-    errors: list[BaseException] = []
-    stop = threading.Event()
-
-    def reader():
-        try:
-            while not stop.is_set():
-                pinned = catalog.resolve_table_path(path)
-                assert spark.read.parquet(pinned).count() == n_rows
-        except BaseException as exc:  # noqa: BLE001 - surfaced below
-            errors.append(exc)
-
-    t = threading.Thread(target=reader)
-    t.start()
-    try:
-        procs = [
-            subprocess.Popen(
-                [sys.executable, "-c", child, tag],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-                cwd=str(tmp_path),
-            )
-            for tag in ("A", "B")
-        ]
-        outs = [p.communicate(timeout=420) for p in procs]
-    finally:
-        stop.set()
-        t.join(timeout=120)
-    for (out, err), tag in zip(outs, ("A", "B")):
-        assert f"RACE_OK_{tag}" in out, f"stdout={out[-1500:]}\nstderr={err[-2500:]}"
-    assert not errors, f"parent reader failed during race: {errors[0]!r}"
-    # final state: valid symlink onto a complete version, full row count
-    assert os.path.islink(path)
-    assert spark.read.parquet(catalog.resolve_table_path(path)).count() == n_rows
-    assert sorted(spark.read.parquet(path).collect()) == sorted(ev.collect())
-
-
 def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """Z-order layout vs 1-D time clustering, measured by footer min/max
     stats.  The honest trade the docstring states: a dedicated sort prunes
@@ -607,24 +523,47 @@ def test_compact_two_process_stress(spark, sf_dir, tmp_path):
         """
     ).format(repo="/root/repo", path=path, n_rows=n_rows)
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, tag],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            cwd=str(tmp_path),
-        )
-        for tag in ("A", "B")
-    ]
-    outs = []
-    for p, tag in zip(procs, ("A", "B")):
-        out, err = p.communicate(timeout=600)
-        outs.append((tag, p.returncode, out, err))
+    # the parent is a THIRD concurrent party: a version-pinning reader
+    # looping across every swap the two children make
+    import threading
+
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                pinned = catalog.resolve_table_path(path)
+                assert spark.read.parquet(pinned).count() == n_rows
+        except BaseException as exc:  # noqa: BLE001 - surfaced below
+            errors.append(exc)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, tag],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=str(tmp_path),
+            )
+            for tag in ("A", "B")
+        ]
+        outs = []
+        for p, tag in zip(procs, ("A", "B")):
+            out, err = p.communicate(timeout=600)
+            outs.append((tag, p.returncode, out, err))
+    finally:
+        stop.set()
+        t.join(timeout=120)
     for tag, rc, out, err in outs:
         assert rc == 0 and f"STRESS_OK_{tag}" in out, (
             f"compactor {tag} rc={rc}\nstdout={out[-2000:]}\nstderr={err[-3000:]}"
         )
-    # contents survived six racing swaps bit-for-bit
+    assert not errors, f"parent reader failed during race: {errors[0]!r}"
+    # contents survived six racing swaps bit-for-bit; symlink still valid
+    assert os.path.islink(path)
     assert sorted(spark.read.parquet(catalog.resolve_table_path(path)).collect()) \
         == sorted(ev.collect())
