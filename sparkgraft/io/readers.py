@@ -117,13 +117,8 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
     the sweep — the explicit-schema read is the part that stays.
     """
     import pyarrow.dataset as ds
+    from pyspark.sql.pandas.types import from_arrow_type
 
-    # arrow physical type -> Spark SQL simpleString name
-    _arrow_to_spark = {
-        "int8": "tinyint", "int16": "smallint", "int32": "int",
-        "int64": "bigint", "float": "float", "double": "double",
-        "string": "string", "large_string": "string", "bool": "boolean",
-    }
     _widen = {("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
               ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
               ("float", "double"), ("int", "double"), ("bigint", "double")}
@@ -133,7 +128,12 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
             want = target.get(af.name)
             if want is None:
                 continue  # dropped column: pruned at the scan
-            got = _arrow_to_spark.get(str(af.type), str(af.type))
+            # pyspark's own arrow->Spark mapping covers timestamps,
+            # decimals, dates, nested types — a hand-rolled name table
+            # would false-positive on e.g. timestamp[us] vs "timestamp"
+            got = from_arrow_type(af.type).simpleString()
+            # timestamp precision (us/ns) normalizes at the scan the same
+            # way read_table handles it; simpleString already collapses it
             if got != want and (got, want) not in _widen:
                 raise TypeError(
                     f"column {af.name!r}: stored {got} (in "

@@ -70,6 +70,29 @@ def test_read_evolved_plan_prunes_at_scan(spark, mixed_shards):
     assert "ReadSchema: struct<k:bigint,b:bigint>" in plan, plan
 
 
+def test_read_evolved_nonprimitive_types_pass_validation(spark, tmp_path):
+    """Identical timestamp / decimal / array columns must NOT trip the
+    plan-time incompatibility check (regression: a name-table mapping of
+    arrow types false-positived on timestamp[us] vs 'timestamp')."""
+    root = str(tmp_path / "typed")
+    spark.sql(
+        "SELECT 1 AS k, timestamp'2024-01-02 03:04:05' AS ts, "
+        "CAST(1.5 AS DECIMAL(10,2)) AS d, array(1.0D, 2.0D) AS v"
+    ).write.parquet(root)
+    target = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k, timestamp'2024-01-02 03:04:05' AS ts, "
+        "CAST(1.5 AS DECIMAL(10,2)) AS d, array(1.0D, 2.0D) AS v"
+    ).schema
+    got = read_evolved(spark, root, target)
+    row = got.collect()[0]
+    assert (row.k, str(row.ts), float(row.d), row.v) == (
+        1,
+        "2024-01-02 03:04:05",
+        1.5,
+        [1.0, 2.0],
+    )
+
+
 def test_sweep_stale_temporary(spark, sf_dir, tmp_path):
     root = str(tmp_path / "t")
     spark.createDataFrame([(1,)], "x int").write.parquet(os.path.join(root, "p"))
