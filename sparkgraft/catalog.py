@@ -349,6 +349,23 @@ def _gc_compaction_leftovers(path: str, gc_age_s: float) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _part_files_and_target(src: str, target_mb: int) -> tuple[list[str], int]:
+    """(data part files under ``src``, size-derived output file count).
+    ONE definition for both the compactor's sizing and the table-level
+    skip check — if the two drifted, a budgeted nightly run would either
+    rewrite already-compact partitions every pass or permanently skip
+    partitions that still need merging."""
+    import os
+
+    parts = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(p) for p in parts)
+    return parts, max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+
 def resolve_table_path(path: str) -> str:
     """Pin a compaction-managed table path to its current immutable
     version directory (one ``realpath`` call).  Version dirs are
@@ -418,13 +435,9 @@ def compact_small_files(
     # the final count all use the same immutable dir, so a concurrent
     # swap between any two of those steps cannot mix versions
     src = resolve_table_path(path)
-    entries = os.listdir(src)
-    parts = [
-        os.path.join(src, f)
-        for f in entries
-        if f.endswith(".parquet") and not f.startswith("_")
-    ]
+    parts, n_files = _part_files_and_target(src, target_mb)
     if not parts:
+        entries = os.listdir(src)
         subdirs = [f for f in entries if os.path.isdir(os.path.join(src, f))]
         raise ValueError(
             f"no top-level parquet files under {path!r}"
@@ -437,8 +450,6 @@ def compact_small_files(
                 else ""
             )
         )
-    total = sum(os.path.getsize(p) for p in parts)
-    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src)  # same pinned version the sizing saw
     ns = time.time_ns()
     p = path.rstrip("/")
@@ -549,14 +560,7 @@ def compact_partitioned_table(
     for leaf in leaves:
         if max_partitions is not None and out["compacted"] >= max_partitions:
             break
-        src = resolve_table_path(leaf)
-        parts = [
-            os.path.join(src, f)
-            for f in os.listdir(src)
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
-        total = sum(os.path.getsize(p) for p in parts)
-        n_target = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        parts, n_target = _part_files_and_target(resolve_table_path(leaf), target_mb)
         if len(parts) <= n_target:
             out["skipped"] += 1
             continue

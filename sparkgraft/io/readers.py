@@ -105,11 +105,25 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
       never decoded;
     - safe widenings (int->long, float->double, …) decode directly into
       the wider type (Spark 4 parquet type promotion) — the only
-      promotions that cannot lose values;
+      promotions that cannot lose values AND that the vectorized reader
+      actually performs (bigint->double is deliberately NOT allowed:
+      the reader refuses it, and it is lossy past 2^53 anyway);
+    - a ``timestamp[ns]`` shard column evolving to a timestamp target
+      is read as raw int64 nanos and converted post-scan (the exact
+      ns->us conversion :func:`read_table` applies — Spark cannot
+      decode NANOS into a timestamp column directly), provided the
+      column is ns in EVERY shard that stores it: ns-in-some-shards
+      cannot satisfy one explicit read schema and raises;
     - any other stored-vs-target type change raises ``TypeError`` naming
-      the column: an incompatible rewrite (string->int, struct reshape)
-      is a data migration, not an evolution, and failing AT PLAN TIME
-      beats a mid-job executor error (or worse, a silent coercion).
+      the column and file: an incompatible rewrite (string->int, struct
+      reshape) is a data migration, not an evolution, and failing AT
+      PLAN TIME beats a mid-job executor error (or worse, a silent
+      coercion).
+
+    Name matching honors ``spark.sql.caseSensitive`` (default false —
+    matching the scan's own resolution; a case-insensitive session that
+    validated case-SENSITIVELY would wave through a case-renamed column
+    with incompatible drift, then fail mid-job).
 
     Validation reads one footer per file fragment (same cost class as
     ``mergeSchema``, which cannot handle type drift at all); at scale,
@@ -118,31 +132,93 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
     """
     import pyarrow.dataset as ds
     from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import LongType, StructField
 
     _widen = {("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
               ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
-              ("float", "double"), ("int", "double"), ("bigint", "double")}
-    target = {f.name: f.dataType.simpleString() for f in schema.fields}
+              ("float", "double"), ("int", "double")}
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def _key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
+    target = {_key(f.name): f.dataType.simpleString() for f in schema.fields}
+    ns_cols: set[str] = set()  # target keys stored as INT64 TIMESTAMP(NANOS)
+    non_ns_ts: set[str] = set()
     for frag in ds.dataset(path).get_fragments():
+        # arrow reports BOTH INT64 TIMESTAMP(NANOS) and legacy INT96 as
+        # timestamp[ns]; only the former is nanos-as-long decodable —
+        # INT96 decodes natively into TimestampType.  The parquet-level
+        # physical type disambiguates.
+        psch = frag.metadata.schema
+        phys = {psch.column(i).name: psch.column(i).physical_type
+                for i in range(len(psch))}
         for af in frag.physical_schema:
-            want = target.get(af.name)
+            want = target.get(_key(af.name))
             if want is None:
                 continue  # dropped column: pruned at the scan
-            # pyspark's own arrow->Spark mapping covers timestamps,
-            # decimals, dates, nested types — a hand-rolled name table
-            # would false-positive on e.g. timestamp[us] vs "timestamp"
-            got = from_arrow_type(af.type).simpleString()
-            # timestamp precision (us/ns) normalizes at the scan the same
-            # way read_table handles it; simpleString already collapses it
+            if str(af.type) == "timestamp[ns]" and phys.get(af.name) == "INT64":
+                if want in ("timestamp", "timestamp_ntz"):
+                    ns_cols.add(_key(af.name))
+                    continue
+                got = "timestamp"
+            else:
+                # pyspark's own arrow->Spark mapping covers timestamps,
+                # decimals, dates, nested types — a hand-rolled name
+                # table false-positives on e.g. timestamp[us] vs
+                # "timestamp"
+                got = from_arrow_type(af.type).simpleString()
+                if got in ("timestamp", "timestamp_ntz") and want in (
+                    "timestamp",
+                    "timestamp_ntz",
+                ):
+                    # either TZ interpretation decodes at the scan under
+                    # the pinned UTC session; ntz-vs-tz is a semantic
+                    # re-declaration the explicit read schema performs,
+                    # not a physical migration
+                    non_ns_ts.add(_key(af.name))
+                    continue
             if got != want and (got, want) not in _widen:
                 raise TypeError(
                     f"column {af.name!r}: stored {got} (in "
                     f"{frag.path}) cannot evolve to {want} — that is a "
                     "data migration (rewrite), not a schema evolution"
                 )
+    mixed = ns_cols & non_ns_ts
+    if mixed:
+        raise TypeError(
+            f"columns {sorted(mixed)} are timestamp[ns] in some shards and "
+            "microsecond timestamps in others — one explicit read schema "
+            "cannot decode both; rewrite the ns shards (read_table's "
+            "DIV-1000 conversion) before evolving"
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.schema(schema).parquet(path)
+    if not ns_cols:
+        return spark.read.schema(schema).parquet(path)
+    # ns columns decode as raw int64 under nanosAsLong; convert exactly
+    # as read_table does and cast to the declared target type
+    read_schema = StructType(
+        [
+            StructField(f.name, LongType() if _key(f.name) in ns_cols else f.dataType)
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(read_schema).parquet(path)
+    return df.select(
+        *[
+            (
+                F.timestamp_micros(F.expr(f"`{f.name}` DIV 1000"))
+                .cast(f.dataType)
+                .alias(f.name)
+                if _key(f.name) in ns_cols
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def read_table_ranged(

@@ -93,6 +93,57 @@ def test_read_evolved_nonprimitive_types_pass_validation(spark, tmp_path):
     )
 
 
+def test_read_evolved_rejects_bigint_to_double(spark, tmp_path):
+    """bigint->double must be refused at PLAN time: Spark's vectorized
+    parquet reader throws mid-job on INT64->double, and the promotion is
+    lossy past 2^53 anyway — exactly the two failure classes the
+    validator exists to prevent."""
+    root = str(tmp_path / "big")
+    spark.createDataFrame([(2**60 + 1,)], "k long").write.parquet(root)
+    with pytest.raises(TypeError, match="column 'k'.*data migration"):
+        read_evolved(spark, root, StructType([StructField("k", DoubleType())]))
+
+
+def test_read_evolved_case_insensitive_validation(spark, tmp_path):
+    """Default sessions resolve parquet columns case-INsensitively, so
+    the validator must too: a case-renamed column with incompatible
+    drift has to fail at plan time, not slip past as 'dropped' and die
+    mid-job when the scan binds it anyway."""
+    root = str(tmp_path / "case")
+    spark.createDataFrame([("x",)], "Value string").write.parquet(root)
+    with pytest.raises(TypeError, match="data migration"):
+        read_evolved(spark, root, StructType([StructField("value", DoubleType())]))
+
+
+def test_read_evolved_nanos_timestamp_shards(spark, tmp_path):
+    """A timestamp[ns] shard column (the driver testdata's own historical
+    format) must evolve to a timestamp target via the exact DIV-1000
+    conversion read_table applies — and a column that is ns in one shard
+    but us in another must be refused with guidance, since no single
+    explicit read schema can decode both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    root = tmp_path / "ns"
+    root.mkdir()
+    ts_ns = pa.array([1_700_000_000_123_456_789], pa.timestamp("ns"))
+    pq.write_table(pa.table({"k": pa.array([1]), "ts": ts_ns}), root / "a.parquet")
+
+    target = StructType(
+        [StructField("k", LongType()), StructField("ts", TimestampNTZType())]
+    )
+    got = read_evolved(spark, str(root), target).collect()[0]
+    assert got.k == 1
+    # ns -> us truncation, identical to read_table's DIV 1000
+    assert got.ts.isoformat() == "2023-11-14T22:13:20.123456"
+
+    ts_us = pa.array([1_700_000_000_000_000], pa.timestamp("us"))
+    pq.write_table(pa.table({"k": pa.array([2]), "ts": ts_us}), root / "b.parquet")
+    with pytest.raises(TypeError, match="in some shards"):
+        read_evolved(spark, str(root), target)
+
+
 def test_sweep_stale_temporary(spark, sf_dir, tmp_path):
     root = str(tmp_path / "t")
     spark.createDataFrame([(1,)], "x int").write.parquet(os.path.join(root, "p"))
