@@ -151,10 +151,13 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
         # arrow reports BOTH INT64 TIMESTAMP(NANOS) and legacy INT96 as
         # timestamp[ns]; only the former is nanos-as-long decodable —
         # INT96 decodes natively into TimestampType.  The parquet-level
-        # physical type disambiguates.
-        psch = frag.metadata.schema
-        phys = {psch.column(i).name: psch.column(i).physical_type
-                for i in range(len(psch))}
+        # physical type disambiguates; fetching it parses the full
+        # footer metadata, so only pay that when a ts[ns] column exists.
+        phys: dict[str, str] = {}
+        if any(str(f.type) == "timestamp[ns]" for f in frag.physical_schema):
+            psch = frag.metadata.schema
+            phys = {psch.column(i).name: psch.column(i).physical_type
+                    for i in range(len(psch))}
         for af in frag.physical_schema:
             want = target.get(_key(af.name))
             if want is None:
