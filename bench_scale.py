@@ -68,6 +68,16 @@ FLAGSHIPS = [
     "corpus_e2e_curation",
     "streaming_stream_join",
     "graph_triangle_count",
+    # round-7 additions (r06 verdict asks #3 and #6): the two adversarial
+    # hot-key lanes move from driver-scale-correctness-only into the scale
+    # grid (SURVEY risk #5 names the hot key as THE 100 TB pain point), and
+    # the remaining pair-emitting lanes join so every pair lane carries the
+    # output-normalized sec-per-1k metric, not just dedup_minhash_lsh
+    "sessionize_hotkey",
+    "salted_join_hotkey",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "corpus_chunk_overlap",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;
@@ -237,9 +247,19 @@ def main() -> int:
     # per-query number still prints; the documented scale path beyond
     # this point is IVF cells, not a bigger exact join).
     QUADRATIC = {"graph_triangle_count"}
-    # pair-generation lanes: wall time is output-driven; the normalized
-    # metric (sec per 1k emitted rows) is the plan-regression detector
-    PAIR_LANES = {"dedup_minhash_lsh"}
+    # pair-generation lanes: wall time is output-driven (every replica adds
+    # exact twins, so true pairs grow with the SQUARE of the replication
+    # factor); the normalized metric (sec per 1k emitted rows) is the
+    # plan-regression detector, and their raw wall slope is excluded from
+    # the headline max for the same reason graph_triangle_count is — a
+    # steep wall slope there is the contract's own output growth, and the
+    # normalized slope (reported below) is what must stay flat
+    PAIR_LANES = {
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "corpus_chunk_overlap",
+    }
     slopes = {
         n: round(r[labels[-1]] / r[labels[-2]], 2) if r[labels[-2]] > 0 else None
         for n, r in results.items()
@@ -262,7 +282,9 @@ def main() -> int:
     out = {
         "metric": "scale_slope_last_decade_max_subquadratic",
         "value": max(
-            s for n, s in slopes.items() if s is not None and n not in QUADRATIC
+            s
+            for n, s in slopes.items()
+            if s is not None and n not in QUADRATIC and n not in PAIR_LANES
         ),
         "unit": "x",
         "replication": REPL,
@@ -272,6 +294,8 @@ def main() -> int:
         "pair_lanes_sec_per_1k_rows": sec_per_1k,
         "slopes_last_decade_normalized_per_1k_rows": slopes_norm,
         "quadratic_contract_lanes": sorted(QUADRATIC),
+        "pair_lanes": sorted(PAIR_LANES),
+        "skew_ab": _skew_ab(spark, scaled),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALE_DEEP", "0") != "0":
@@ -340,7 +364,128 @@ DEEP = {
         "contract": "linear",
         "bar": 1.3,
     },
+    # round-7: the adversarial hot-key lanes get deep-decade contract
+    # points of their own — 20% of ALL rows stay on the bot key at every
+    # replication (the remap is id-modulo, invariant under the shift), so
+    # the 100x point is a genuinely 100x-bigger hot key, the exact regime
+    # SURVEY risk #5 calls out.  Linear bar matches the other composite
+    # lanes (salted_join_hotkey carries a global ORDER BY, n log n).
+    "sessionize_hotkey": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "salted_join_hotkey": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
 }
+
+
+def _skew_ab(spark, scaled10):
+    """A/B the two skew defenses against their UNSPLIT twins on the SAME
+    hot-key data — the straggler win as a measured wall-time ratio, not a
+    plan gate (r06 verdict ask #3).
+
+    Fairness rules:
+    - Both sides of each pair read identical data (the 10x grid point —
+      plus the 100x events cache when SPARK_GRAFT_SCALE_DEEP is on) and
+      produce identical relations (the defenses are proven
+      result-invisible by the driver hash; here only the plan differs).
+    - The join pair runs with broadcast disabled and AQE's sort-merge
+      skew splitting off, FOR BOTH SIDES: at the modeled scale the
+      per-user totals relation is far past any broadcast threshold, and
+      AQE skew-join is the engine's own partial defense — leaving it on
+      would measure (salt vs AQE), not (salt vs straggler).  Settings are
+      restored afterwards.
+    - The window pair needs no such isolation: a window partition is
+      indivisible to AQE at any setting, so the bare
+      ``PARTITION BY user_id`` straggler is real under every config.
+    - The registered lanes' trailing global ORDER BY is dropped from both
+      join sides — an identical n log n sort on top of both variants
+      would only dilute the contrast being measured.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkgraft.ops.relational import salted_join
+    from sparkgraft.ops.sessionize import sessionize, sessionize_skew_split
+    from sparkgraft.registry import _hot_events, _t
+
+    def sess(d, split):
+        ev = _hot_events(_t(spark, d, "events"))
+        out = (
+            sessionize_skew_split(
+                ev, order_tiebreak=("event_id",), bucket_seconds=6 * 3600
+            )
+            if split
+            else sessionize(ev, order_tiebreak=("event_id",))
+        )
+        return out.select("event_id", "user_id", "ts", "session_id")
+
+    def join(d, split):
+        hot = _hot_events(_t(spark, d, "events")).select("event_id", "user_id")
+        totals = hot.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        if split:
+            out = salted_join(hot, totals, "user_id", n_salts=32, salt_source="event_id")
+        else:
+            out = hot.join(totals, "user_id")
+        return out.select("event_id", "user_id", "n_events")
+
+    def timed(fn, d, split):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _noop_write_counting(spark, fn(d, split))
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    grid = {os.path.basename(scaled10.rstrip("/")): scaled10}
+    if os.environ.get("SPARK_GRAFT_SCALE_DEEP", "0") != "0":
+        deep = _ensure_cache(spark, DEEP["sessionize_hotkey"]["repl"], ["events"])
+        grid[os.path.basename(deep.rstrip("/"))] = deep
+
+    report = {}
+    for label, d in grid.items():
+        sess_split = timed(sess, d, True)
+        sess_unsplit = timed(sess, d, False)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled",
+            )
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            join_split = timed(join, d, True)
+            join_unsplit = timed(join, d, False)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        report[label] = {
+            "sessionize_hotkey": {
+                "split_s": sess_split,
+                "unsplit_s": sess_unsplit,
+                "unsplit_over_split": (
+                    round(sess_unsplit / sess_split, 2) if sess_split > 0 else None
+                ),
+            },
+            "salted_join_hotkey": {
+                "salted_s": join_split,
+                "unsalted_s": join_unsplit,
+                "unsalted_over_salted": (
+                    round(join_unsplit / join_split, 2) if join_split > 0 else None
+                ),
+            },
+        }
+    return report
 
 
 def _deep_decade(spark, qs, results, emitted, scaled10):

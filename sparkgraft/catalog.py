@@ -38,12 +38,121 @@ class TableSpec:
     name: str
     schema: StructType
     partition_keys: tuple[str, ...] = field(default_factory=tuple)
+    #: prior schema versions, oldest first; ``schema`` itself is the current
+    #: (newest) version and is NOT repeated here — ``full_history`` appends it.
+    #: Populated by :func:`evolve_spec`; persisted per-table by
+    #: :func:`save_schema_history` so any later reader can validate an
+    #: evolved read without sweeping file footers.
+    schema_history: tuple[StructType, ...] = field(default_factory=tuple)
 
     @property
     def ordered_columns(self) -> list[str]:
         """Data columns first, partition keys last (positional-binding rule)."""
         data = [f.name for f in self.schema.fields if f.name not in self.partition_keys]
         return data + list(self.partition_keys)
+
+    @property
+    def full_history(self) -> tuple[StructType, ...]:
+        """Every schema version files of this table may carry, oldest first,
+        current last — the exact value ``io.readers.read_evolved`` wants."""
+        return self.schema_history + (self.schema,)
+
+
+def evolve_spec(spec: TableSpec, new_schema: StructType) -> TableSpec:
+    """Advance ``spec`` to schema version N+1, recording version N in the
+    history — the write-side half of schema evolution.
+
+    Legality is checked with the SAME rule the evolved read enforces
+    (``io.readers.evolvable``): a column present in both versions must keep
+    its type or take a safe widening (int->bigint, float->double, …);
+    columns may be added (old partitions surface typed NULLs) or dropped
+    (old partitions' copies are pruned at the scan).  Rejecting anything
+    else AT EVOLVE TIME is the point: an illegal version that merely gets
+    recorded would defer the failure to every future read.
+
+    Partition keys are pinned — changing a table's physical layout predicate
+    is a repartitioning migration (full rewrite), never an in-place schema
+    step, so each key must survive the evolution with its type unchanged.
+
+    New partitions written after this call carry ``new_schema``; partitions
+    already on disk stay as-is and are conformed at read time by
+    :func:`read_spec_evolved` via the recorded history — no rewrite.
+    """
+    from sparkgraft.io.readers import evolvable
+
+    old = {f.name: f.dataType.simpleString() for f in spec.schema.fields}
+    new = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    for name, got in old.items():
+        want = new.get(name)
+        if want is not None and not evolvable(got, want):
+            raise TypeError(
+                f"column {name!r}: {got} -> {want} is a data migration "
+                "(rewrite), not a schema evolution"
+            )
+    for key in spec.partition_keys:
+        if new.get(key) != old.get(key):
+            raise TypeError(
+                f"partition key {key!r} must survive evolution unchanged "
+                f"(old={old.get(key)}, new={new.get(key)}) — changing the "
+                "layout predicate is a repartitioning migration"
+            )
+    return TableSpec(
+        name=spec.name,
+        schema=new_schema,
+        partition_keys=spec.partition_keys,
+        schema_history=spec.full_history,
+    )
+
+
+#: hidden sidecar (underscore prefix: invisible to Spark partition
+#: discovery, same convention as _SUCCESS) recording a path-table's schema
+#: version log.  For a metastore deployment the same JSON list lives in
+#: table properties; the sidecar keeps path-addressed tables (the testdata
+#: layout) self-describing.
+_HISTORY_SIDECAR = "_schema_history.json"
+
+
+def save_schema_history(path: str, spec: TableSpec) -> None:
+    """Persist ``spec.full_history`` next to the table's data files.
+    Idempotent single-file write, O(1) regardless of table size."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    payload = [v.jsonValue() for v in spec.full_history]
+    tmp = os.path.join(path, f".{_HISTORY_SIDECAR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(path, _HISTORY_SIDECAR))
+
+
+def load_schema_history(path: str) -> tuple[StructType, ...] | None:
+    """The recorded schema version log for a table path, or None when the
+    table predates history recording (callers fall back to the footer
+    sweep, which handles exactly that legacy case)."""
+    import json
+    import os
+
+    p = os.path.join(path, _HISTORY_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return tuple(StructType.fromJson(v) for v in json.load(fh))
+
+
+def read_spec_evolved(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+    """Read a (possibly multi-schema-version) table path conformed to
+    ``spec.schema``, using the recorded history — sidecar first, then the
+    spec's own evolution log — so validation never touches file footers; a
+    table with neither (external/legacy: no sidecar AND a spec that never
+    recorded an evolution, so nothing certifies what schemas the files on
+    disk actually carry) falls back to the footer sweep."""
+    from sparkgraft.io.readers import read_evolved
+
+    history = load_schema_history(path)
+    if history is None and spec.schema_history:
+        history = spec.full_history
+    return read_evolved(spark, path, spec.schema, history=history)
 
 
 def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
@@ -253,7 +362,10 @@ def _sibling_glob(path: str, kind: str) -> list[str]:
 
     p = path.rstrip("/")
     parent, base = os.path.split(p)
-    dotted = os.path.join(parent, f".{glob.escape(base)}__{kind}_*")
+    # escape the WHOLE fixed prefix (parent included) in both patterns:
+    # glob metacharacters anywhere in the parent path must match literally,
+    # or crash recovery / version GC silently miss dotted siblings
+    dotted = os.path.join(glob.escape(parent), f".{glob.escape(base)}__{kind}_*")
     legacy = f"{glob.escape(p)}__{kind}_*"
     return sorted(glob.glob(dotted) + glob.glob(legacy))
 
@@ -274,7 +386,10 @@ def _recover_interrupted_compaction(path: str) -> None:
     import shutil
 
     p = path.rstrip("/")
-    olds = _sibling_glob(p, "old")
+    # recency order must come from the int ns suffix, same as `vers` below:
+    # dotted names ('.x__old_*') sort lexicographically before undotted
+    # ('x__old_*'), so a name sort would restore by era, not by recency
+    olds = sorted(_sibling_glob(p, "old"), key=lambda d: int(d.rsplit("_", 1)[-1]))
     if not os.path.lexists(p):
         if olds:
             os.rename(olds.pop(), p)
@@ -541,9 +656,14 @@ def compact_partitioned_table(
     def _is_hidden_or_sibling(name: str) -> bool:
         # dot/underscore prefixes are hidden to Spark's discovery (and
         # cover the dotted compaction siblings); the undotted markers
-        # cover tables compacted by a pre-round-6 build
-        return name.startswith((".", "_")) or any(
-            t in name for t in ("__v_", "__compact_", "__ln_", "__old_")
+        # cover tables compacted by a pre-round-6 build.  Anchor the
+        # marker check to the full artifact shape (__<kind>_<ns digits> at
+        # end-of-name): a legitimate partition value that merely CONTAINS
+        # a marker substring (e.g. d=x__v_1y) must stay compactable
+        import re
+
+        return name.startswith((".", "_")) or bool(
+            re.search(r"__(v|compact|ln|old)_\d+$", name)
         )
 
     leaves: list[str] = []

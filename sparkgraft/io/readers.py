@@ -89,7 +89,43 @@ def load_tables(
     return out
 
 
-def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+#: value-preserving stored->target widenings the vectorized parquet reader
+#: performs at the scan (Spark 4 type promotion); bigint->double is
+#: deliberately absent — the reader refuses it, and it is lossy past 2^53
+_WIDEN: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("int", "double"),
+    }
+)
+
+
+def evolvable(got: str, want: str) -> bool:
+    """True iff a column stored as ``got`` (simpleString) can be read
+    conformed to ``want`` by an explicit read schema: identical, a safe
+    widening (:data:`_WIDEN`), or a tz<->ntz timestamp re-declaration
+    (either TZ interpretation decodes at the scan under the pinned UTC
+    session — a semantic re-declaration, not a physical migration)."""
+    if got == want or (got, want) in _WIDEN:
+        return True
+    return got in ("timestamp", "timestamp_ntz") and want in (
+        "timestamp",
+        "timestamp_ntz",
+    )
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    history: "tuple[StructType, ...] | None" = None,
+) -> DataFrame:
     """Read a parquet directory whose files were written under SEVERAL
     schema versions and conform the result to ``schema`` — the read-side
     half of schema evolution, which a multi-year ingest cannot avoid: a
@@ -125,18 +161,24 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
     validated case-SENSITIVELY would wave through a case-renamed column
     with incompatible drift, then fail mid-job).
 
-    Validation reads one footer per file fragment (same cost class as
-    ``mergeSchema``, which cannot handle type drift at all); at scale,
-    store the authoritative schema history in the metastore and skip
-    the sweep — the explicit-schema read is the part that stays.
+    Validation has two paths.  Without ``history`` it reads one footer per
+    file fragment (same cost class as ``mergeSchema``, which cannot handle
+    type drift at all).  With ``history`` — the ordered log of every schema
+    version the table's files were ever written under
+    (:class:`sparkgraft.catalog.TableSpec` ``schema_history`` + current, or
+    the ``_schema_history.json`` sidecar ``catalog.save_schema_history``
+    persists) — validation runs against the DECLARED versions entirely in
+    memory: zero footer reads, zero file listings beyond the scan's own.
+    That is the at-scale path: one metastore lookup replaces an O(files)
+    footer sweep over a 100 TB table.  History validation intentionally has
+    no nanosecond branch: catalog-managed tables never store ns timestamps
+    (Spark writes microsecond INT64), so ns shards are by construction
+    external-writer artifacts that the footer sweep exists to disambiguate —
+    pass ``history=None`` for those.  The explicit-schema read is the part
+    that stays identical on both paths.
     """
-    import pyarrow.dataset as ds
-    from pyspark.sql.pandas.types import from_arrow_type
     from pyspark.sql.types import LongType, StructField
 
-    _widen = {("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
-              ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
-              ("float", "double"), ("int", "double")}
     case_sensitive = (
         spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
     )
@@ -145,6 +187,26 @@ def read_evolved(spark: SparkSession, path: str, schema: StructType) -> DataFram
         return name if case_sensitive else name.lower()
 
     target = {_key(f.name): f.dataType.simpleString() for f in schema.fields}
+    if history is not None:
+        for i, version in enumerate(history):
+            for vf in version.fields:
+                want = target.get(_key(vf.name))
+                if want is None:
+                    continue  # dropped column: pruned at the scan
+                got = vf.dataType.simpleString()
+                if not evolvable(got, want):
+                    raise TypeError(
+                        f"column {vf.name!r}: stored {got} (schema history "
+                        f"version {i}) cannot evolve to {want} — that is a "
+                        "data migration (rewrite), not a schema evolution"
+                    )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return spark.read.schema(schema).parquet(path)
+
+    import pyarrow.dataset as ds
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    _widen = _WIDEN
     ns_cols: set[str] = set()  # target keys stored as INT64 TIMESTAMP(NANOS)
     non_ns_ts: set[str] = set()
     for frag in ds.dataset(path).get_fragments():

@@ -427,19 +427,26 @@ def q_union_names(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DEC_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+#: fixed-point twin of ops/relational.exact_sum_fixed: exact BIGINT
+#: micro-unit sum, then int->double + one double division — engine-identical
+#: past the 2^53 decimal->double boundary (see exact_sum_fixed docstring)
+_FIX_SUM = (
+    "CAST(SUM(CAST(CAST({expr} AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0"
+)
 
 
 @register(
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {_DEC_SUM.format(expr='l_quantity')} AS sum_qty,
-           {_DEC_SUM.format(expr='l_extendedprice')} AS sum_base_price,
-           {_DEC_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {_DEC_SUM.format(expr='(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
-           {_DEC_SUM.format(expr='l_quantity')} / count(l_quantity) AS avg_qty,
-           {_DEC_SUM.format(expr='l_extendedprice')} / count(l_extendedprice) AS avg_price,
-           {_DEC_SUM.format(expr='l_discount')} / count(l_discount) AS avg_disc,
+           {_FIX_SUM.format(expr='l_quantity')} AS sum_qty,
+           {_FIX_SUM.format(expr='l_extendedprice')} AS sum_base_price,
+           {_FIX_SUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_FIX_SUM.format(expr='(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+           {_FIX_SUM.format(expr='l_quantity')} / count(l_quantity) AS avg_qty,
+           {_FIX_SUM.format(expr='l_extendedprice')} / count(l_extendedprice) AS avg_price,
+           {_FIX_SUM.format(expr='l_discount')} / count(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '2000-01-01'
@@ -5015,83 +5022,179 @@ def q_schema_evolution_read(spark, sf_dir):
     )
 
 
+@register(
+    "schema_evolution_write",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+             AS n_with_value,
+           CAST(sum(CAST(value AS DECIMAL(28,6)))
+                FILTER (WHERE event_id % 2 = 1) AS DOUBLE) AS sum_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_schema_evolution_write(spark, sf_dir):
+    """Write-side schema evolution round-trip (catalog.evolve_spec +
+    save_schema_history + read_spec_evolved) proven under the driver hash:
+    a batch-partitioned table is written under schema v1 (event_id INT,
+    no ``value`` column, batch=1 partitions), the spec is then EVOLVED —
+    ``value`` added, event_id widened int->bigint — and batch=2 partitions
+    are written under v2 while the v1 partitions stay untouched on disk.
+    The recorded history (the ``_schema_history.json`` sidecar) lets the
+    read back validate and conform WITHOUT sweeping file footers — the
+    metastore-lookup path a 100 TB table needs — and the oracle recomputes
+    the aggregate from the pristine events table, so the hash certifies
+    the round trip loses nothing: counts see both eras, ``value`` sums see
+    exactly the v2 era, and ``sum_ids`` proves v1's INT storage decodes
+    into BIGINT value-preserving.  The tempdir write is the fixture; at
+    scale the two eras are years of ingest partitions and the evolution is
+    one metastore append, zero data rewrites."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparkgraft.catalog import (
+        TableSpec,
+        evolve_spec,
+        read_spec_evolved,
+        save_schema_history,
+    )
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_evo_w_")
+    ev = _t(spark, sf_dir, "events")
+    v1 = TableSpec(
+        "events_evo",
+        StructType(
+            [
+                StructField("event_id", IntegerType()),
+                StructField("event_type", StringType()),
+                StructField("batch", IntegerType()),
+            ]
+        ),
+        partition_keys=("batch",),
+    )
+    ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type",
+        F.lit(1).alias("batch"),
+    ).write.mode("append").partitionBy("batch").parquet(work)
+
+    v2 = evolve_spec(
+        v1,
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("batch", IntegerType()),
+            ]
+        ),
+    )
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", F.lit(2).alias("batch")
+    ).write.mode("append").partitionBy("batch").parquet(work)
+    save_schema_history(work, v2)
+
+    back = read_spec_evolved(spark, work, v2)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_with_value"),
+            exact_sum("value").alias("sum_value"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 6's window, in three
+# artifact, not an accident of module layout.  Round 7's window, in three
 # tiers:
-#   (1) the 7 queries without a driver HASH row — bucketed_join_zero_shuffle
-#       (registered after the r05 freeze, judge-verified at sf0.01 but never
-#       driver-run), multimodal_decode_stub (its only cumulative row is the
-#       r03 rows-only `no_oracle` entry; it gained a full value oracle this
-#       round — the fake decode is pure byte arithmetic, SQL-expressible),
-#       and the 5 round-6 additions (TPC-H q2/q7/q8 tail + the two
-#       adversarial hot-key skew lanes);
-#   (2) 35 stale-refresh re-proofs — every one last driver-proven in ROUND 2
-#       (the oldest proofs in the cumulative ledger; four rounds of testdata
-#       regeneration since), refreshed oldest-first;
-#   (3) the 8 canonical sentinels (same set as r04/r05).
-# With (1) drained, every registered query has a driver HASH row and the
-# cumulative ledger carries zero `no_oracle` entries.
-# tests/test_registry_parity.py pins the window composition so future
-# insertions can't silently evict proof again.
+#   (1) the 3 queries without a driver HASH row — `dedup_minhash_lsh_twins`
+#       and `schema_evolution_read` (registered after the r06 freeze,
+#       strict-audit bit-exact at three scales but never driver-run; the
+#       r06 verdict staged them first for exactly this rotation) plus the
+#       round-7 `schema_evolution_write` lane (the write-side half of the
+#       evolution story);
+#   (2) 39 stale-refresh re-proofs, oldest-first — the 11 proofs still
+#       dating from ROUND 2 (r06 refreshed the other 35), then the
+#       alphabetically-first 28 of the 43 round-3 proofs (testdata has been
+#       regenerated every round since); the 15 r03 leftovers are round 8's
+#       tier 2;
+#   (3) the 8 canonical sentinels (same set as r04/r05/r06).
+# With (1) drained, cumulative driver-hash coverage returns to 100% of the
+# registry.  tests/test_registry_parity.py pins the window composition so
+# future insertions can't silently evict proof again.
 #
-# ROUND 7 ROTATION: any query registered after THIS freeze (list them in
-# tests/test_registry_parity.py `added_after_r06_freeze` as you add them)
-# plus stale-refresh re-proofs (r03 rows are oldest next round) and the 8
-# sentinels.  Keep new registrations few enough to drain in one window.
+# ROUND 8 ROTATION: any query registered after THIS freeze (list them in
+# tests/test_registry_parity.py `added_after_r07_freeze` as you add them)
+# plus stale-refresh re-proofs (the 15 remaining r03 rows first, then r04)
+# and the 8 sentinels.  Keep new registrations few enough to drain in one
+# window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: the 7 queries needing their FIRST driver hash row
-    "bucketed_join_zero_shuffle",
-    "multimodal_decode_stub",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_nation_market_share",
-    "sessionize_hotkey",
-    "salted_join_hotkey",
-    # tier 2: 35 stale-refresh re-proofs, all last proven in round 2
-    "anti_join_dormant_customers",
-    "asia_market_share",
-    "asof_last_signup",
-    "case_when_buckets",
-    "cheapest_shipment_per_part",
-    "cube_event_counts",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "filter_edge_slivers",
-    "filter_time_range",
-    "forward_fill_last_purchase",
-    "json_extract_props",
-    "kst_daily_counts",
-    "lag_gap_seconds",
-    "latest_event_per_user",
-    "lead_next_event_gap",
-    "left_join_orders_customers",
-    "nation_pair_volume",
-    "nation_set_ops",
-    "orders_above_avg_price",
-    "percentile_value_by_type",
-    "pivot_daily_event_types",
-    "q10_returned_revenue",
-    "q14_promo_revenue_share",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "range_join_event_windows",
-    "rank_orders_per_customer",
-    "rollup_order_counts",
-    "semi_join_active_customers",
-    "sessionize_skew_split",
-    "sessions_per_user_window",
-    "sliding_hour_stats",
-    # tier 3: the 8 canonical sentinels (regression canaries: the reference
-    # WAU query, the reference sessionization composite, the LSH dedup
-    # flagship, the round-1 oracle-defect query, the two round-4
-    # two-level-rank re-plans, the TPC-H headline, and the corpus
-    # end-to-end composite)
+    # tier 1: the 3 queries needing their FIRST driver hash row — the two
+    # post-r06-freeze additions staged for exactly this rotation, plus the
+    # round-7 write-side-evolution lane
+    "dedup_minhash_lsh_twins",
+    "schema_evolution_read",
+    "schema_evolution_write",
+    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 11 remaining
+    # round-2 proofs, then the alphabetically-first 28 of the 43 round-3
+    # proofs (the 15 r03 leftovers head round 8's rotation)
+    "streaming_stateful_sessionize",
+    "string_functions_parts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "top_orders",
+    "tumbling_15min_counts",
+    "union_names",
+    "wau_session",
+    "wau_user_twolevel",
+    "corpus_contamination_score",
+    "corpus_curation_topk",
+    "corpus_decontaminate",
+    "corpus_interleave",
+    "corpus_ngram_topk",
+    "corpus_pack_sequences",
+    "corpus_priority_sample",
+    "corpus_quality_funnel",
+    "corpus_sample_hash",
+    "corpus_split_assign",
+    "corpus_stratified_sample",
+    "dedup_clusters",
+    "dedup_jaccard_prefix",
+    "dedup_simhash_pairs",
+    "dedup_simhash_sigs",
+    "embed_cosine_neardup",
+    "embed_cosine_topk",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_semantic_dedup",
+    "embedding_stats_by_label",
+    "grouped_demean_applyinpandas",
+    "multimodal_frame_sample",
+    "multimodal_payload_digests",
+    "multimodal_pointer_fetch",
+    "q11_important_parts",
+    "q12_shipping_priority_split",
+    "q13_customer_distribution",
+    # tier 3: the 8 canonical sentinels (same set as r04/r05/r06)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

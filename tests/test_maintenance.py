@@ -19,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 from sparkgraft import catalog
+from sparkgraft.catalog import evolve_spec
 from sparkgraft.io.readers import read_evolved
 
 
@@ -168,3 +169,181 @@ def test_sweep_stale_temporary(spark, sf_dir, tmp_path):
     assert os.path.exists(fresh)  # in-flight staging survives the gate
     # the data files next to the removed staging tree are untouched
     assert spark.read.parquet(os.path.join(root, "p")).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Schema HISTORY: metastore-recorded version log replaces the footer sweep
+# ---------------------------------------------------------------------------
+
+_MIXED_HISTORY = (
+    StructType([StructField("k", IntegerType()), StructField("a", StringType())]),
+    StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("a", StringType()),
+            StructField("b", IntegerType()),
+        ]
+    ),
+    StructType(
+        [
+            StructField("k", LongType()),
+            StructField("a", StringType()),
+            StructField("b", IntegerType()),
+        ]
+    ),
+)
+
+
+def _no_footer_sweep(monkeypatch):
+    """Make ANY pyarrow dataset/footer access explode — the history path
+    must validate without touching a single file footer."""
+    import pyarrow.dataset
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("footer sweep ran despite recorded history")
+
+    monkeypatch.setattr(pyarrow.dataset, "dataset", boom)
+
+
+def test_read_evolved_history_skips_footer_sweep(spark, mixed_shards, monkeypatch):
+    target = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("b", LongType()),
+            StructField("c", DoubleType()),
+        ]
+    )
+    _no_footer_sweep(monkeypatch)
+    got = read_evolved(spark, mixed_shards, target, history=_MIXED_HISTORY)
+    assert got.schema == target
+    rows = {r.k: (r.b, r.c) for r in got.collect()}
+    assert rows == {1: (None, None), 2: (20, None), 2**40: (30, None)}
+
+
+def test_read_evolved_history_rejects_illegal_version(spark, mixed_shards, monkeypatch):
+    _no_footer_sweep(monkeypatch)
+    bad = StructType([StructField("a", IntegerType())])  # string -> int
+    with pytest.raises(TypeError, match="column 'a'.*version 0.*data migration"):
+        read_evolved(spark, mixed_shards, bad, history=_MIXED_HISTORY)
+
+
+def test_evolve_spec_records_history_and_validates():
+    v1 = catalog.TableSpec(
+        "t",
+        StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("d", StringType()),
+            ]
+        ),
+        partition_keys=("d",),
+    )
+    v2_schema = StructType(
+        [
+            StructField("id", LongType()),  # widen
+            StructField("d", StringType()),
+            StructField("v", DoubleType()),  # add
+        ]
+    )
+    v2 = evolve_spec(v1, v2_schema)
+    assert v2.schema == v2_schema
+    assert v2.schema_history == (v1.schema,)
+    assert v2.full_history == (v1.schema, v2_schema)
+
+    # illegal type change rejected at evolve time, not at some future read
+    with pytest.raises(TypeError, match="column 'd'.*data migration"):
+        evolve_spec(v1, StructType([StructField("d", IntegerType())]))
+    # partition keys are pinned: dropping or retyping one is a layout change
+    with pytest.raises(TypeError, match="partition key 'd'"):
+        evolve_spec(v1, StructType([StructField("id", LongType())]))
+
+
+def test_schema_history_sidecar_roundtrip(tmp_path):
+    v1 = catalog.TableSpec("t", _MIXED_HISTORY[0])
+    v3 = evolve_spec(evolve_spec(v1, _MIXED_HISTORY[1]), _MIXED_HISTORY[2])
+    path = str(tmp_path / "t")
+    catalog.save_schema_history(path, v3)
+    assert catalog.load_schema_history(path) == v3.full_history
+    assert catalog.load_schema_history(str(tmp_path / "absent")) is None
+    # the sidecar is invisible to Spark's file index (underscore prefix)
+    assert os.path.basename(
+        os.path.join(path, catalog._HISTORY_SIDECAR)
+    ).startswith("_")
+
+
+def test_write_evolution_roundtrip(spark, tmp_path, monkeypatch):
+    """The end-to-end write-side story: v1 partitions stay on disk untouched
+    while v2 partitions land under the evolved schema, and the recorded
+    history conforms the whole table at read time with zero footer reads."""
+    work = str(tmp_path / "evo")
+    v1 = catalog.TableSpec(
+        "evo",
+        StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("name", StringType()),
+                StructField("batch", IntegerType()),
+            ]
+        ),
+        partition_keys=("batch",),
+    )
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], v1.schema).write.mode(
+        "append"
+    ).partitionBy("batch").parquet(work)
+
+    v2 = evolve_spec(
+        v1,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("name", StringType()),
+                StructField("score", DoubleType()),
+                StructField("batch", IntegerType()),
+            ]
+        ),
+    )
+    spark.createDataFrame([(2**40, "c", 0.5, 2)], v2.schema).write.mode(
+        "append"
+    ).partitionBy("batch").parquet(work)
+    catalog.save_schema_history(work, v2)
+
+    _no_footer_sweep(monkeypatch)
+    got = catalog.read_spec_evolved(spark, work, v2)
+    assert got.schema == v2.schema
+    rows = {r.id: (r.name, r.score, r.batch) for r in got.collect()}
+    assert rows == {
+        1: ("a", None, 1),
+        2: ("b", None, 1),
+        2**40: ("c", 0.5, 2),
+    }
+
+
+def test_read_spec_evolved_falls_back_to_footer_sweep(spark, mixed_shards):
+    """A table with no sidecar and a spec with no recorded history is the
+    legacy/external case: the footer sweep must still run (and still
+    validate) — fallback, not failure."""
+    import pyarrow.dataset
+
+    calls = {"n": 0}
+    real = pyarrow.dataset.dataset
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    import unittest.mock as mock
+
+    spec = catalog.TableSpec(
+        "legacy",
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("b", LongType()),
+            ]
+        ),
+    )
+    with mock.patch.object(pyarrow.dataset, "dataset", counting):
+        got = catalog.read_spec_evolved(spark, mixed_shards, spec)
+        rows = {r.k: r.b for r in got.collect()}
+    assert calls["n"] >= 1
+    assert rows == {1: None, 2: 20, 2**40: 30}

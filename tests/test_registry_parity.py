@@ -43,10 +43,23 @@ def test_registry_contract():
     assert len(qs) >= 10
 
 
+def test_readme_count_matches_registry():
+    """README's headline '<N> registered query/oracle pairs' is derived
+    from the registry here so it can never drift again (round-6 advice:
+    the hand-maintained count lagged by one)."""
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) registered query/oracle pairs", text)
+    assert m, "README headline count sentence missing"
+    assert int(m.group(1)) == len(registry.queries())
+
+
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-6 window:
+    inserts silently evicted driver-proven queries).  Pin the round-7 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
     the round-7 rotation — so this test does NOT claim full cumulative
@@ -58,19 +71,16 @@ def test_driver_window_composition():
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r06 window freeze must have a driver row
-    in r01..r05 or sit in the r06 window awaiting one — at this freeze the
-    set is EMPTY-gap by construction: r01∪…∪r05 rows plus the r06 window
-    cover all 189 registered queries.  Queries added after the freeze are
+    """Every query present at the r07 window freeze must have a driver row
+    in r01..r06 or sit in the r07 window awaiting one — at this freeze the
+    set is EMPTY-gap by construction: r01∪…∪r06 rows plus the r07 window
+    cover all 192 registered queries.  Queries added after the freeze are
     exempt (next round's rotation) but must be listed here EXPLICITLY so
     the exemption is a conscious act, not a silent hole."""
     import json
     import pathlib
 
-    added_after_r06_freeze: set[str] = {
-        "dedup_minhash_lsh_twins",
-        "schema_evolution_read",
-    }
+    added_after_r07_freeze: set[str] = set()
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -81,28 +91,29 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r06_freeze
+        and n not in added_after_r07_freeze
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-6 window audit: (a) every registered query either has a prior
+    """Round-7 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
     either one of the 8 declared sentinels or a STALE-REFRESH slot whose
-    newest prior row is from round 2 (the oldest proofs in the ledger,
-    refreshed oldest-first).  `seen`/`latest` are pinned to the rounds
-    BEFORE this window froze (r01-r05): once the driver emits
-    CORRECTNESS_r06 for the window itself, an open glob would reclassify
-    all 50 slots as re-proofs and fail this test for succeeding."""
+    newest prior row is from round 2 or 3 (the oldest proofs left in the
+    ledger after r06 drained 35 of the 46 r02 rows; refreshed
+    oldest-first).  `seen`/`latest` are pinned to the rounds BEFORE this
+    window froze (r01-r06): once the driver emits CORRECTNESS_r07 for the
+    window itself, an open glob would reclassify all 50 slots as re-proofs
+    and fail this test for succeeding."""
     import json
     import pathlib
     import re
 
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for f in sorted(root.glob("CORRECTNESS_r0[1-5].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[1-6].json")):
         rnd = int(re.search(r"r0(\d)", f.name).group(1))
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
@@ -116,25 +127,21 @@ def test_driver_window_drains_the_backlog():
         "q1_pricing_summary",
         "corpus_e2e_curation",
     }
-    # multimodal_decode_stub's r03 row was the rows-only `no_oracle` entry —
-    # its slot is the first HASH proof (it gained a value oracle in round 6),
-    # not a re-proof
-    first_hash = {"multimodal_decode_stub"}
     for n in registry.DRIVER_WINDOW:
-        if n not in latest or n in first_hash:
+        if n not in latest:
             continue  # first driver row — always a justified slot
-        assert n in sentinels or latest[n] == 2, (
+        assert n in sentinels or latest[n] in (2, 3), (
             f"window slot {n!r} re-proves a query last proven in "
             f"r0{latest[n]} — neither a sentinel nor a stale refresh"
         )
-    # post-freeze additions (the r07 rotation) cannot have a slot in THIS
+    # post-freeze additions (the r08 rotation) cannot have a slot in THIS
     # window by construction — keep in lockstep with
-    # test_driver_rows_cumulative_coverage's added_after_r06_freeze
-    added_after_r06_freeze = {"dedup_minhash_lsh_twins", "schema_evolution_read"}
+    # test_driver_rows_cumulative_coverage's added_after_r07_freeze
+    added_after_r07_freeze: set[str] = set()
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in added_after_r06_freeze
+        if n not in latest and n not in added_after_r07_freeze
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
