@@ -407,6 +407,21 @@ def _recover_interrupted_compaction(path: str) -> None:
         shutil.rmtree(d)
 
 
+def _is_hidden_or_sibling(name: str) -> bool:
+    """True for directory names partition discovery must skip: dot/underscore
+    prefixes are hidden to Spark's discovery (and cover the dotted compaction
+    siblings); the undotted markers cover tables compacted by a pre-round-6
+    build.  The marker check is anchored to the full artifact shape
+    (``__<kind>_<ns digits>`` at end-of-name): a legitimate partition value
+    that merely CONTAINS a marker substring (e.g. ``d=x__v_1y``) must stay
+    visible to compaction and readers alike."""
+    import re
+
+    return name.startswith((".", "_")) or bool(
+        re.search(r"__(v|compact|ln|old)_\d+$", name)
+    )
+
+
 def _tree_mtime(d: str) -> float:
     """Newest lstat mtime anywhere under ``d`` (the dir itself included).
     A directory's own top-level mtime is NOT a liveness signal for a
@@ -652,19 +667,6 @@ def compact_partitioned_table(
     per-partition call).
     """
     import os
-
-    def _is_hidden_or_sibling(name: str) -> bool:
-        # dot/underscore prefixes are hidden to Spark's discovery (and
-        # cover the dotted compaction siblings); the undotted markers
-        # cover tables compacted by a pre-round-6 build.  Anchor the
-        # marker check to the full artifact shape (__<kind>_<ns digits> at
-        # end-of-name): a legitimate partition value that merely CONTAINS
-        # a marker substring (e.g. d=x__v_1y) must stay compactable
-        import re
-
-        return name.startswith((".", "_")) or bool(
-            re.search(r"__(v|compact|ln|old)_\d+$", name)
-        )
 
     leaves: list[str] = []
     for dirpath, dirnames, filenames in os.walk(root, followlinks=True):

@@ -1226,9 +1226,22 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="sparkgraft_stream_")
     ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
-    # the streaming file source wants a directory — link the single file in
+    # the streaming file source wants a directory of FILES — link the
+    # single driver file in, or each part file when the table is itself a
+    # Spark-written directory (the perf-rig caches): the file source does
+    # not recurse into a linked subdirectory, it would silently see zero
+    # input and never produce the sink path
     os.makedirs(src)
-    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    # absolute target: a symlink holding a RELATIVE target string resolves
+    # against the symlink's own directory, so a relative sf_dir would
+    # produce broken links the file source silently lists as zero input
+    ev_path = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(ev_path):
+        for i, part in enumerate(sorted(os.listdir(ev_path))):
+            if part.endswith(".parquet") and not part.startswith(("_", ".")):
+                os.symlink(os.path.join(ev_path, part), f"{src}/part-{i}.parquet")
+    else:
+        os.symlink(ev_path, f"{src}/events.parquet")
     # stream sees the raw footer schema; like the batch reader, adapt to the
     # footer's ts encoding (INT64 nanos read as long under nanosAsLong, or
     # plain micros read as timestamp_ntz) instead of assuming either.

@@ -347,3 +347,49 @@ def test_read_spec_evolved_falls_back_to_footer_sweep(spark, mixed_shards):
         rows = {r.k: r.b for r in got.collect()}
     assert calls["n"] >= 1
     assert rows == {1: None, 2: 20, 2**40: 30}
+
+
+# ---------------------------------------------------------------------------
+# Round-7 advice regressions: compaction-artifact naming edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_sibling_glob_escapes_parent_metachars(tmp_path):
+    """Glob metacharacters anywhere in the PARENT path must match literally:
+    an unescaped '[i]' in a user-supplied directory silently empties the
+    dotted-sibling glob, so crash recovery and version GC would miss the
+    artifacts entirely."""
+    parent = tmp_path / "we[i]rd dir"
+    parent.mkdir()
+    (parent / ".t__v_123").mkdir()
+    (parent / "t__v_456").mkdir()  # legacy undotted era
+    got = catalog._sibling_glob(str(parent / "t"), "v")
+    assert {os.path.basename(p) for p in got} == {".t__v_123", "t__v_456"}
+
+
+def test_recovery_restores_newest_old_across_eras(tmp_path):
+    """With mixed-era __old_* artifacts (dotted round-6 naming + legacy
+    undotted), recovery must restore by the int ns suffix — lexicographic
+    order would sort every dotted name first and restore stale data."""
+    parent = tmp_path / "t"
+    parent.mkdir()
+    older = parent / ".x__old_100"  # dotted, but OLDER by stamp
+    newer = parent / "x__old_200"  # undotted legacy, NEWER by stamp
+    older.mkdir()
+    newer.mkdir()
+    (older / "part-0.parquet").write_text("stale")
+    (newer / "part-0.parquet").write_text("fresh")
+    catalog._recover_interrupted_compaction(str(parent / "x"))
+    assert (parent / "x" / "part-0.parquet").read_text() == "fresh"
+    # the superseded sibling is cleaned up, not left to leak
+    assert not older.exists() and not newer.exists()
+
+
+def test_partition_visibility_anchored_to_artifact_shape():
+    """A partition VALUE that merely contains a marker substring stays
+    visible; only the exact artifact shape (__<kind>_<digits> at end) and
+    hidden prefixes are skipped."""
+    hidden = [".t__v_1", "_temporary", "t__v_123", "t__compact_9", "t__old_5"]
+    visible = ["d=x__v_1y", "d=a__v_", "d=__v_x", "d=plain", "d=x__version_1"]
+    assert all(catalog._is_hidden_or_sibling(n) for n in hidden)
+    assert not any(catalog._is_hidden_or_sibling(n) for n in visible)

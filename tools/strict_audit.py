@@ -108,6 +108,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", args.driver_mem)
+        # the audit COLLECTS both sides of every relation to bit-compare;
+        # pair lanes on duplicated rigs (10x: every doc has 9 twins) emit
+        # GB-scale pair relations, so the 1g default would abort the
+        # collect — cap at the driver heap instead of a fixed slice
+        .config("spark.driver.maxResultSize", "0")
         .appName("sparkgraft-strict-audit")
         .getOrCreate()
     )
