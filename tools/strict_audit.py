@@ -16,11 +16,27 @@ Comparison contract (replica of the driver's hash, made diagnosable):
     collapses NaN payloads before hashing)
   - everything else compares exactly (ints, strings, dates, bools)
 
+Digest mode (`--digest name1,name2`): pair lanes on duplicated rigs emit
+relations QUADRATIC in the duplication factor (10x twins -> ~100x pairs;
+`dedup_simhash_pairs` emits ~280M rows there) — no driver, here or on a
+real cluster, should collect that to compare it.  For the named queries
+both engines instead fold their OWN relation into an order-independent
+digest (count + two independent sums of 60-bit md5 prefixes over a
+canonical row string) and only the three scalars cross the wire.  The
+canonical string fixes column order (sorted by name), a 0x1f separator,
+an explicit NULL sentinel, and explicit per-type formatting so the two
+engines render identical bytes; float/decimal columns are rejected
+(their string forms are not engine-portable — collect those lanes).
+This is the audit design that survives 100 TB: the comparison cost
+stays inside the engines, at scan+agg cost, with O(1) driver traffic.
+
 Usage:
     python tools/strict_audit.py                          # window, sf0.001
     python tools/strict_audit.py --queries all --sf-dir /root/testdata/sf0.01
     python tools/strict_audit.py --queries q7_volume_shipping,sessionize_hotkey \
         --sf-dir /root/testdata/sf0.1 --cpus 16
+    python tools/strict_audit.py --queries dedup_simhash_pairs \
+        --digest dedup_simhash_pairs --sf-dir .scale_cache/sf0.1x10
 Prints one JSON line: {"sf_dir": ..., "n": N, "exact": K, "failures": {...}}
 and exits non-zero if any query is not bit-exact.
 """
@@ -82,6 +98,126 @@ def _bit_compare(a_pdf, b_pdf) -> list[str]:
     return errs
 
 
+_HEX = "0123456789abcdef"
+
+
+def _duck_hex15(h_expr: str, start: int) -> str:
+    """HUGEINT value of a 15-hex-digit substring of ``h_expr`` (1-based
+    ``start``), built as a literal-weighted digit polynomial — DuckDB has
+    no hex-string-to-integer cast, but 15 digits (60 bits) summed with
+    exact HUGEINT literals needs none."""
+    terms = [
+        f"(strpos('{_HEX}', substr({h_expr}, {start + j}, 1)) - 1)::HUGEINT"
+        f" * {16 ** (14 - j)}::HUGEINT"
+        for j in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_canon_expr(field):
+    """Engine-portable, INJECTIVE string rendering of one Spark column
+    (None if the type has no portable text form).  NULL renders as 'n',
+    values as 'v' + text; string values additionally escape the 0x1f
+    column separator (0x1e doubles itself, 0x1f becomes 0x1e 's') so no
+    crafted value can mimic a column boundary or the NULL marker."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    c = F.col(field.name)
+    t = field.dataType
+    if isinstance(t, T.StringType):
+        s = F.replace(
+            F.replace(c, F.lit("\x1e"), F.lit("\x1e\x1e")),
+            F.lit("\x1f"),
+            F.lit("\x1es"),
+        )
+    elif isinstance(
+        t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType, T.DateType)
+    ):
+        s = c.cast("string")
+    elif isinstance(t, T.TimestampNTZType):
+        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    else:
+        return None
+    return F.when(c.isNull(), F.lit("n")).otherwise(F.concat(F.lit("v"), s))
+
+
+def _duck_canon_expr(name: str, duck_type: str):
+    base = duck_type.upper().split("(")[0]
+    q = f'"{name}"'
+    if base == "VARCHAR":
+        s = (
+            f"replace(replace({q}, chr(30), chr(30) || chr(30)),"
+            f" chr(31), chr(30) || 's')"
+        )
+    elif base in {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                  "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+                  "BOOLEAN", "DATE"}:
+        s = f"CAST({q} AS VARCHAR)"
+    elif base in {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S"}:
+        s = f"strftime({q}::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        return None
+    return f"CASE WHEN {q} IS NULL THEN 'n' ELSE 'v' || {s} END"
+
+
+def digest_spark(df):
+    """(count, sum60a, sum60b) over the canonical row strings — computed
+    entirely engine-side; only three scalars reach the driver."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for field in sorted(df.schema.fields, key=lambda f: f.name):
+        e = _spark_canon_expr(field)
+        if e is None:
+            raise ValueError(
+                f"digest unsupported for column {field.name}: {field.dataType}"
+            )
+        exprs.append(e)
+    h = F.md5(F.concat_ws("\x1f", *exprs))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")).alias("d1"),
+        F.sum(F.conv(F.substring(h, 17, 15), 16, 10).cast("decimal(38,0)")).alias("d2"),
+    ).collect()[0]
+    return int(row.n), int(row.d1 or 0), int(row.d2 or 0)
+
+
+def digest_oracle(sql: str, sf_dir: str):
+    """Same three scalars from DuckDB, over the oracle SQL's relation."""
+    from tests.oracle import run_oracle
+
+    desc = run_oracle(f"DESCRIBE SELECT * FROM ({sql}) __t", sf_dir)
+    cols = sorted(zip(desc["column_name"], desc["column_type"]), key=lambda x: x[0])
+    exprs = []
+    for name, typ in cols:
+        e = _duck_canon_expr(name, typ)
+        if e is None:
+            raise ValueError(f"digest unsupported for column {name}: {typ}")
+        exprs.append(e)
+    wrapped = (
+        # sums cast to VARCHAR: pandas renders HUGEINT as float64, which
+        # silently rounds >2^53 digests — round-trip through text instead
+        "SELECT count(*) AS n, "
+        f"CAST(sum({_duck_hex15('h', 1)}) AS VARCHAR) AS d1, "
+        f"CAST(sum({_duck_hex15('h', 17)}) AS VARCHAR) AS d2 "
+        f"FROM (SELECT md5(concat_ws(chr(31), {', '.join(exprs)})) AS h "
+        f"FROM ({sql}) __t) __h"
+    )
+    out = run_oracle(wrapped, sf_dir)
+    n, d1, d2 = out.iloc[0]["n"], out.iloc[0]["d1"], out.iloc[0]["d2"]
+    return int(n), int(d1) if d1 is not None else 0, int(d2) if d2 is not None else 0
+
+
+def _digest_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    s, o = digest_spark(spark_df), digest_oracle(oracle_sql, sf_dir)
+    if s[0] != o[0]:
+        return [f"rows spark={s[0]} oracle={o[0]}"]
+    if s[1:] != o[1:]:
+        return [f"digest spark={s[1:]} oracle={o[1:]} (n={s[0]})"]
+    return []
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -94,7 +230,14 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     ap.add_argument("--driver-mem", default=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     ap.add_argument("--out", default="", help="optional JSON artifact path")
+    ap.add_argument(
+        "--digest",
+        default="",
+        help="comma-separated query names to compare via in-engine digest "
+        "(for relations too large to collect); others still bit-compare",
+    )
     args = ap.parse_args()
+    digest_names = {n.strip() for n in args.digest.split(",") if n.strip()}
 
     from pyspark.sql import SparkSession
 
@@ -131,16 +274,22 @@ def main() -> int:
     failures: dict[str, list[str]] = {}
     for i, name in enumerate(names):
         try:
-            spdf = qs[name](spark, args.sf_dir).toPandas()
-            opdf = run_oracle(oracles[name], args.sf_dir)
-            errs = _bit_compare(spdf, opdf)
+            if name in digest_names:
+                errs = _digest_compare(
+                    qs[name](spark, args.sf_dir), oracles[name], args.sf_dir
+                )
+            else:
+                spdf = qs[name](spark, args.sf_dir).toPandas()
+                opdf = run_oracle(oracles[name], args.sf_dir)
+                errs = _bit_compare(spdf, opdf)
         except Exception as exc:  # keep auditing; report the lane
             errs = [f"EXC {type(exc).__name__}: {exc}"[:500]]
         if errs:
             failures[name] = errs
+        label = "DIGEST-EXACT" if name in digest_names else "BIT-EXACT"
         print(
             f"# [{i + 1}/{len(names)}] {name}: "
-            + ("BIT-EXACT" if not errs else f"FAIL {errs[0]}"),
+            + (label if not errs else f"FAIL {errs[0]}"),
             file=sys.stderr,
         )
     payload = {
@@ -149,6 +298,8 @@ def main() -> int:
         "exact": len(names) - len(failures),
         "failures": failures,
     }
+    if digest_names:
+        payload["digest"] = sorted(digest_names & set(names))
     print(json.dumps(payload))
     if args.out:
         with open(args.out, "w") as fh:
