@@ -95,21 +95,28 @@ COPY = ["region", "nation", "supplier", "part"]
 
 
 def _build_scaled(
-    spark, out_dir: str, repl: int = REPL, tables: list[str] | None = None
+    spark,
+    out_dir: str,
+    repl: int = REPL,
+    tables: list[str] | None = None,
+    src: str | None = None,
 ) -> None:
-    """Replicate the sf0.1 tables ``repl``x with key-shifted ids into
-    ``out_dir``.  ``tables`` restricts the build to a subset of the SHIFT
-    tables (the deep-decade lanes each read exactly one table — building
-    the rest at 100x would cost minutes of disk for nothing)."""
+    """Replicate the ``src`` (default sf0.1) tables ``repl``x with
+    key-shifted ids into ``out_dir``.  ``tables`` restricts the build to a
+    subset of the SHIFT tables (the deep-decade lanes each read exactly one
+    table — building the rest at 100x would cost minutes of disk for
+    nothing).  ``src`` lets caches chain (the 1000x events cache replicates
+    the 100x cache 10x rather than unioning 1000 base legs)."""
     from pyspark.sql import functions as F
 
     from sparkgraft.io.readers import read_table
 
+    src = src or BASE
     os.makedirs(out_dir, exist_ok=True)
     shift = {t: c for t, c in SHIFT.items() if tables is None or t in tables}
     # one offset per key-space: max+1 over every column in the space
     spaces: dict[str, int] = {}
-    tabs = {t: read_table(spark, BASE, t) for t in shift}
+    tabs = {t: read_table(spark, src, t) for t in shift}
     for t, cols in shift.items():
         for c, space in cols.items():
             mx = tabs[t].agg(F.max(c)).collect()[0][0] or 0
@@ -127,9 +134,8 @@ def _build_scaled(
             out = out.unionAll(r)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     for t in COPY if tables is None else []:
-        src = os.path.join(BASE, f"{t}.parquet")
-        if os.path.exists(src):
-            read_table(spark, BASE, t).write.mode("overwrite").parquet(
+        if os.path.exists(os.path.join(src, f"{t}.parquet")):
+            read_table(spark, src, t).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{t}.parquet")
             )
 
@@ -389,9 +395,15 @@ def _ensure_events_cache(spark, repl: int) -> str:
     """events-only cache at ``repl``x, built by replicating the 100x
     events cache (NOT the base): a repl-way union of the base would be a
     1000-leg Catalyst analysis stress test, while 10 shifted replicas of
-    the 100x cache build the same key-scaled data in one pass."""
-    from pyspark.sql import functions as F
-
+    the 100x cache build the same key-scaled data in one pass.  The build
+    itself is the shared ``_build_scaled`` with the 100x cache as ``src``;
+    staleness chains off the SOURCE cache's marker (which itself chains
+    off the base parquet mtimes via ``_ensure_cache``)."""
+    if repl % 100 != 0:
+        raise ValueError(
+            f"SPARK_GRAFT_SCALE_AB_REPL must be a multiple of 100 (chained "
+            f"off the 100x cache), got {repl}"
+        )
     scaled = os.path.join(CACHE, f"sf0.1x{repl}-events")
     marker = os.path.join(scaled, "_COMPLETE")
     src = _ensure_cache(spark, 100, ["events"])
@@ -402,19 +414,8 @@ def _ensure_events_cache(spark, repl: int) -> str:
         os.remove(marker)
     if not os.path.exists(marker):
         shutil.rmtree(scaled, ignore_errors=True)
-        os.makedirs(scaled, exist_ok=True)
         t0 = time.monotonic()
-        df = spark.read.parquet(os.path.join(src, "events.parquet"))
-        mx = df.agg(F.max("event_id"), F.max("user_id")).collect()[0]
-        ev_off, us_off = int(mx[0]) + 1, int(mx[1]) + 1
-        factor = repl // 100
-        out = df
-        for i in range(1, factor):
-            out = out.unionAll(
-                df.withColumn("event_id", F.col("event_id") + F.lit(i * ev_off))
-                .withColumn("user_id", F.col("user_id") + F.lit(i * us_off))
-            )
-        out.write.mode("overwrite").parquet(os.path.join(scaled, "events.parquet"))
+        _build_scaled(spark, scaled, repl // 100, ["events"], src=src)
         with open(marker, "w") as fh:
             fh.write(f"repl={repl} src={src}\n")
         print(f"# built {scaled} in {time.monotonic() - t0:.1f}s", file=sys.stderr)

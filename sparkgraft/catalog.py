@@ -74,27 +74,49 @@ def evolve_spec(spec: TableSpec, new_schema: StructType) -> TableSpec:
     is a repartitioning migration (full rewrite), never an in-place schema
     step, so each key must survive the evolution with its type unchanged.
 
+    The check runs against EVERY recorded version, not just the current
+    one: files written under any historical schema stay on disk forever,
+    so a column dropped in v2 and re-added in v3 must still be readable
+    from the v1 files — re-adding it with an incompatible type would
+    poison every future read while passing a current-schema-only gate.
+    Names fold case-insensitively, matching the evolved read's posture
+    under the default ``spark.sql.caseSensitive=false`` (for a
+    case-sensitive deployment this is strictly more conservative —
+    the safe direction for a write-side gate with no session at hand).
+
     New partitions written after this call carry ``new_schema``; partitions
     already on disk stay as-is and are conformed at read time by
     :func:`read_spec_evolved` via the recorded history — no rewrite.
     """
     from sparkgraft.io.readers import evolvable
 
-    old = {f.name: f.dataType.simpleString() for f in spec.schema.fields}
-    new = {f.name: f.dataType.simpleString() for f in new_schema.fields}
-    for name, got in old.items():
-        want = new.get(name)
-        if want is not None and not evolvable(got, want):
-            raise TypeError(
-                f"column {name!r}: {got} -> {want} is a data migration "
-                "(rewrite), not a schema evolution"
-            )
+    def fold(name: str) -> str:
+        return name.lower()
+
+    new = {fold(f.name): f.dataType.simpleString() for f in new_schema.fields}
+    if len(new) != len(new_schema.fields):
+        raise TypeError(
+            "new schema has case-colliding column names — ambiguous under "
+            f"the default case-insensitive resolution: "
+            f"{sorted(f.name for f in new_schema.fields)}"
+        )
+    for i, version in enumerate(spec.full_history):
+        for f in version.fields:
+            got = f.dataType.simpleString()
+            want = new.get(fold(f.name))
+            if want is not None and not evolvable(got, want):
+                raise TypeError(
+                    f"column {f.name!r}: {got} (schema version {i}, still on "
+                    f"disk) -> {want} is a data migration (rewrite), not a "
+                    "schema evolution"
+                )
+    old = {fold(f.name): f.dataType.simpleString() for f in spec.schema.fields}
     for key in spec.partition_keys:
-        if new.get(key) != old.get(key):
+        if new.get(fold(key)) != old.get(fold(key)):
             raise TypeError(
                 f"partition key {key!r} must survive evolution unchanged "
-                f"(old={old.get(key)}, new={new.get(key)}) — changing the "
-                "layout predicate is a repartitioning migration"
+                f"(old={old.get(fold(key))}, new={new.get(fold(key))}) — "
+                "changing the layout predicate is a repartitioning migration"
             )
     return TableSpec(
         name=spec.name,

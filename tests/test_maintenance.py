@@ -258,6 +258,96 @@ def test_evolve_spec_records_history_and_validates():
         evolve_spec(v1, StructType([StructField("id", LongType())]))
 
 
+def test_evolve_spec_checks_every_historical_version():
+    """A column dropped in v2 and re-added in v3 must stay readable from the
+    v1 files still on disk — the gate runs against the FULL history, not
+    just the current schema."""
+    v1 = catalog.TableSpec(
+        "t",
+        StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("score", DoubleType()),
+            ]
+        ),
+    )
+    v2 = evolve_spec(v1, StructType([StructField("id", IntegerType())]))
+    # re-adding score as double is fine (v1 files carry double)
+    v3 = evolve_spec(
+        v2,
+        StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("score", DoubleType()),
+            ]
+        ),
+    )
+    assert v3.full_history == (v1.schema, v2.schema, v3.schema)
+    # re-adding it as int would poison every future read of the v1 files:
+    # rejected even though the CURRENT (v2) schema has no 'score' at all
+    with pytest.raises(TypeError, match="column 'score'.*version 0.*data migration"):
+        evolve_spec(
+            v2,
+            StructType(
+                [
+                    StructField("id", IntegerType()),
+                    StructField("score", IntegerType()),
+                ]
+            ),
+        )
+
+
+def test_evolve_spec_folds_names_case_insensitively():
+    """Name matching mirrors the evolved read's default
+    spark.sql.caseSensitive=false posture: a case-renamed column is the
+    SAME column (so its type rules apply), and a new schema whose names
+    collide under folding is ambiguous and rejected outright."""
+    v1 = catalog.TableSpec(
+        "t", StructType([StructField("id", IntegerType())])
+    )
+    # case-rename + widen: same column, safe widening — allowed
+    v2 = evolve_spec(v1, StructType([StructField("ID", LongType())]))
+    assert v2.schema.fields[0].name == "ID"
+    # case-rename + narrow: same column, data migration — rejected
+    with pytest.raises(TypeError, match="column 'id'.*data migration"):
+        evolve_spec(
+            catalog.TableSpec("t", StructType([StructField("id", LongType())])),
+            StructType([StructField("ID", IntegerType())]),
+        )
+    # case-colliding target names are unresolvable under folding
+    with pytest.raises(TypeError, match="case-colliding"):
+        evolve_spec(
+            v1,
+            StructType(
+                [
+                    StructField("x", IntegerType()),
+                    StructField("X", IntegerType()),
+                ]
+            ),
+        )
+    # partition keys match case-insensitively too
+    p1 = catalog.TableSpec(
+        "t",
+        StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("d", StringType()),
+            ]
+        ),
+        partition_keys=("d",),
+    )
+    p2 = evolve_spec(
+        p1,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("D", StringType()),
+            ]
+        ),
+    )
+    assert p2.partition_keys == ("d",)
+
+
 def test_schema_history_sidecar_roundtrip(tmp_path):
     v1 = catalog.TableSpec("t", _MIXED_HISTORY[0])
     v3 = evolve_spec(evolve_spec(v1, _MIXED_HISTORY[1]), _MIXED_HISTORY[2])
