@@ -378,9 +378,16 @@ def _sibling(path: str, kind: str, ns: int) -> str:
 def _sibling_glob(path: str, kind: str) -> list[str]:
     """All compaction siblings of ``path`` for ``kind`` — both the dotted
     naming and the pre-round-6 undotted naming (tables compacted by an
-    older build keep their recovery + GC semantics)."""
+    older build keep their recovery + GC semantics).
+
+    Matches are anchored to the full artifact shape ``__<kind>_<ns digits>``
+    (same anchor as :func:`_is_hidden_or_sibling`): the glob's trailing ``*``
+    would otherwise pick up unrelated neighbors like a hand-made
+    ``events__old_backup``, which recovery would then try to int-parse
+    (crash) or worse, restore over the table."""
     import glob
     import os
+    import re
 
     p = path.rstrip("/")
     parent, base = os.path.split(p)
@@ -389,7 +396,11 @@ def _sibling_glob(path: str, kind: str) -> list[str]:
     # or crash recovery / version GC silently miss dotted siblings
     dotted = os.path.join(glob.escape(parent), f".{glob.escape(base)}__{kind}_*")
     legacy = f"{glob.escape(p)}__{kind}_*"
-    return sorted(glob.glob(dotted) + glob.glob(legacy))
+    return sorted(
+        d
+        for d in glob.glob(dotted) + glob.glob(legacy)
+        if re.search(rf"__{kind}_\d+$", d)
+    )
 
 
 def _recover_interrupted_compaction(path: str) -> None:

@@ -221,9 +221,26 @@ def _fixed_units(col: Column | str, scale: int, precision: int) -> Column:
     The decimal cast is the same exact-rounding step :func:`exact_sum`
     performs (engine-identical: 10^-scale grid points are never halfway
     between doubles at the magnitudes these columns carry); shifting the
-    scale out and casting to BIGINT is exact integer arithmetic."""
+    scale out and casting to BIGINT is exact integer arithmetic.
+
+    The multiply must dodge Spark's decimal precision ADJUSTMENT: an
+    unadjusted product type of decimal(p1 + p2 + 1, scale) wider than 38
+    gets its scale clamped back toward 6 (``adjustPrecisionScale``),
+    silently ROUNDING the units before the BIGINT cast — exactness lost
+    for any scale >= 7 had we multiplied at the caller's full precision.
+    So the cast precision is capped at 36 - scale (product precision
+    p1 + (scale+1) + 1 <= 38, never adjusted, exact) and the literal is
+    cast to its minimal decimal(scale+1, 0) rather than letting Spark
+    promote the long to decimal(20, 0)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast(f"decimal({precision},{scale})") * F.lit(10**scale)).cast("bigint")
+    if not 0 <= scale <= 17:
+        raise ValueError(
+            f"scale must be in [0, 17] (10^scale must fit a decimal literal "
+            f"and leave integer digits in the 38-digit product), got {scale}"
+        )
+    p1 = min(precision, 36 - scale)
+    shift = F.lit(10**scale).cast(f"decimal({scale + 1},0)")
+    return (c.cast(f"decimal({p1},{scale})") * shift).cast("bigint")
 
 
 def exact_sum_fixed(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
@@ -248,6 +265,14 @@ def exact_sum_fixed(col: Column | str, scale: int = 6, precision: int = 28) -> C
 
         CAST(SUM(CAST(CAST(expr AS DECIMAL(28,6)) * 1000000 AS BIGINT))
              AS DOUBLE) / 1000000.0
+
+    At scales past 6 mirror the precision cap ``_fixed_units`` applies
+    (DuckDB widths ADD on multiply: ``DECIMAL(36-s, s) * DECIMAL(s+1, 0)``
+    keeps the product inside width 38 on both engines), e.g. scale 12::
+
+        CAST(SUM(CAST(CAST(expr AS DECIMAL(24,12))
+                      * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT))
+             AS DOUBLE) / 1000000000000.0
     """
     units = _fixed_units(col, scale, precision)
     return F.sum(units).cast("double") / F.lit(float(10**scale))

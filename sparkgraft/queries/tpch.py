@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgraft.ops.relational import (
-    exact_avg,
     exact_avg_fixed,
     exact_sum,
     exact_sum_fixed,

@@ -4969,7 +4969,7 @@ def q_salted_join_hotkey(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_events,
-           CAST(count(*) FILTER (WHERE event_id % 3 <> 0) AS BIGINT)
+           CAST(count(value) FILTER (WHERE event_id % 3 <> 0) AS BIGINT)
              AS n_with_value,
            CAST(sum(CAST(value AS DECIMAL(28,6)))
                 FILTER (WHERE event_id % 3 <> 0) AS DOUBLE) AS sum_value
@@ -5040,7 +5040,7 @@ def q_schema_evolution_read(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_events,
-           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+           CAST(count(value) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
              AS n_with_value,
            CAST(sum(CAST(value AS DECIMAL(28,6)))
                 FILTER (WHERE event_id % 2 = 1) AS DOUBLE) AS sum_value,

@@ -589,3 +589,38 @@ def test_mad_outliers_robust_to_planted_spike(spark, sf_dir):
         n_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
         assert out["n_outliers"] == n_out
         assert out["n"] == len(vals)
+
+
+def test_exact_sum_fixed_high_scale_stays_exact(spark):
+    """Regression: at scale >= 7 the naive units multiply
+    (decimal(28,s) * decimal(20,0)) exceeds precision 38 and Spark's
+    adjustPrecisionScale clamps the product's scale back toward 6,
+    silently rounding the fixed-point units before the BIGINT cast.
+    _fixed_units caps the cast precision at 36-scale so the product is
+    never adjusted — picogrid values must survive a scale-12 sum, and the
+    DuckDB twin (widths ADD on multiply there too) must match bitwise."""
+    import struct
+
+    import duckdb
+
+    from sparkgraft.ops.relational import exact_sum_fixed
+
+    vals = [1.000000000001, 2.000000000002, 3.000000000003]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(exact_sum_fixed("v", scale=12, precision=28).alias("s")).collect()[
+        0
+    ]["s"]
+    assert got == 6000000000006 / 1e12  # 6.000000000006, not 6.0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (?),(?),(?)) v(v)", vals)
+    twin = con.execute(
+        "SELECT CAST(SUM(CAST(CAST(v AS DECIMAL(24,12))"
+        "  * CAST(1000000000000 AS DECIMAL(13,0)) AS BIGINT)) AS DOUBLE)"
+        "  / 1000000000000.0 AS s FROM t"
+    ).fetchone()[0]
+    assert struct.pack("<d", got) == struct.pack("<d", twin)
+
+    # the default-scale path is unchanged (same type math as before the cap)
+    got6 = df.agg(exact_sum_fixed("v").alias("s")).collect()[0]["s"]
+    assert got6 == 6.0

@@ -567,3 +567,33 @@ def test_compact_two_process_stress(spark, sf_dir, tmp_path):
     assert os.path.islink(path)
     assert sorted(spark.read.parquet(catalog.resolve_table_path(path)).collect()) \
         == sorted(ev.collect())
+
+
+def test_sibling_glob_ignores_non_artifact_neighbors(tmp_path):
+    """A hand-made neighbor like ``events__old_backup`` matches the
+    trailing-* glob but is NOT a compaction artifact: it must not crash
+    recovery's int-recency sort, must never be restored over the table,
+    and must never be deleted as a superseded leftover."""
+    import os
+
+    from sparkgraft import catalog
+
+    table = str(tmp_path / "events")
+    backup = str(tmp_path / "events__old_backup")
+    artifact = str(tmp_path / ".events__old_5")
+    os.makedirs(table)
+    os.makedirs(backup)
+    os.makedirs(artifact)
+    assert catalog._sibling_glob(table, "old") == [artifact]
+
+    # table present: recovery removes the superseded artifact, nothing else
+    catalog._recover_interrupted_compaction(table)
+    assert not os.path.exists(artifact)
+    assert os.path.isdir(backup)
+
+    # table missing: restore picks the real artifact, not the lookalike
+    os.makedirs(str(tmp_path / ".events__old_7"))
+    os.rmdir(table)
+    catalog._recover_interrupted_compaction(table)
+    assert os.path.isdir(table)
+    assert os.path.isdir(backup)

@@ -100,3 +100,30 @@ def test_digest_rejects_float_columns(spark):
         digest_spark(df)
     with pytest.raises(ValueError, match="unsupported"):
         digest_oracle("SELECT 1.5::DOUBLE AS x", SF)
+
+
+def test_stray_digest_name_rejected_before_session():
+    """A --digest name outside the selected query set must be a fast
+    argparse-style error (exit 2), never a silent fall-back to a full
+    collect of the very relation digest mode exists to avoid."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "strict_audit.py"),
+            "--queries",
+            "dedup_simhash_pairs",
+            "--digest",
+            "dedup_simhash_lsh",  # typo: not a registered query name
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "--digest names not in the selected query set" in proc.stderr
+    # and it failed fast: no Spark session line in stderr
+    assert "SparkContext" not in proc.stderr

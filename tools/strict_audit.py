@@ -244,6 +244,30 @@ def main() -> int:
     from sparkgraft import registry
     from tests.oracle import run_oracle
 
+    # resolve + validate the selection BEFORE paying JVM startup: a typo
+    # should be a two-second argparse error, not a crashed audit
+    qs, oracles = registry.queries(), registry.oracles()
+    if args.queries == "window":
+        names = [n for n in registry.DRIVER_WINDOW if oracles.get(n)]
+    elif args.queries == "all":
+        names = [n for n in qs if oracles.get(n)]
+    else:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+    # a --digest name that doesn't hit a selected query would SILENTLY fall
+    # back to a full collect — on the very relations digest mode exists for,
+    # that means a driver-heap OOM (maxResultSize is 0 here), so reject it
+    stray = digest_names - set(names)
+    if stray:
+        print(
+            f"--digest names not in the selected query set: {sorted(stray)}",
+            file=sys.stderr,
+        )
+        return 2
+
     # vanilla session, like the driver (read_table sets UTC/nanos configs
     # itself); driver memory raised only when the caller asks (10x replicas)
     spark = (
@@ -259,17 +283,6 @@ def main() -> int:
         .appName("sparkgraft-strict-audit")
         .getOrCreate()
     )
-    qs, oracles = registry.queries(), registry.oracles()
-    if args.queries == "window":
-        names = [n for n in registry.DRIVER_WINDOW if oracles.get(n)]
-    elif args.queries == "all":
-        names = [n for n in qs if oracles.get(n)]
-    else:
-        names = [n.strip() for n in args.queries.split(",") if n.strip()]
-        unknown = [n for n in names if n not in qs]
-        if unknown:
-            print(f"unknown queries: {unknown}", file=sys.stderr)
-            return 2
 
     failures: dict[str, list[str]] = {}
     for i, name in enumerate(names):
