@@ -551,6 +551,7 @@ def compact_small_files(
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
     gc_age_s: float = 3600.0,
+    history: tuple[StructType, ...] | None = None,
 ) -> int:
     """Compact a parquet directory's small files into ~``target_mb`` files
     — the small-files remediation every long-running ingest needs (each
@@ -589,8 +590,25 @@ def compact_small_files(
     At 100 TB run this per PARTITION (the overwrite sink's unit), oldest
     first — compaction is embarrassingly parallel across partitions and
     each is a single coalesce-free write job.
+
+    **Schema-evolved tables are rewritten CONFORMED, never sampled**: a
+    naive ``spark.read.parquet`` on a multi-schema-version directory
+    infers its schema from one footer (``mergeSchema`` is off by
+    default), silently DROPPING columns the sampled file predates — a
+    compaction that destroys data.  So when the table carries a recorded
+    schema history (the ``_schema_history.json`` sidecar, or an explicit
+    ``history=`` from a caller that holds the table-level record — see
+    compact_partitioned_table), the rewrite reads through
+    ``read_evolved`` conformed to the CURRENT schema: every column
+    survives, widenings materialize, and the sidecar is carried into the
+    new version dir so later evolved reads stay footer-free.  A mixed
+    directory with NO history (legacy/external) is read with
+    ``mergeSchema=true``: additive drift unions correctly (missing
+    columns -> NULLs) and incompatible drift fails LOUDLY — either way,
+    never a silent column drop.
     """
     import os
+    import shutil
 
     _recover_interrupted_compaction(path)
     _gc_compaction_leftovers(path, gc_age_s)
@@ -613,7 +631,15 @@ def compact_small_files(
                 else ""
             )
         )
-    df = spark.read.parquet(src)  # same pinned version the sizing saw
+    # same pinned version the sizing saw, in all three read modes
+    if history is None:
+        history = load_schema_history(src)
+    if history:
+        from sparkgraft.io.readers import read_evolved
+
+        df = read_evolved(spark, src, history[-1], history=history)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(src)
     ns = time.time_ns()
     p = path.rstrip("/")
     tmp = _sibling(p, "compact", ns)
@@ -623,6 +649,13 @@ def compact_small_files(
         ).write.mode("errorifexists").parquet(tmp)
     else:
         df.repartition(n_files).write.mode("errorifexists").parquet(tmp)
+    if os.path.exists(os.path.join(src, _HISTORY_SIDECAR)):
+        # the version log must travel with the table: the superseded
+        # version dir (where the sidecar lives) ages out via GC
+        shutil.copy2(
+            os.path.join(src, _HISTORY_SIDECAR),
+            os.path.join(tmp, _HISTORY_SIDECAR),
+        )
     vdir = _sibling(p, "v", ns)
     os.rename(tmp, vdir)  # atomic: a __v_* dir is always complete
     if os.path.islink(p):
@@ -694,12 +727,20 @@ def compact_partitioned_table(
     - Compaction siblings (``__v_*`` version dirs, ``__compact_*`` temps,
       ``__ln_*``/``__old_*`` artifacts) are never treated as partitions.
 
+    A table-level ``_schema_history.json`` (write-side evolution) is
+    honored per leaf: each leaf's rewrite reads conformed to the current
+    schema MINUS the dir-encoded partition-key columns (those live in the
+    path, not the files — conforming to the full schema would materialize
+    NULL key columns inside the leaves and corrupt the layout).
+
     Returns ``{"compacted": n, "skipped": n, "files_written": n}``.
     Partition discovery here is filesystem listing; on a real deployment
     drive the loop from the metastore's partition list instead (same
     per-partition call).
     """
     import os
+
+    table_history = load_schema_history(resolve_table_path(root.rstrip("/")))
 
     leaves: list[str] = []
     for dirpath, dirnames, filenames in os.walk(root, followlinks=True):
@@ -719,8 +760,25 @@ def compact_partitioned_table(
         if len(parts) <= n_target:
             out["skipped"] += 1
             continue
+        leaf_history = table_history
+        if table_history:
+            rel = os.path.relpath(os.path.abspath(leaf), os.path.abspath(root))
+            keys = {
+                seg.split("=", 1)[0].lower()
+                for seg in rel.split(os.sep)
+                if "=" in seg
+            }
+            leaf_history = tuple(
+                StructType([f for f in v.fields if f.name.lower() not in keys])
+                for v in table_history
+            )
         out["files_written"] += compact_small_files(
-            spark, leaf, target_mb=target_mb, sort_cols=sort_cols, gc_age_s=gc_age_s
+            spark,
+            leaf,
+            target_mb=target_mb,
+            sort_cols=sort_cols,
+            gc_age_s=gc_age_s,
+            history=leaf_history,
         )
         out["compacted"] += 1
     return out

@@ -483,3 +483,114 @@ def test_partition_visibility_anchored_to_artifact_shape():
     visible = ["d=x__v_1y", "d=a__v_", "d=__v_x", "d=plain", "d=x__version_1"]
     assert all(catalog._is_hidden_or_sibling(n) for n in hidden)
     assert not any(catalog._is_hidden_or_sibling(n) for n in visible)
+
+
+def _evolved_table(spark, work: str, partitioned: bool):
+    """v1 era (id int, name) then v2 era (id long, name, score double),
+    written under the recorded evolution; returns the v2 spec."""
+    keys = ("batch",) if partitioned else ()
+    fields1 = [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+    ]
+    fields2 = [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+    if partitioned:
+        fields1.append(StructField("batch", IntegerType()))
+        fields2.append(StructField("batch", IntegerType()))
+    v1 = catalog.TableSpec("evo", StructType(fields1), partition_keys=keys)
+    v2 = evolve_spec(v1, StructType(fields2))
+    rows1 = [(i, f"a{i}") + ((1,) if partitioned else ()) for i in range(8)]
+    rows2 = [
+        (2**40 + i, f"b{i}", i / 2) + ((2,) if partitioned else ())
+        for i in range(8)
+    ]
+    w1 = spark.createDataFrame(rows1, v1.schema).repartition(4).write.mode("append")
+    w2 = spark.createDataFrame(rows2, v2.schema).repartition(4).write.mode("append")
+    if partitioned:
+        w1 = w1.partitionBy("batch")
+        w2 = w2.partitionBy("batch")
+    w1.parquet(work)
+    w2.parquet(work)
+    catalog.save_schema_history(work, v2)
+    return v2
+
+
+def _expected_evolved_rows():
+    exp = {i: (f"a{i}", None) for i in range(8)}
+    exp.update({2**40 + i: (f"b{i}", i / 2) for i in range(8)})
+    return exp
+
+
+def test_compact_preserves_evolved_table(spark, tmp_path, monkeypatch):
+    """Compacting a multi-schema-version table must conform, not sample:
+    the naive spark.read.parquet would infer from ONE footer and silently
+    drop `score` (or narrow `id`) for every row.  The rewrite must keep
+    all columns/values and carry the history sidecar into the new version
+    dir, so post-compaction evolved reads stay footer-free."""
+    import os
+
+    work = str(tmp_path / "evo")
+    v2 = _evolved_table(spark, work, partitioned=False)
+    n = catalog.compact_small_files(spark, work, target_mb=128)
+    assert n >= 1
+    live = catalog.resolve_table_path(work)
+    assert os.path.exists(os.path.join(live, catalog._HISTORY_SIDECAR))
+
+    _no_footer_sweep(monkeypatch)
+    got = catalog.read_spec_evolved(spark, work, v2)
+    assert got.schema == v2.schema
+    assert {r.id: (r.name, r.score) for r in got.collect()} == _expected_evolved_rows()
+
+
+def test_compact_partitioned_evolved_strips_dir_keys(spark, tmp_path, monkeypatch):
+    """Per-leaf compaction of an evolved PARTITIONED table: the conformed
+    rewrite must target the schema minus dir-encoded partition keys —
+    conforming a leaf to the full schema would materialize a NULL `batch`
+    column INSIDE the files, colliding with the path-encoded value."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    work = str(tmp_path / "evop")
+    v2 = _evolved_table(spark, work, partitioned=True)
+    out = catalog.compact_partitioned_table(spark, work, target_mb=128)
+    assert out["compacted"] == 2  # both batch leaves had 4 small files
+
+    for batch in (1, 2):
+        leaf = catalog.resolve_table_path(os.path.join(work, f"batch={batch}"))
+        for f in os.listdir(leaf):
+            if f.endswith(".parquet"):
+                cols = pq.read_schema(os.path.join(leaf, f)).names
+                assert "batch" not in cols, f"dir key materialized in {f}"
+                assert "score" in cols  # conformed, not sampled
+
+    _no_footer_sweep(monkeypatch)
+    got = catalog.read_spec_evolved(spark, work, v2)
+    rows = {r.id: (r.name, r.score, r.batch) for r in got.collect()}
+    exp = {i: (f"a{i}", None, 1) for i in range(8)}
+    exp.update({2**40 + i: (f"b{i}", i / 2, 2) for i in range(8)})
+    assert rows == exp
+
+
+def test_compact_mixed_no_history_unions_additively(spark, tmp_path):
+    """A mixed directory with NO recorded history (legacy/external) is
+    compacted with mergeSchema: additive drift unions (missing column ->
+    NULLs) instead of silently dropping whichever columns the sampled
+    footer predates."""
+    work = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(8)], "k int, a string"
+    ).repartition(4).write.mode("append").parquet(work)
+    spark.createDataFrame(
+        [(100 + i, f"b{i}", i) for i in range(8)], "k int, a string, b int"
+    ).repartition(4).write.mode("append").parquet(work)
+
+    catalog.compact_small_files(spark, work, target_mb=128)
+    got = spark.read.parquet(catalog.resolve_table_path(work))
+    assert set(got.columns) == {"k", "a", "b"}
+    rows = {r.k: (r.a, r.b) for r in got.collect()}
+    assert rows[0] == ("a0", None) and rows[100] == ("b0", 0)
