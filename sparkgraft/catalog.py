@@ -545,6 +545,96 @@ def resolve_table_path(path: str) -> str:
     return os.path.realpath(path)
 
 
+def list_table_versions(path: str) -> list[dict]:
+    """Every RETAINED snapshot of a compaction-managed table, oldest
+    first: ``{"created_ns": int, "path": str, "live": bool}``.
+
+    The ``__v_<ns>`` version dirs the swap protocol leaves behind ARE
+    snapshots — each one is the complete table as of its SUPERSESSION
+    (ingest appends land in whichever version is live, and compaction
+    freezes that state into the next version), so the retained set gives
+    compaction-pointed time travel for free, bounded by the age-gated GC
+    exactly like Delta/Iceberg time travel is bounded by VACUUM
+    retention.  A table never compacted has no snapshots (empty list).
+    On an object store the same listing comes from manifest files; the
+    semantics — pointer history over immutable file sets — are
+    identical."""
+    import os
+
+    p = path.rstrip("/")
+    if not os.path.islink(p):
+        return []
+    live = os.path.realpath(p)
+    out = []
+    for d in sorted(_sibling_glob(p, "v"), key=lambda d: int(d.rsplit("_", 1)[-1])):
+        out.append(
+            {
+                "created_ns": int(d.rsplit("_", 1)[-1]),
+                "path": d,
+                "live": os.path.realpath(d) == live,
+            }
+        )
+    return out
+
+
+def resolve_table_path_asof(path: str, ns: int) -> str:
+    """The version dir that was live AT wall-clock ``ns`` — the newest
+    retained snapshot created at or before it.  Reads against the
+    returned dir are pinned and immutable (the GC never removes a
+    version younger than the retention window, and never the live one).
+    Snapshot boundaries are compaction points: the version live at ``ns``
+    also contains any ingest appended between ``ns`` and its
+    supersession — compaction-pointed, not instant-pointed, time
+    travel."""
+    vers = [v for v in list_table_versions(path) if v["created_ns"] <= ns]
+    if not vers:
+        raise FileNotFoundError(
+            f"no retained snapshot of {path!r} at ns={ns} — snapshots are "
+            "created by compaction and retained for gc_age_s after "
+            "supersession"
+        )
+    return vers[-1]["path"]
+
+
+def restore_table_version(path: str, created_ns: int) -> str:
+    """Roll a compaction-managed table back to a retained snapshot — the
+    bad-load incident response: one atomic pointer flip (the same
+    fresh-symlink + rename the compaction swap uses), zero data copied,
+    in-flight readers keep the version they pinned.  The rolled-away
+    version is re-stamped so it gets the full GC retention window from
+    the moment it stops being live (change-of-mind rollback stays
+    possible until it ages out); after that the discarded versions GC
+    like any superseded snapshot."""
+    import os
+
+    p = path.rstrip("/")
+    if not os.path.islink(p):
+        raise ValueError(
+            f"{path!r} is not a compaction-managed table (no version "
+            "history to restore from)"
+        )
+    target = next(
+        (v for v in list_table_versions(p) if v["created_ns"] == created_ns),
+        None,
+    )
+    if target is None:
+        raise FileNotFoundError(
+            f"no retained snapshot of {path!r} with created_ns={created_ns}; "
+            f"see list_table_versions"
+        )
+    prev = os.path.realpath(p)
+    ns = time.time_ns()
+    lntmp = _sibling(p, "ln", ns)
+    os.symlink(os.path.basename(target["path"]), lntmp)
+    os.rename(lntmp, p)
+    if prev != os.path.realpath(p):
+        try:
+            os.utime(prev)
+        except FileNotFoundError:
+            pass
+    return target["path"]
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

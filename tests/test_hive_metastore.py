@@ -597,3 +597,66 @@ def test_sibling_glob_ignores_non_artifact_neighbors(tmp_path):
     catalog._recover_interrupted_compaction(table)
     assert os.path.isdir(table)
     assert os.path.isdir(backup)
+
+
+def test_table_versions_time_travel_and_restore(spark, tmp_path):
+    """The swap protocol's retained version dirs ARE snapshots:
+    list_table_versions exposes them, resolve_table_path_asof pins reads
+    to the version live at a wall-clock instant (compaction-pointed:
+    ingest appended before a version's supersession belongs to it), and
+    restore_table_version rolls the table back with one atomic pointer
+    flip — after which the GC treats the rolled-away future as any other
+    superseded snapshot and never touches the restored live version."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from sparkgraft import catalog
+
+    path = str(tmp_path / "tt")
+    spark.createDataFrame([(i,) for i in range(5)], "x int").write.parquet(path)
+
+    catalog.compact_small_files(spark, path, target_mb=128)
+    vers = catalog.list_table_versions(path)
+    # legacy migration keeps the original data as the ns-1 snapshot
+    assert len(vers) == 2 and vers[-1]["live"] and not vers[0]["live"]
+    legacy_ns, v1_ns = vers[0]["created_ns"], vers[1]["created_ns"]
+
+    # ingest lands in the LIVE version; the next compaction freezes it
+    spark.createDataFrame([(i,) for i in range(5, 8)], "x int").write.mode(
+        "append"
+    ).parquet(path)
+    catalog.compact_small_files(spark, path, target_mb=128)
+    vers = catalog.list_table_versions(path)
+    assert [v["live"] for v in vers] == [False, False, True]
+
+    # as-of reads: the pre-compaction snapshot holds the original 5 rows;
+    # now resolves to the live 8-row version
+    asof_legacy = catalog.resolve_table_path_asof(path, legacy_ns)
+    assert spark.read.parquet(asof_legacy).count() == 5
+    asof_now = catalog.resolve_table_path_asof(path, _time.time_ns())
+    assert asof_now == catalog.resolve_table_path(path)
+    assert spark.read.parquet(asof_now).count() == 8
+    with pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        catalog.resolve_table_path_asof(path, legacy_ns - 1)
+
+    # rollback: one pointer flip, table reads the snapshot content
+    restored = catalog.restore_table_version(path, legacy_ns)
+    assert os.path.realpath(path) == os.path.realpath(restored)
+    assert spark.read.parquet(path).count() == 5
+    with pytest.raises(FileNotFoundError, match="created_ns"):
+        catalog.restore_table_version(path, 123)
+
+    # GC with zero retention removes the rolled-away future versions but
+    # NEVER the restored live one
+    catalog._gc_compaction_leftovers(path, gc_age_s=0.0)
+    assert spark.read.parquet(path).count() == 5
+    remaining = catalog.list_table_versions(path)
+    assert [v["created_ns"] for v in remaining] == [legacy_ns]
+    # an un-managed plain directory has no snapshots / cannot restore
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "x int").write.parquet(plain)
+    assert catalog.list_table_versions(plain) == []
+    with pytest.raises(ValueError, match="not a compaction-managed"):
+        catalog.restore_table_version(plain, v1_ns)
