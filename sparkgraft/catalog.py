@@ -118,10 +118,17 @@ def evolve_spec(spec: TableSpec, new_schema: StructType) -> TableSpec:
                 f"(old={old.get(fold(key))}, new={new.get(fold(key))}) — "
                 "changing the layout predicate is a repartitioning migration"
             )
+    # carry the NEW schema's spelling into partition_keys: ordered_columns
+    # and the write path compare names case-sensitively, so a case-renamed
+    # key left under its old spelling would be treated as a data column AND
+    # re-appended as a phantom partition key
+    new_names = {fold(f.name): f.name for f in new_schema.fields}
     return TableSpec(
         name=spec.name,
         schema=new_schema,
-        partition_keys=spec.partition_keys,
+        partition_keys=tuple(
+            new_names.get(fold(k), k) for k in spec.partition_keys
+        ),
         schema_history=spec.full_history,
     )
 

@@ -345,7 +345,11 @@ def test_evolve_spec_folds_names_case_insensitively():
             ]
         ),
     )
-    assert p2.partition_keys == ("d",)
+    # the key carries the NEW spelling, keeping ordered_columns coherent
+    # (case-sensitive comparisons would otherwise see 'D' as a data column
+    # and re-append a phantom 'd' key)
+    assert p2.partition_keys == ("D",)
+    assert p2.ordered_columns == ["id", "D"]
 
 
 def test_schema_history_sidecar_roundtrip(tmp_path):
