@@ -75,9 +75,13 @@ def evolve_spec(spec: TableSpec, new_schema: StructType) -> TableSpec:
     step, so each key must survive the evolution with its type unchanged.
 
     The check runs against EVERY recorded version, not just the current
-    one: files written under any historical schema stay on disk forever,
-    so a column dropped in v2 and re-added in v3 must still be readable
-    from the v1 files — re-adding it with an incompatible type would
+    one: files written under any historical schema may legally remain on
+    disk indefinitely (only a compaction rewrite retires an era — Iceberg
+    semantics: the rewrite materializes the current schema, so dropped
+    columns keep their values in un-compacted files and retained
+    snapshots, and surface as NULLs where compaction already rewrote), so
+    a column dropped in v2 and re-added in v3 must still be readable from
+    any v1 files present — re-adding it with an incompatible type would
     poison every future read while passing a current-schema-only gate.
     Names fold case-insensitively, matching the evolved read's posture
     under the default ``spark.sql.caseSensitive=false`` (for a
@@ -410,6 +414,34 @@ def _sibling_glob(path: str, kind: str) -> list[str]:
     )
 
 
+def _ns_of(sibling: str) -> int:
+    """The ``<ns>`` suffix of a compaction artifact name — the ONLY valid
+    recency key (lexicographic paths sort all dotted names before undotted
+    ones, breaking recency across naming eras)."""
+    return int(sibling.rsplit("_", 1)[-1])
+
+
+def _flip_live_pointer(p: str, target_dir: str, ns: int) -> None:
+    """Atomically re-point the table symlink ``p`` at ``target_dir`` (a
+    sibling version dir) and re-stamp whichever version it rolled away
+    from — the ONE swap protocol shared by the compaction swap and
+    rollback.  The re-stamp makes the GC age gate measure time since
+    SUPERSESSION: the outgoing version gets the full retention window
+    from the moment it stops being live, however long it sat live and
+    quiet before that."""
+    import os
+
+    prev = os.path.realpath(p)
+    lntmp = _sibling(p, "ln", ns)
+    os.symlink(os.path.basename(target_dir), lntmp)
+    os.rename(lntmp, p)
+    if prev != os.path.realpath(p):
+        try:
+            os.utime(prev)
+        except FileNotFoundError:
+            pass
+
+
 def _recover_interrupted_compaction(path: str) -> None:
     """Heal a compaction that crashed mid-swap (see compact_small_files):
     if the table path is missing and a ``__old_*`` sibling exists, the
@@ -429,7 +461,7 @@ def _recover_interrupted_compaction(path: str) -> None:
     # recency order must come from the int ns suffix, same as `vers` below:
     # dotted names ('.x__old_*') sort lexicographically before undotted
     # ('x__old_*'), so a name sort would restore by era, not by recency
-    olds = sorted(_sibling_glob(p, "old"), key=lambda d: int(d.rsplit("_", 1)[-1]))
+    olds = sorted(_sibling_glob(p, "old"), key=_ns_of)
     if not os.path.lexists(p):
         if olds:
             os.rename(olds.pop(), p)
@@ -438,9 +470,7 @@ def _recover_interrupted_compaction(path: str) -> None:
             # legacy-undotted versions of the same table must interleave
             # by recency, and lexicographic paths would sort all dotted
             # names first
-            vers = sorted(
-                _sibling_glob(p, "v"), key=lambda d: int(d.rsplit("_", 1)[-1])
-            )
+            vers = sorted(_sibling_glob(p, "v"), key=_ns_of)
             if vers:
                 os.symlink(os.path.basename(vers[-1]), p)
     for d in olds:
@@ -573,10 +603,10 @@ def list_table_versions(path: str) -> list[dict]:
         return []
     live = os.path.realpath(p)
     out = []
-    for d in sorted(_sibling_glob(p, "v"), key=lambda d: int(d.rsplit("_", 1)[-1])):
+    for d in sorted(_sibling_glob(p, "v"), key=_ns_of):
         out.append(
             {
-                "created_ns": int(d.rsplit("_", 1)[-1]),
+                "created_ns": _ns_of(d),
                 "path": d,
                 "live": os.path.realpath(d) == live,
             }
@@ -605,13 +635,19 @@ def resolve_table_path_asof(path: str, ns: int) -> str:
 
 def restore_table_version(path: str, created_ns: int) -> str:
     """Roll a compaction-managed table back to a retained snapshot — the
-    bad-load incident response: one atomic pointer flip (the same
-    fresh-symlink + rename the compaction swap uses), zero data copied,
-    in-flight readers keep the version they pinned.  The rolled-away
-    version is re-stamped so it gets the full GC retention window from
-    the moment it stops being live (change-of-mind rollback stays
-    possible until it ages out); after that the discarded versions GC
-    like any superseded snapshot."""
+    bad-load incident response.  Restore creates a NEW version (Delta's
+    RESTORE-as-new-commit semantics) built as a hardlink farm over the
+    target snapshot's files — zero bytes copied, O(files) metadata ops —
+    then flips the live pointer with the standard swap.  Appending a new
+    version instead of re-pointing at the old dir keeps the as-of
+    timeline LINEAR: ``resolve_table_path_asof(now)`` resolves to the
+    restored content (not the rolled-away bad load), as-of reads inside
+    the rolled-away window still see that window's version until it ages
+    out, and the GC needs no special cases — the hardlinks keep the
+    restored data alive even after the original snapshot dir is
+    reclaimed.  In-flight readers keep whatever version they pinned; the
+    rolled-away version gets the full post-supersession retention
+    (change-of-mind rollback stays possible until it ages out)."""
     import os
 
     p = path.rstrip("/")
@@ -629,17 +665,18 @@ def restore_table_version(path: str, created_ns: int) -> str:
             f"no retained snapshot of {path!r} with created_ns={created_ns}; "
             f"see list_table_versions"
         )
-    prev = os.path.realpath(p)
     ns = time.time_ns()
-    lntmp = _sibling(p, "ln", ns)
-    os.symlink(os.path.basename(target["path"]), lntmp)
-    os.rename(lntmp, p)
-    if prev != os.path.realpath(p):
-        try:
-            os.utime(prev)
-        except FileNotFoundError:
-            pass
-    return target["path"]
+    tmp = _sibling(p, "compact", ns)
+    for dirpath, _dirnames, filenames in os.walk(target["path"]):
+        rel = os.path.relpath(dirpath, target["path"])
+        dst = os.path.join(tmp, rel) if rel != "." else tmp
+        os.makedirs(dst, exist_ok=True)
+        for f in filenames:
+            os.link(os.path.join(dirpath, f), os.path.join(dst, f))
+    vdir = _sibling(p, "v", ns)
+    os.rename(tmp, vdir)
+    _flip_live_pointer(p, vdir, ns)
+    return vdir
 
 
 def compact_small_files(
@@ -728,24 +765,47 @@ def compact_small_files(
                 else ""
             )
         )
-    # same pinned version the sizing saw, in all three read modes
+    # same pinned version the sizing saw, in all three read modes.
+    # NOTE the dropped-column lifecycle (Iceberg semantics): the rewrite
+    # materializes the CURRENT schema, so a column dropped from the spec
+    # survives only in files not yet compacted and in retained snapshot
+    # dirs — a later re-add surfaces its values from those, and NULLs
+    # where compaction already rewrote.  evolve_spec still validates
+    # re-adds against every recorded version because un-compacted files
+    # of any era may legally remain on disk.
     if history is None:
         history = load_schema_history(src)
-    if history:
-        from sparkgraft.io.readers import read_evolved
+    # read_evolved pins the session timezone to UTC (needed for its own
+    # decode semantics); a maintenance call must not leak that into the
+    # caller's session — save/restore around the whole rewrite, since the
+    # conf is consulted when the write job executes, not at plan time
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        if history:
+            from sparkgraft.io.readers import read_evolved
 
-        df = read_evolved(spark, src, history[-1], history=history)
-    else:
-        df = spark.read.option("mergeSchema", "true").parquet(src)
-    ns = time.time_ns()
-    p = path.rstrip("/")
-    tmp = _sibling(p, "compact", ns)
-    if sort_cols:
-        df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        ).write.mode("errorifexists").parquet(tmp)
-    else:
-        df.repartition(n_files).write.mode("errorifexists").parquet(tmp)
+            df = read_evolved(spark, src, history[-1], history=history)
+        else:
+            # no recorded history: merge footers rather than sample one
+            # (additive drift unions, incompatible drift fails loudly).
+            # Deliberately NOT auto-recording a sidecar from the merged
+            # schema: history is a WRITER contract, and a table whose
+            # writers don't maintain it would silently invalidate an
+            # auto-recorded log on the next mixed append — the per-call
+            # footer merge is a small constant next to the rewrite itself.
+            df = spark.read.option("mergeSchema", "true").parquet(src)
+        ns = time.time_ns()
+        p = path.rstrip("/")
+        tmp = _sibling(p, "compact", ns)
+        if sort_cols:
+            df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            ).write.mode("errorifexists").parquet(tmp)
+        else:
+            df.repartition(n_files).write.mode("errorifexists").parquet(tmp)
+    finally:
+        if prev_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     if os.path.exists(os.path.join(src, _HISTORY_SIDECAR)):
         # the version log must travel with the table: the superseded
         # version dir (where the sidecar lives) ages out via GC
@@ -758,23 +818,9 @@ def compact_small_files(
     if os.path.islink(p):
         # steady state: one atomic symlink rename — no reader window at
         # all; the superseded version dir stays for in-flight readers
-        # until a later call's age-gated GC
-        lntmp = _sibling(p, "ln", ns)
-        os.symlink(os.path.basename(vdir), lntmp)
-        os.rename(lntmp, p)
-        # Re-stamp the superseded version dir NOW: the GC age gate keys off
-        # the newest tree mtime, and a version that sat live (quiet) for
-        # longer than gc_age_s would otherwise be GC-eligible the instant
-        # the symlink moved away — racing a reader that pinned it via
-        # resolve_table_path just before this swap.  Bumping the dir's own
-        # mtime makes the gate measure time SINCE SUPERSESSION, so every
-        # superseded version gets the full gc_age_s retention from the
-        # moment it stops being live.
-        if src != os.path.realpath(p):
-            try:
-                os.utime(src)
-            except FileNotFoundError:
-                pass
+        # until a later call's age-gated GC, with the supersession
+        # re-stamp (see _flip_live_pointer) starting its retention clock
+        _flip_live_pointer(p, vdir, ns)
     else:
         # one-time legacy migration of a plain directory: the classic
         # two-step window (rename away, then symlink in).  The original

@@ -641,19 +641,31 @@ def test_table_versions_time_travel_and_restore(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no retained snapshot"):
         catalog.resolve_table_path_asof(path, legacy_ns - 1)
 
-    # rollback: one pointer flip, table reads the snapshot content
+    # rollback: restore appends a NEW version (hardlink farm over the
+    # snapshot — zero bytes copied) so the as-of timeline stays linear
     restored = catalog.restore_table_version(path, legacy_ns)
     assert os.path.realpath(path) == os.path.realpath(restored)
     assert spark.read.parquet(path).count() == 5
+    vers = catalog.list_table_versions(path)
+    assert len(vers) == 4 and vers[-1]["live"]
+    restore_ns = vers[-1]["created_ns"]
+    # as-of NOW resolves to the restored content, NOT the rolled-away bad
+    # load; as-of inside the rolled-away window still sees that version
+    assert catalog.resolve_table_path_asof(path, _time.time_ns()) == restored
+    v2_ns = vers[2]["created_ns"]
+    assert spark.read.parquet(
+        catalog.resolve_table_path_asof(path, v2_ns)
+    ).count() == 8
     with pytest.raises(FileNotFoundError, match="created_ns"):
         catalog.restore_table_version(path, 123)
 
-    # GC with zero retention removes the rolled-away future versions but
-    # NEVER the restored live one
+    # GC with zero retention removes every superseded version — including
+    # the snapshot the restore was built FROM — but never the live one;
+    # the hardlinks keep the restored data alive through that reclaim
     catalog._gc_compaction_leftovers(path, gc_age_s=0.0)
     assert spark.read.parquet(path).count() == 5
     remaining = catalog.list_table_versions(path)
-    assert [v["created_ns"] for v in remaining] == [legacy_ns]
+    assert [v["created_ns"] for v in remaining] == [restore_ns]
     # an un-managed plain directory has no snapshots / cannot restore
     plain = str(tmp_path / "plain")
     spark.createDataFrame([(1,)], "x int").write.parquet(plain)

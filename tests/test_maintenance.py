@@ -598,3 +598,23 @@ def test_compact_mixed_no_history_unions_additively(spark, tmp_path):
     assert set(got.columns) == {"k", "a", "b"}
     rows = {r.k: (r.a, r.b) for r in got.collect()}
     assert rows[0] == ("a0", None) and rows[100] == ("b0", 0)
+
+
+def test_compact_does_not_leak_session_timezone(spark, tmp_path):
+    """The conformed rewrite goes through read_evolved, which pins the
+    session timezone to UTC for its own decode semantics — a MAINTENANCE
+    call must not leak that into the caller's session (an Asia/Seoul
+    session would silently start rendering and casting timestamps as UTC
+    after running compaction mid-session)."""
+    work = str(tmp_path / "evotz")
+    _evolved_table(spark, work, partitioned=False)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        catalog.compact_small_files(spark, work, target_mb=128)
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Seoul"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # and the compacted content is still the conformed table
+    got = spark.read.parquet(catalog.resolve_table_path(work))
+    assert got.count() == 16 and "score" in got.columns
