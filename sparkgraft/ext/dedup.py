@@ -54,11 +54,20 @@ MINHASH_B: list[int] = [int(b) for b in _rng.randint(0, MINHASH_P, size=64)]
 def shingle_expr(tok_col: str = "__toks", n: int = 3) -> str:
     """SQL fragment: word n-gram shingles of a token-array column.
 
-    Docs shorter than n tokens yield one shingle (the whole doc).
+    Docs shorter than n tokens (but non-empty) yield one shingle (the
+    whole doc).  Docs with ZERO tokens (empty/whitespace-only text) yield
+    ZERO shingles and therefore drop out of every near-dup lane — the
+    deliberate policy: empty documents carry no shingle signal and belong
+    to exact dedup; pairing N of them as "near-duplicates" is an N²
+    blowup of no value at corpus scale.  (The previous degenerate ''
+    shingle did exactly that — and diverged from the DuckDB oracle, whose
+    ``array_to_string([], ' ')`` is NULL, not ''.)  NULL token arrays
+    (NULL text) also produce NULL -> no shingles, same on both engines.
     """
     parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
     return (
-        f"CASE WHEN size({tok_col}) < {n}"
+        f"CASE WHEN size({tok_col}) = 0 THEN array()"
+        f" WHEN size({tok_col}) < {n}"
         f" THEN array(concat_ws(' ', {tok_col}))"
         f" ELSE transform(sequence(1, size({tok_col}) - {n - 1}),"
         f" i -> concat_ws(' ', {parts})) END"
@@ -1026,8 +1035,16 @@ def incremental_bloom_dedup(
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     spark = batch.sparkSession
     h_expr = HASH64_SQL.format(x=text_col)
-    hist = history.selectExpr(f"{h_expr} AS __h", f"{text_col} AS __t")
-    bat = batch.selectExpr(id_col, f"{h_expr} AS __h", f"{text_col} AS __t")
+    # NULL text can never equal anything (SQL semantics — the oracle's
+    # EXISTS never matches it), so drop it BEFORE hashing: a NULL __h
+    # would flip the Arrow batch to float64, rounding 64-bit hashes at
+    # 2^53 and silently desynchronizing build-vs-probe Bloom indices
+    hist = history.where(F.col(text_col).isNotNull()).selectExpr(
+        f"{h_expr} AS __h", f"{text_col} AS __t"
+    )
+    bat = batch.where(F.col(text_col).isNotNull()).selectExpr(
+        id_col, f"{h_expr} AS __h", f"{text_col} AS __t"
+    )
 
     def _build(pdfs):
         bits = np.zeros(n_bits // 8, dtype=np.uint8)

@@ -62,17 +62,24 @@ def decode_features(
                     "container); pass fake=True for the deterministic stub"
                 )
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            head = payloads.map(lambda b: b[0] if len(b) else 0)
+            # nullable Int32 end to end: a NULL payload (absent media)
+            # decodes to NULL features — len(None) would throw mid-job,
+            # and the oracle's byte arithmetic over NULL text is NULL
+            n_bytes = payloads.map(
+                lambda b: None if b is None else len(b)
+            ).astype("Int32")
+            head = payloads.map(
+                lambda b: None if b is None else (b[0] if len(b) else 0)
+            ).astype("Int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "head_byte": head.astype("int32"),
+                    "n_bytes": n_bytes,
+                    "head_byte": head,
                     # fake "decoded dimensions": deterministic functions of
                     # the byte stream a real decoder would replace
-                    "fake_width": (n_bytes % 640).astype("int32"),
-                    "fake_height": (head.astype("int64") * 3 % 480).astype("int32"),
+                    "fake_width": (n_bytes % 640).astype("Int32"),
+                    "fake_height": (head.astype("Int64") * 3 % 480).astype("Int32"),
                 }
             )
 
@@ -107,6 +114,9 @@ def frame_sample(
                 )
             out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # absent media has no frames (oracle: unnest
+                    # of a NULL series emits zero rows for NULL text)
                 n_windows = (len(payload) + frame_bytes - 1) // frame_bytes
                 for w in range(0, n_windows, every_n):
                     frame = payload[w * frame_bytes : (w + 1) * frame_bytes]
@@ -192,7 +202,14 @@ def build_pointer_fixture(spark, df: DataFrame, blob_path: str,
     os.makedirs(os.path.dirname(blob_path), exist_ok=True)
     with open(blob_path, "wb") as f:
         for r in rows:
-            payload = (r[1] or "").encode("utf-8")
+            if r[1] is None:
+                # NULL content has NO payload: a NULL pointer, not a
+                # zero-length range ('' is a real, fetchable empty payload;
+                # NULL is absence — the fetch emits NULL stats for it,
+                # matching octet_length(encode(NULL)) = NULL)
+                ptrs.append((r[0], None))
+                continue
+            payload = r[1].encode("utf-8")
             f.write(payload)
             ptrs.append((r[0], (blob_path, off, len(payload))))
             off += len(payload)
@@ -220,11 +237,19 @@ def fetch_payload_ranges(df: DataFrame, pointer_col: str = POINTER_FIELD) -> Dat
                 continue
             ids = pdf["doc_id"].to_numpy()
             ptrs = list(pdf[pointer_col])
+            # NULL pointers (absent media) fetch nothing and emit NULL
+            # stats; they are excluded from the seek ordering entirely.
+            # Arrow->pandas renders a NULL struct as either None or a
+            # dict of NaNs depending on the batch — treat both as absent
+            def _absent(p) -> bool:
+                return p is None or p.get("path") is None
+
             order = sorted(
-                range(len(ptrs)), key=lambda i: (ptrs[i]["path"], ptrs[i]["offset"])
+                (i for i in range(len(ptrs)) if not _absent(ptrs[i])),
+                key=lambda i: (ptrs[i]["path"], ptrs[i]["offset"]),
             )
-            n_bytes = [0] * len(ptrs)
-            digests = [""] * len(ptrs)
+            n_bytes: list[int | None] = [None] * len(ptrs)
+            digests: list[str | None] = [None] * len(ptrs)
             open_path, handle = None, None
             try:
                 for i in order:
@@ -234,9 +259,12 @@ def fetch_payload_ranges(df: DataFrame, pointer_col: str = POINTER_FIELD) -> Dat
                             handle.close()
                         open_path = p["path"]
                         handle = open(open_path, "rb")
-                    handle.seek(p["offset"])
-                    payload = handle.read(p["length"])
-                    if len(payload) != p["length"]:
+                    # int(): when a batch contains any NULL struct, Arrow
+                    # hands back float64 offset/length for EVERY row, and
+                    # file.seek/read reject floats
+                    handle.seek(int(p["offset"]))
+                    payload = handle.read(int(p["length"]))
+                    if len(payload) != int(p["length"]):
                         raise IOError(
                             f"short read at {open_path}:{p['offset']}: "
                             f"wanted {p['length']}, got {len(payload)}"

@@ -64,16 +64,24 @@ def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     alpha = f"length(regexp_replace(lower(trim({col})), '[^a-z]', ''))"
     stop_hits = _count_in_set(t, STOPWORDS)
     tok_len_sum = f"aggregate({t}, 0L, (acc, x) -> acc + length(x))"
+    # try_divide, not '/': an empty document (n_chars = n_tok = 0) must
+    # yield NULL ratios, not an ANSI DIVIDE_BY_ZERO that kills the whole
+    # job — and NULL is exactly what DuckDB's double division returns on a
+    # zero denominator, so the oracle twin needs no change. On non-empty
+    # documents try_divide is bit-identical to '/'.
     return df.selectExpr(
         id_col,
         f"CAST({n_tok} AS BIGINT) AS n_tokens",
         f"CAST({n_chars} AS BIGINT) AS n_chars",
-        f"round({alpha} / CAST({n_chars} AS DOUBLE), 6) AS alpha_ratio",
-        f"round({stop_hits} / CAST({n_tok} AS DOUBLE), 6) AS stopword_ratio",
-        f"round({tok_len_sum} / CAST({n_tok} AS DOUBLE), 6) AS avg_token_len",
-        f"round(0.4 * ({alpha} / CAST({n_chars} AS DOUBLE))"
+        f"round(try_divide({alpha}, CAST({n_chars} AS DOUBLE)), 6) AS alpha_ratio",
+        f"round(try_divide({stop_hits}, CAST({n_tok} AS DOUBLE)), 6)"
+        " AS stopword_ratio",
+        f"round(try_divide({tok_len_sum}, CAST({n_tok} AS DOUBLE)), 6)"
+        " AS avg_token_len",
+        f"round(0.4 * try_divide({alpha}, CAST({n_chars} AS DOUBLE))"
         f" + 0.3 * least(1.0, {n_tok} / 100.0)"
-        f" + 0.3 * least(1.0, 3.0 * ({stop_hits} / CAST({n_tok} AS DOUBLE))), 6)"
+        f" + 0.3 * least(1.0, 3.0 * try_divide({stop_hits},"
+        f" CAST({n_tok} AS DOUBLE))), 6)"
         " AS quality_score",
     )
 
@@ -218,10 +226,13 @@ def gopher_repetition(
     for n in (2, 3):
         s = shingle_expr("__t", n)
         cols.append(F.expr(f"CAST(size({s}) AS BIGINT)").alias(f"n_{n}grams"))
+        # try_divide: an empty doc has ZERO shingles (shingle_expr's
+        # zero-token branch) -> 0/0 must be NULL, not an ANSI error;
+        # DuckDB's double division is NULL on zero already
         cols.append(
             F.expr(
-                f"round((size({s}) - size(array_distinct({s})))"
-                f" / CAST(size({s}) AS DOUBLE), 6)"
+                f"round(try_divide(size({s}) - size(array_distinct({s})),"
+                f" CAST(size({s}) AS DOUBLE)), 6)"
             ).alias(f"dup_{n}gram_ratio")
         )
     return toked.select(*cols)
@@ -457,5 +468,10 @@ def linear_classifier(
             f"CASE WHEN size({tks}) = 0 THEN CAST(0.0 AS DOUBLE)"
             f" ELSE round({milli_sum} / (1000.0 * size({tks})), 6) END"
         ).alias("score"),
-        F.expr(f"size({tks}) > 0 AND {milli_sum} > 0").alias("keep"),
+        # coalesce: NULL text must be keep=false, not keep=NULL — absent
+        # content is not keepable, and the DuckDB twin already collapses
+        # to false via three-valued `NULL AND false`
+        F.expr(f"coalesce(size({tks}) > 0 AND {milli_sum} > 0, false)").alias(
+            "keep"
+        ),
     )

@@ -2263,7 +2263,11 @@ def q_streaming_windowed_counts(spark, sf_dir):
            first_value(value) OVER w AS lowest,
            nth_value(value, 2) OVER w AS second_lowest
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    -- NULLS FIRST matches Spark's ascending sort default (and therefore
+    -- the scalable_row_number chunk sorts the Spark side is built on);
+    -- DuckDB's own default is NULLS LAST, which would silently diverge
+    -- the moment a NULL value appears
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
     ORDER BY event_id
     """,
 )
@@ -2896,8 +2900,11 @@ def q_incremental_view_merge(spark, sf_dir):
     """
     WITH binned AS (
       SELECT event_type, value,
+             -- NULLS FIRST matches Spark's ascending default; DuckDB's
+             -- own default is NULLS LAST, which would silently diverge
+             -- the moment a NULL value appears
              ntile(10) OVER (PARTITION BY event_type
-                             ORDER BY value, event_id) AS decile
+                             ORDER BY value NULLS FIRST, event_id) AS decile
       FROM events)
     SELECT event_type, decile,
            count(*) AS n,
@@ -3446,7 +3453,8 @@ from sparkgraft import registry_corpus  # noqa: E402,F401  (registration side ef
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events)
+      FROM events
+      WHERE value IS NOT NULL)
     SELECT event_type,
            round(avg(value), 6) AS median_value,
            CAST(max(n) AS BIGINT) AS n
@@ -3470,7 +3478,14 @@ def q_value_median_exact(spark, sf_dir):
     """
     from sparkgraft.ops.windows import group_sizes, scalable_row_number
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # a median is over the OBSERVED values: NULLs are excluded up front on
+    # both engines (ranking them would also diverge — Spark orders NULLS
+    # FIRST ascending, DuckDB NULLS LAST)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .where(F.col("value").isNotNull())
+    )
     ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
     return (
         ranked.join(F.broadcast(group_sizes(ev, ["event_type"])), "event_type")
@@ -4697,7 +4712,8 @@ def q_orc_roundtrip_events(spark, sf_dir):
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events),
+      FROM events
+      WHERE value IS NOT NULL),
     med AS (
       SELECT event_type, round(avg(value), 6) AS med,
              CAST(max(n) AS BIGINT) AS n
@@ -4705,7 +4721,8 @@ def q_orc_roundtrip_events(spark, sf_dir):
       GROUP BY event_type),
     d AS (
       SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.n
-      FROM events e JOIN med m USING (event_type)),
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL),
     r2 AS (
       SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY dev, event_id) AS rn2
@@ -4741,7 +4758,14 @@ def q_value_mad_outliers(spark, sf_dir):
     hash is engine-stable."""
     from sparkgraft.ops.windows import group_sizes, scalable_row_number
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # MAD statistics are over the OBSERVED values: NULLs excluded up front
+    # on both engines (same policy + null-ordering rationale as
+    # value_median_exact)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .where(F.col("value").isNotNull())
+    )
     sizes = group_sizes(ev, ["event_type"])
     mid = (F.col("__rn") == F.expr("(__n + 1) div 2")) | (
         F.col("__rn") == F.expr("__n div 2 + 1")

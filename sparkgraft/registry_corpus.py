@@ -313,7 +313,16 @@ def q_corpus_stratified_sample(spark, sf_dir):
     f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     ch AS (SELECT doc_id, i AS ci,
-                  array_to_string(t[(i*3+1):(i*3+3)], ' ') AS chunk
+                  -- coalesce to '' for an EMPTY slice (an empty doc's one
+                  -- degenerate chunk): Spark's array_join([], ' ') is '',
+                  -- DuckDB's array_to_string([], ' ') is NULL — the ''
+                  -- chunk participates in boilerplate counting like any
+                  -- other, so >=3 empty docs scrub to clean_text = '' on
+                  -- both engines.  NULL-text docs keep a NULL chunk (the
+                  -- CASE guard), never boilerplate, surviving unscathed.
+                  CASE WHEN t IS NULL THEN NULL
+                       ELSE coalesce(array_to_string(t[(i*3+1):(i*3+3)], ' '),
+                                     '') END AS chunk
            FROM tok,
                 unnest(range(greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1))) AS u(i)),
     bp AS (SELECT chunk FROM (

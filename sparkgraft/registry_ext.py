@@ -32,9 +32,13 @@ def _hash64_d(x: str) -> str:
 
 
 def _shingles_d(t: str = "t", n: int = 3) -> str:
+    """DuckDB twin of ext/dedup.shingle_expr — including the zero-token
+    branch: empty docs yield ZERO shingles on both engines (see the
+    policy note on shingle_expr)."""
     parts = ", ".join(f"{t}[i + {j}]" for j in range(n))
     return (
-        f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')]"
+        f"CASE WHEN len({t}) = 0 THEN []"
+        f" WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')]"
         f" ELSE list_transform(generate_series(1, len({t}) - {n - 1}),"
         f" i -> concat_ws(' ', {parts})) END"
     )
@@ -1108,7 +1112,9 @@ def q_embed_vector_algebra(spark, sf_dir):
              CAST(user_id % 10 + 1 AS BIGINT) AS w
       FROM events)
     SELECT event_type,
-           CAST(sum(iv * w) AS BIGINT) / CAST(sum(w) AS BIGINT) AS wmean_centi
+           CAST(sum(iv * w) AS BIGINT)
+             / CAST(sum(w) FILTER (WHERE iv IS NOT NULL) AS BIGINT)
+             AS wmean_centi
     FROM sc GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1138,9 +1144,16 @@ def q_grouped_weighted_mean_pandas(spark, sf_dir):
 
     def _wmean(iv, w):
         # un-annotated on purpose (PEP 563 strings break pandas_udf here);
-        # exact int64 dot product, then one IEEE division
-        a = iv.to_numpy(dtype="int64")
-        b = w.to_numpy(dtype="int64")
+        # exact int64 dot product, then one IEEE division.  NULL values
+        # (NaN iv) are excluded as PAIRS — weight and value together, the
+        # standard weighted-mean convention, mirrored by the oracle's
+        # FILTER (WHERE iv IS NOT NULL) on the weight sum; a bare
+        # to_numpy('int64') would turn NaN into -2^63 garbage instead
+        valid = iv.notna()
+        a = iv[valid].to_numpy(dtype="int64")
+        b = w[valid].to_numpy(dtype="int64")
+        if len(a) == 0:
+            return None  # all-NULL group: NULL/NULL -> NULL on both engines
         return int((a * b).sum()) / int(b.sum())
 
     wmean = pandas_udf(_wmean, "double", PandasUDFType.GROUPED_AGG)
@@ -1221,10 +1234,14 @@ def q_grouped_demean_applyinpandas(spark, sf_dir):
 
         # half-away-from-zero to match SQL round() — pandas .round() is
         # banker's (half-to-even) and disagrees on exact .5 inputs
-        v = pdf["value"].to_numpy() * 100
+        v = pdf["value"].to_numpy(dtype="float64") * 100
+        # nullable Int64, NOT int64: astype('int64') of a NaN (NULL value)
+        # is garbage (-2^63-ish) that silently poisons the group sum; <NA>
+        # propagates instead, matching the oracle's NULL arithmetic, and
+        # .sum() skips it exactly like SQL's SUM
         centi = pd.Series(
-            np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64"), index=pdf.index
-        )
+            np.copysign(np.floor(np.abs(v) + 0.5), v), index=pdf.index
+        ).astype("Int64")
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
