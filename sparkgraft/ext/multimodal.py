@@ -144,15 +144,26 @@ def resize_stub(
                     "real resampling requires PIL (not in this container); "
                     "pass fake=True for the geometry-only stub"
                 )
-            w = pdf["fake_width"].clip(lower=1)
-            h = pdf["fake_height"].clip(lower=1)
-            out_h = (h * target_width / w).round().astype("int32").clip(lower=1)
+            # nullable Int32 end to end: decode_features emits NULL dims
+            # for absent media (NULL payloads), which arrive here as NaN —
+            # astype('int32') would raise on the first such row, killing
+            # the decode->resize chain one operator after the decode fix.
+            # NULL dims plan a NULL resize (out_width included: no media,
+            # no plan), and <NA> propagates through the geometry math.
+            w = pdf["fake_width"].astype("Int32").clip(lower=1)
+            h = pdf["fake_height"].astype("Int32").clip(lower=1)
+            out_h = (
+                (h.astype("Float64") * target_width / w).round().astype("Int32")
+            ).clip(lower=1)
+            out_w = pd.Series(target_width, index=pdf.index, dtype="Int32").where(
+                w.notna()
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
-                    "out_width": target_width,
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w,
                     "out_height": out_h,
                 }
             )

@@ -507,10 +507,17 @@ def q_corpus_e2e_curation(spark, sf_dir):
     feats = docs.select(
         "doc_id",
         F.expr(f"CAST({n_tok} AS BIGINT)").alias("n_tokens"),
+        # try_divide, same rationale as ext/text.quality_features: an empty
+        # doc must score NULL (then fail the >= 0.3 screen), not raise an
+        # ANSI DIVIDE_BY_ZERO — surviving only because the n_tokens >= 40
+        # conjunct happened to short-circuit first is an optimizer accident,
+        # not a guarantee
         F.expr(
-            f"round(0.4 * ({alpha} / CAST(length(trim(text)) AS DOUBLE))"
+            f"round(0.4 * try_divide({alpha},"
+            " CAST(length(trim(text)) AS DOUBLE))"
             f" + 0.3 * least(1.0, {n_tok} / 100.0)"
-            f" + 0.3 * least(1.0, 3.0 * ({stop_hits} / CAST({n_tok} AS DOUBLE))), 6)"
+            f" + 0.3 * least(1.0, 3.0 * try_divide({stop_hits},"
+            f" CAST({n_tok} AS DOUBLE))), 6)"
         ).alias("quality_score"),
         F.expr(
             f"CASE WHEN {n_tok} > 0"

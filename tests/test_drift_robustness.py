@@ -51,3 +51,49 @@ def test_lane_survives_null_content_bitwise(spark, drift_dir, name):
     opdf = run_oracle(registry.oracles()[name], drift_dir)
     errs = _bit_compare(spdf, opdf)
     assert not errs, f"{name} diverged on drift data: {errs[:3]}"
+
+
+def test_empty_docs_emit_zero_neardup_pairs(spark):
+    """The zero-shingle policy's scale claim, pinned: a corpus of many
+    empty/whitespace-only docs emits NO near-dup candidates at all (they
+    drop at the shingle stage), instead of the N^2/2 pair blowup the old
+    degenerate '' shingle produced.  Exact dedup still groups them — that
+    is where byte-identical empties belong."""
+    from sparkgraft.ext.dedup import (
+        exact_dups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        normalized_dup_groups,
+    )
+
+    rows = [(i, "" if i % 2 else "   ") for i in range(200)]
+    rows.append((1000, "a real document with several words in it"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    # exact dedup still owns them: byte-exact groups the two literal
+    # contents, whitespace-normalized folds all 200 into one class
+    assert {r.n_copies for r in exact_dups(docs).collect()} == {1, 100}
+    assert 200 in {r.n_copies for r in normalized_dup_groups(docs).collect()}
+
+
+def test_resize_stub_survives_null_payloads(spark):
+    """decode -> resize must carry absent media END to end: decode emits
+    NULL features for a NULL payload, and resize plans NULL geometry for
+    them instead of dying in astype('int32') on the first NaN."""
+    from sparkgraft.ext.multimodal import attach_payload, decode_features, resize_stub
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in resize_stub(
+            decode_features(attach_payload(docs), fake=True), fake=True
+        ).collect()
+    }
+    assert out[1].out_width == 224 and out[1].out_height >= 1
+    assert (out[2].width, out[2].out_width, out[2].out_height) == (None, None, None)
+    # empty payload is real media of zero bytes: clipped to 1x1 geometry
+    assert out[3].width == 1 and out[3].out_width == 224

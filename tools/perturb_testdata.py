@@ -80,6 +80,17 @@ def perturb(src: str, dst: str) -> None:
             tab = pq.read_table(sp)
             tab = _set_where(tab, "text", "doc_id", 37, "")
             tab = _null_where(tab, "text", "doc_id", 41)
+            # keep the DERIVED column consistent: a real regeneration with
+            # empty/NULL text would carry n_chars = 0/NULL, and several
+            # lanes read n_chars directly rather than deriving it — a rig
+            # with text='' but n_chars=473 certifies them against inputs
+            # that cannot occur (verified n_chars == length(text) on every
+            # clean row, so re-deriving is a no-op for unperturbed docs)
+            tab = tab.set_column(
+                tab.schema.get_field_index("n_chars"),
+                "n_chars",
+                pc.cast(pc.utf8_length(tab["text"]), pa.int64()),
+            )
             pq.write_table(tab, dp)
         elif t == "customer":
             tab = pq.read_table(sp)
