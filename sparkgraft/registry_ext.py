@@ -1283,17 +1283,28 @@ def q_multimodal_frame_sample(spark, sf_dir):
     "multimodal_decode_stub",
     """
     -- the fake decoder's outputs are pure byte arithmetic over the payload
-    -- (utf-8 of `text`; documents are ASCII, so char ops == byte ops):
-    -- n_bytes = len, head_byte = first byte, fake dims derived from both
+    -- (utf-8 of `text`), expressed BYTE-TRUE so the oracle stays valid if
+    -- a testdata regeneration ever adds non-ASCII: n_bytes counts utf-8
+    -- bytes (octet_length, not char length), and head_byte is the first
+    -- UTF-8 byte reconstructed from the first codepoint's lead-byte
+    -- arithmetic (cp < 0x80 -> cp; < 0x800 -> 192 + cp>>6;
+    -- < 0x10000 -> 224 + cp>>12; else 240 + cp>>18)
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE CASE
+                    WHEN unicode(text) < 128 THEN unicode(text)
+                    WHEN unicode(text) < 2048 THEN 192 + unicode(text) // 64
+                    WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
+                    ELSE 240 + unicode(text) // 262144 END END AS hb
+      FROM documents)
     SELECT doc_id,
-           CAST(length(text) AS INT) AS n_bytes,
-           CAST(CASE WHEN length(text) = 0 THEN 0
-                     ELSE ascii(substr(text, 1, 1)) END AS INT) AS head_byte,
-           CAST(length(text) % 640 AS INT) AS fake_width,
-           CAST((CASE WHEN length(text) = 0 THEN 0
-                      ELSE ascii(substr(text, 1, 1)) END) * 3 % 480 AS INT)
-             AS fake_height
-    FROM documents
+           CAST(nb AS INT) AS n_bytes,
+           CAST(hb AS INT) AS head_byte,
+           CAST(nb % 640 AS INT) AS fake_width,
+           CAST(hb * 3 % 480 AS INT) AS fake_height
+    FROM b
     """,
 )
 def q_decode_stub(spark, sf_dir):

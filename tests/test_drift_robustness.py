@@ -97,3 +97,45 @@ def test_resize_stub_survives_null_payloads(spark):
     assert (out[2].width, out[2].out_width, out[2].out_height) == (None, None, None)
     # empty payload is real media of zero bytes: clipped to 1x1 geometry
     assert out[3].width == 1 and out[3].out_width == 224
+
+
+def test_decode_stub_is_byte_true_under_unicode(spark, tmp_path):
+    """The decode stub's oracle is expressed byte-true (octet_length +
+    UTF-8 lead-byte arithmetic), so non-ASCII text — a plausible future
+    testdata regeneration — must still hash-match: n_bytes counts utf-8
+    BYTES and head_byte is the first encoded BYTE, exactly what the
+    engine's fake byte-decoder sees.  (frame_sample's per-window oracle
+    keeps its documented ASCII precondition: DuckDB has no blob slicing.)"""
+    import shutil
+
+    from sparkgraft import registry
+    from tests.oracle import run_oracle
+
+    sys.path[:0] = [os.path.join(os.path.dirname(__file__), "..", "tools")]
+    from strict_audit import _bit_compare
+
+    d = str(tmp_path / "uni")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (1, "héllo wörld", "en", "web", 11),
+            (2, "日本語のテキスト", "ja", "web", 8),
+            (3, "plain ascii", "en", "web", 11),
+            (4, "", "en", "web", 0),
+            (5, None, "en", "web", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        src = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(d, f"{t}.parquet"))
+
+    spdf = registry.queries()["multimodal_decode_stub"](spark, d).toPandas()
+    opdf = run_oracle(registry.oracles()["multimodal_decode_stub"], d)
+    errs = _bit_compare(spdf, opdf)
+    assert not errs, errs[:3]
+    by_id = {int(r.doc_id): r for _, r in spdf.iterrows()}
+    assert by_id[1]["n_bytes"] == len("héllo wörld".encode()) == 13
+    assert by_id[2]["head_byte"] == "日本語のテキスト".encode()[0] == 230
