@@ -673,6 +673,23 @@ def restore_table_version(path: str, created_ns: int) -> str:
         os.makedirs(dst, exist_ok=True)
         for f in filenames:
             os.link(os.path.join(dirpath, f), os.path.join(dst, f))
+    # Restore rolls back DATA, not the schema LOG: the farm just hardlinked
+    # the snapshot's (stale) _schema_history.json, and read_spec_evolved
+    # prefers the sidecar over the spec — schema versions recorded after
+    # that snapshot would vanish from the table's log.  History is
+    # append-only (current ⊇ snapshot), so the pre-restore LIVE sidecar is
+    # always a valid reader for the restored files; mirror its state into
+    # the new version.  Must unlink before writing: the tmp sidecar is a
+    # HARDLINK into the snapshot dir, and an in-place write would corrupt
+    # the immutable snapshot's own copy.
+    live_sidecar = os.path.join(os.path.realpath(p), _HISTORY_SIDECAR)
+    tmp_sidecar = os.path.join(tmp, _HISTORY_SIDECAR)
+    if os.path.exists(tmp_sidecar):
+        os.remove(tmp_sidecar)
+    if os.path.exists(live_sidecar):
+        import shutil
+
+        shutil.copy2(live_sidecar, tmp_sidecar)
     vdir = _sibling(p, "v", ns)
     os.rename(tmp, vdir)
     _flip_live_pointer(p, vdir, ns)
@@ -806,6 +823,11 @@ def compact_small_files(
     finally:
         if prev_tz is not None:
             spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        else:
+            # the key was genuinely unset before the call — restore THAT,
+            # or read_evolved's UTC pin would leak into the caller's
+            # session permanently
+            spark.conf.unset("spark.sql.session.timeZone")
     if os.path.exists(os.path.join(src, _HISTORY_SIDECAR)):
         # the version log must travel with the table: the superseded
         # version dir (where the sidecar lives) ages out via GC

@@ -1237,9 +1237,22 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
     # produce broken links the file source silently lists as zero input
     ev_path = os.path.abspath(f"{sf_dir}/events.parquet")
     if os.path.isdir(ev_path):
-        for i, part in enumerate(sorted(os.listdir(ev_path))):
-            if part.endswith(".parquet") and not part.startswith(("_", ".")):
-                os.symlink(os.path.join(ev_path, part), f"{src}/part-{i}.parquet")
+        # walk, not listdir: a partitioned/nested directory table keeps its
+        # part files below key=value subdirs, and linking zero files would
+        # silently reproduce the zero-input hang this branch exists to fix
+        linked = 0
+        for dirpath, _dirs, files in sorted(os.walk(ev_path)):
+            for part in sorted(files):
+                if part.endswith(".parquet") and not part.startswith(("_", ".")):
+                    os.symlink(
+                        os.path.join(dirpath, part), f"{src}/part-{linked}.parquet"
+                    )
+                    linked += 1
+        if linked == 0:
+            raise FileNotFoundError(
+                f"no part files found under directory table {ev_path!r} — "
+                "the streaming file source would see zero input and hang"
+            )
     else:
         os.symlink(ev_path, f"{src}/events.parquet")
     # stream sees the raw footer schema; like the batch reader, adapt to the

@@ -618,3 +618,37 @@ def test_compact_does_not_leak_session_timezone(spark, tmp_path):
     # and the compacted content is still the conformed table
     got = spark.read.parquet(catalog.resolve_table_path(work))
     assert got.count() == 16 and "score" in got.columns
+
+
+def test_restore_keeps_current_schema_history(spark, tmp_path):
+    """Restore rolls back DATA, not the schema LOG: the hardlink farm
+    copies the snapshot's files, but the new live version's sidecar must
+    mirror the PRE-restore live history (history is append-only, so the
+    current log is always a superset that still reads the restored
+    files) — otherwise read_spec_evolved, which prefers the sidecar,
+    would silently drop schema versions recorded after the snapshot.
+    And the snapshot's OWN sidecar must stay byte-untouched: the farm
+    hardlinks it, so an in-place rewrite would corrupt the immutable
+    snapshot."""
+    work = str(tmp_path / "evor")
+    v2 = _evolved_table(spark, work, partitioned=False)
+    catalog.compact_small_files(spark, work, target_mb=128)
+    snap_ns = catalog.list_table_versions(work)[0]["created_ns"]
+    snap_dir = catalog.resolve_table_path_asof(work, snap_ns)
+
+    # record a THIRD schema version on the live table after the snapshot
+    v3 = evolve_spec(
+        v2,
+        StructType([*v2.schema.fields, StructField("tag", StringType())]),
+    )
+    catalog.save_schema_history(catalog.resolve_table_path(work), v3)
+    snap_history_before = catalog.load_schema_history(snap_dir)
+
+    restored = catalog.restore_table_version(work, snap_ns)
+    # the restored live version carries the CURRENT (3-version) log
+    assert catalog.load_schema_history(restored) == v3.full_history
+    # the snapshot's own sidecar is byte-untouched (hardlink guard)
+    assert catalog.load_schema_history(snap_dir) == snap_history_before
+    # and the restored data still reads under the current spec
+    got = catalog.read_spec_evolved(spark, work, v3)
+    assert "tag" in got.columns and got.count() == 16

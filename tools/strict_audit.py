@@ -25,10 +25,24 @@ digest (count + two independent sums of 60-bit md5 prefixes over a
 canonical row string) and only the three scalars cross the wire.  The
 canonical string fixes column order (sorted by name), a 0x1f separator,
 an explicit NULL sentinel, and explicit per-type formatting so the two
-engines render identical bytes; float/decimal columns are rejected
-(their string forms are not engine-portable — collect those lanes).
+engines render identical bytes.  DOUBLE columns are digestable under a
+documented PRECONDITION: the value must be a ``round(x, 6)`` product
+(the pair lanes' similarity columns all are) — such a value is within
+~1 ulp of a 6-decimal point, so re-casting to DECIMAL(38,6) recovers
+the identical decimal on both engines (an exact cast TIE would need the
+double to sit 5e-7 from a 6-decimal point; a round-6 product sits
+~1e-18 away), and the decimal's string form renders byte-identically
+(verified: trailing-zero scale, -0.0 -> 0.000000, HALF_UP==HALF_EVEN
+off-tie).  Arbitrary doubles / float32 / decimal stay rejected.
 This is the audit design that survives 100 TB: the comparison cost
 stays inside the engines, at scan+agg cost, with O(1) driver traffic.
+
+Digest is the DEFAULT at-scale design, not an opt-in: ``--digest pairs``
+expands to the known quadratic-output lanes (PAIR_LANES), and any other
+lane whose collect aborts on the ``--max-result-size`` guard is
+automatically retried in digest mode when its schema supports it
+(reported under "auto_digest" so the artifact shows which lanes never
+crossed the wire).
 
 Usage:
     python tools/strict_audit.py                          # window, sf0.001
@@ -50,6 +64,22 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path[:0] = [REPO]
+
+#: lanes whose OUTPUT is quadratic in a duplication rig's twin factor —
+#: the relations no driver should ever collect at scale.  ``--digest
+#: pairs`` expands to this set (intersected with the selection) so rig
+#: invocations don't hand-maintain the list.
+PAIR_LANES = frozenset(
+    {
+        "dedup_simhash_pairs",
+        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_twins",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_prefix",
+        "corpus_chunk_overlap",
+        "ml_minhash_pairs",
+    }
+)
 
 
 def _bit_compare(a_pdf, b_pdf) -> list[str]:
@@ -137,6 +167,17 @@ def _spark_canon_expr(field):
         s = c.cast("string")
     elif isinstance(t, T.TimestampNTZType):
         s = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif isinstance(t, T.DoubleType):
+        # PRECONDITION (module docstring): the column is a round(x, 6)
+        # product, so the DECIMAL(38,6) re-cast is tie-free and renders
+        # byte-identically on both engines.  Specials made explicit so
+        # NaN/inf never collide with the NULL marker.
+        s = (
+            F.when(F.isnan(c), F.lit("nan"))
+            .when(c == F.lit(float("inf")), F.lit("inf"))
+            .when(c == F.lit(float("-inf")), F.lit("-inf"))
+            .otherwise(c.cast("decimal(38,6)").cast("string"))
+        )
     else:
         return None
     return F.when(c.isNull(), F.lit("n")).otherwise(F.concat(F.lit("v"), s))
@@ -156,6 +197,14 @@ def _duck_canon_expr(name: str, duck_type: str):
         s = f"CAST({q} AS VARCHAR)"
     elif base in {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S"}:
         s = f"strftime({q}::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f')"
+    elif base == "DOUBLE":
+        # round(x, 6) precondition — see _spark_canon_expr / module docstring
+        s = (
+            f"CASE WHEN isnan({q}) THEN 'nan'"
+            f" WHEN {q} = 'infinity'::DOUBLE THEN 'inf'"
+            f" WHEN {q} = '-infinity'::DOUBLE THEN '-inf'"
+            f" ELSE CAST(CAST({q} AS DECIMAL(38,6)) AS VARCHAR) END"
+        )
     else:
         return None
     return f"CASE WHEN {q} IS NULL THEN 'n' ELSE 'v' || {s} END"
@@ -234,7 +283,18 @@ def main() -> int:
         "--digest",
         default="",
         help="comma-separated query names to compare via in-engine digest "
-        "(for relations too large to collect); others still bit-compare",
+        "(for relations too large to collect); 'pairs' expands to the "
+        "known quadratic-output lanes (PAIR_LANES); others still "
+        "bit-compare",
+    )
+    ap.add_argument(
+        "--max-result-size",
+        default="4g",
+        help="spark.driver.maxResultSize for the collect-compare lanes — "
+        "the driver-OOM guard.  A lane that trips it is automatically "
+        "retried in digest mode when its schema supports it; pass 0 only "
+        "when a non-digestable lane on a duplicated rig genuinely needs "
+        "an unbounded collect",
     )
     args = ap.parse_args()
     digest_names = {n.strip() for n in args.digest.split(",") if n.strip()}
@@ -257,9 +317,11 @@ def main() -> int:
         if unknown:
             print(f"unknown queries: {unknown}", file=sys.stderr)
             return 2
+    if "pairs" in digest_names:
+        digest_names = (digest_names - {"pairs"}) | (PAIR_LANES & set(names))
     # a --digest name that doesn't hit a selected query would SILENTLY fall
     # back to a full collect — on the very relations digest mode exists for,
-    # that means a driver-heap OOM (maxResultSize is 0 here), so reject it
+    # that means either a driver-heap OOM or a guard abort, so reject it
     stray = digest_names - set(names)
     if stray:
         print(
@@ -275,31 +337,47 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", args.driver_mem)
-        # the audit COLLECTS both sides of every relation to bit-compare;
-        # pair lanes on duplicated rigs (10x: every doc has 9 twins) emit
-        # GB-scale pair relations, so the 1g default would abort the
-        # collect — cap at the driver heap instead of a fixed slice
-        .config("spark.driver.maxResultSize", "0")
+        # digest lanes never collect; collect-compare lanes keep the
+        # clean-abort guard (default 4g) instead of an unguarded driver
+        # heap — a tripped guard auto-retries in digest mode below
+        .config("spark.driver.maxResultSize", args.max_result_size)
         .appName("sparkgraft-strict-audit")
         .getOrCreate()
     )
 
     failures: dict[str, list[str]] = {}
+    auto_digest: list[str] = []
     for i, name in enumerate(names):
+        label = "DIGEST-EXACT" if name in digest_names else "BIT-EXACT"
         try:
             if name in digest_names:
                 errs = _digest_compare(
                     qs[name](spark, args.sf_dir), oracles[name], args.sf_dir
                 )
             else:
-                spdf = qs[name](spark, args.sf_dir).toPandas()
-                opdf = run_oracle(oracles[name], args.sf_dir)
-                errs = _bit_compare(spdf, opdf)
+                try:
+                    spdf = qs[name](spark, args.sf_dir).toPandas()
+                    opdf = run_oracle(oracles[name], args.sf_dir)
+                    errs = _bit_compare(spdf, opdf)
+                except Exception as exc:
+                    # the maxResultSize guard tripping means "too big to
+                    # collect" — exactly what digest mode is for; retry
+                    # in-engine before reporting (re-raise anything else,
+                    # and re-raise again if the schema can't digest)
+                    if "maxResultSize" not in str(exc):
+                        raise
+                    try:
+                        errs = _digest_compare(
+                            qs[name](spark, args.sf_dir), oracles[name], args.sf_dir
+                        )
+                        auto_digest.append(name)
+                        label = "AUTO-DIGEST-EXACT"
+                    except ValueError:
+                        raise exc from None
         except Exception as exc:  # keep auditing; report the lane
             errs = [f"EXC {type(exc).__name__}: {exc}"[:500]]
         if errs:
             failures[name] = errs
-        label = "DIGEST-EXACT" if name in digest_names else "BIT-EXACT"
         print(
             f"# [{i + 1}/{len(names)}] {name}: "
             + (label if not errs else f"FAIL {errs[0]}"),
@@ -311,8 +389,10 @@ def main() -> int:
         "exact": len(names) - len(failures),
         "failures": failures,
     }
-    if digest_names:
-        payload["digest"] = sorted(digest_names & set(names))
+    if digest_names or auto_digest:
+        payload["digest"] = sorted((digest_names & set(names)) | set(auto_digest))
+    if auto_digest:
+        payload["auto_digest"] = sorted(auto_digest)
     print(json.dumps(payload))
     if args.out:
         with open(args.out, "w") as fh:
