@@ -198,6 +198,80 @@ def sessionize_skew_split(
     )
 
 
+def measure_hotness(
+    df: DataFrame,
+    key_col: str,
+) -> tuple[int, int]:
+    """(max rows on one key, total rows) — the one-pass planning statistic
+    behind ``sessionize_auto``'s plan flip.
+
+    One map-side-combined groupBy of the pruned key column folded to a
+    single driver row; at 100 TB that is a scan of ONE column plus a
+    shuffle of #distinct-keys count rows — small next to the windowed
+    shuffle either sessionize plan pays, and the same
+    measure-then-choose precedent the dedup blocking join uses
+    (ext/dedup.ngram_jaccard_pairs' measured-dup-ratio flip)."""
+    row = (
+        df.select(key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("n"))
+        .first()
+    )
+    return int(row.mx or 0), int(row.n or 0)
+
+
+def sessionize_auto(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+    bucket_seconds: int = 86_400,
+    hot_rows: int = 2_000_000,
+) -> DataFrame:
+    """``sessionize`` with the skew defense engaged only when the data is
+    actually hot — the measured A/B (SCALE_CHECK_r07 skew_ab) shows the
+    split plan LOSES ~3.5x below its crossover (it scans + windows twice
+    to bound the worst task) and wins only once one key's rows dominate a
+    task, so hard-coding either plan is wrong somewhere.
+
+    Decision rule: engage ``sessionize_skew_split`` iff some key holds at
+    least ``hot_rows`` events.  Absolute rows, not share: task wall-clock
+    is set by the biggest single (user) window partition, not by its
+    fraction of the table (20% of 60k rows is still a trivial task; 2% of
+    100 TB is not).  The default sits at the measured local[32] crossover
+    (~2M hot-key rows at the 100x A/B point); on a real cluster the
+    crossover arrives earlier — neighbors don't idle-absorb the straggler
+    — so tune ``hot_rows`` DOWN, never up, when moving off a single node.
+
+    Output is byte-identical whichever plan runs (both emit the same
+    deterministic ids over the same true session-start instants — pinned
+    by the equality property test), so the flip is invisible to results,
+    exactly like the dedup blocking-plan flip it copies.
+    """
+    mx, _n = measure_hotness(df, user_col)
+    if mx >= int(hot_rows):
+        return sessionize_skew_split(
+            df,
+            user_col=user_col,
+            ts_col=ts_col,
+            gap_seconds=gap_seconds,
+            order_tiebreak=order_tiebreak,
+            session_col=session_col,
+            bucket_seconds=bucket_seconds,
+        )
+    return sessionize(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        order_tiebreak=order_tiebreak,
+        session_col=session_col,
+    )
+
+
 def session_bounds(
     df: DataFrame,
     user_col: str = "user_id",

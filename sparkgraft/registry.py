@@ -178,6 +178,29 @@ def q_sessionize_skew_split(spark, sf_dir):
 
 
 @register(
+    "sessionize_auto",
+    _SESSIONIZE_CTE
+    + """
+    SELECT event_id, user_id, ts, session_id FROM sessioned
+    """,
+)
+def q_sessionize_auto(spark, sf_dir):
+    """Adaptive sessionization (ops/sessionize.sessionize_auto): a one-pass
+    hotness statistic picks plain vs skew-split — the measured A/B shows
+    each plan loses on the other's data, so the engine measures instead of
+    guessing.  The provided events table is uniform, so this lane drives
+    the MEASURE + plain-plan arm through the driver hash; the split arm's
+    selection-and-parity is pinned by tests on the hot-key rig.  Same
+    oracle as sessionize_ids: whatever plan runs, ids are byte-identical."""
+    from sparkgraft.ops.sessionize import sessionize_auto
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_auto(ev, order_tiebreak=("event_id",)).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+@register(
     "wau_session",
     _SESSIONIZE_CTE
     + """
@@ -5167,84 +5190,164 @@ def q_schema_evolution_write(spark, sf_dir):
     )
 
 
+# the time-travel aggregate both snapshot lanes emit: bigint-only, so the
+# driver hash is trivially bit-stable, and NULL-value drift rigs can't
+# touch it (event_id/event_type are the perturbation-exempt key columns)
+_SNAPSHOT_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id % 10 <= 2
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _snapshot_workspace(spark, sf_dir):
+    """Build a compaction-managed table with a retained snapshot that holds
+    ONLY load 1: write load 1 (event_id % 10 <= 2), compact (the legacy
+    migration freezes load 1 as the oldest version dir), append load 2
+    (event_id % 10 = 3) into the live version, compact again.  Returns
+    (table path, created_ns of the load-1 snapshot).  The tempdir is the
+    fixture; at scale the versions are compaction points on a real ingest
+    and the snapshot listing comes from the same pointer history."""
+    import tempfile
+
+    from sparkgraft.catalog import compact_small_files, list_table_versions
+
+    path = tempfile.mkdtemp(prefix="sparkgraft_snap_") + "/events_managed"
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.where(F.col("event_id") % 10 <= 2).write.parquet(path)
+    compact_small_files(spark, path, target_mb=128)
+    snap_ns = list_table_versions(path)[0]["created_ns"]
+    ev.where(F.col("event_id") % 10 == 3).write.mode("append").parquet(path)
+    compact_small_files(spark, path, target_mb=128)
+    return path, snap_ns
+
+
+def _snapshot_agg(df):
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("event_id").alias("sum_ids"))
+        .orderBy("event_type")
+    )
+
+
+@register("snapshot_asof_read", _SNAPSHOT_ORACLE)
+def q_snapshot_asof_read(spark, sf_dir):
+    """Compaction-pointed time travel (catalog.resolve_table_path_asof)
+    proven under the driver hash: a managed table goes through two loads
+    and two compactions, then is read AS-OF the instant the first
+    compaction froze load 1 — the returned version dir must contain
+    exactly load 1 even though the live table has both loads.  The oracle
+    recomputes load 1's aggregate from the pristine events table, so the
+    hash certifies the snapshot boundary: nothing from load 2 leaks into
+    the pinned read, nothing from load 1 is lost.  Version dirs are
+    write-once, so the as-of read is an ordinary parquet scan of an
+    immutable file set — the same pointer-history semantics Delta/Iceberg
+    time travel has, at zero extra storage (supersession retains, never
+    copies)."""
+    from sparkgraft.catalog import resolve_table_path_asof
+
+    path, snap_ns = _snapshot_workspace(spark, sf_dir)
+    pinned = spark.read.parquet(resolve_table_path_asof(path, snap_ns))
+    return _snapshot_agg(pinned)
+
+
+@register("snapshot_restore_read", _SNAPSHOT_ORACLE)
+def q_snapshot_restore_read(spark, sf_dir):
+    """Rollback (catalog.restore_table_version) proven under the driver
+    hash: same two-load workspace, then the table is RESTORED to the
+    load-1 snapshot — a hardlink farm appended as a new version, one
+    atomic pointer flip — and the LIVE path is read back.  The oracle is
+    the load-1 aggregate, so the hash certifies the incident-response
+    contract: after rollback the live table serves exactly the snapshot's
+    content, with the rolled-away load 2 retained as history (as-of reads
+    inside that window still see it) rather than deleted."""
+    from sparkgraft.catalog import resolve_table_path, restore_table_version
+
+    path, snap_ns = _snapshot_workspace(spark, sf_dir)
+    restore_table_version(path, snap_ns)
+    return _snapshot_agg(spark.read.parquet(resolve_table_path(path)))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 7's window, in three
+# artifact, not an accident of module layout.  Round 8's window, in three
 # tiers:
-#   (1) the 3 queries without a driver HASH row — `dedup_minhash_lsh_twins`
-#       and `schema_evolution_read` (registered after the r06 freeze,
-#       strict-audit bit-exact at three scales but never driver-run; the
-#       r06 verdict staged them first for exactly this rotation) plus the
-#       round-7 `schema_evolution_write` lane (the write-side half of the
-#       evolution story);
-#   (2) 39 stale-refresh re-proofs, oldest-first — the 11 proofs still
-#       dating from ROUND 2 (r06 refreshed the other 35), then the
-#       alphabetically-first 28 of the 43 round-3 proofs (testdata has been
-#       regenerated every round since); the 15 r03 leftovers are round 8's
-#       tier 2;
-#   (3) the 8 canonical sentinels (same set as r04/r05/r06).
-# With (1) drained, cumulative driver-hash coverage returns to 100% of the
-# registry.  tests/test_registry_parity.py pins the window composition so
-# future insertions can't silently evict proof again.
+#   (1) the 3 queries without a driver HASH row — the round-8
+#       `sessionize_auto` (measured skew plan-flip) and the two snapshot
+#       lanes (`snapshot_asof_read`, `snapshot_restore_read`) promoting
+#       time travel + rollback from pytest-only to driver-verified, as the
+#       r07 verdict staged;
+#   (2) 39 stale-refresh re-proofs, oldest-first — the 15 proofs still
+#       dating from ROUND 3 (the TPC-H tail q6/q9/q15-q22, both uniform
+#       salted-join lanes, `streaming_restart_sessionize`,
+#       `text_repetition`, `text_weighted_score`), then the
+#       alphabetically-first 24 of the 43 round-4 proofs (testdata has
+#       been regenerated every round since); the 19 r04 leftovers head
+#       round 9's rotation;
+#   (3) the 8 canonical sentinels (same set as r04-r07).
+# With (1) drained, cumulative driver-hash coverage stays at 100% of the
+# registry and no query's newest driver row is older than r04.
+# tests/test_registry_parity.py pins the window composition so future
+# insertions can't silently evict proof again.
 #
-# ROUND 8 ROTATION: any query registered after THIS freeze (list them in
-# tests/test_registry_parity.py `added_after_r07_freeze` as you add them)
-# plus stale-refresh re-proofs (the 15 remaining r03 rows first, then r04)
-# and the 8 sentinels.  Keep new registrations few enough to drain in one
-# window.
+# ROUND 9 ROTATION: any query registered after THIS freeze (list them in
+# tests/test_registry_parity.py `added_after_r08_freeze` as you add them)
+# plus stale-refresh re-proofs (the 19 remaining r04 rows first, then r05
+# oldest-first) and the 8 sentinels.  Keep new registrations few enough to
+# drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: the 3 queries needing their FIRST driver hash row — the two
-    # post-r06-freeze additions staged for exactly this rotation, plus the
-    # round-7 write-side-evolution lane
-    "dedup_minhash_lsh_twins",
-    "schema_evolution_read",
-    "schema_evolution_write",
-    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 11 remaining
-    # round-2 proofs, then the alphabetically-first 28 of the 43 round-3
-    # proofs (the 15 r03 leftovers head round 8's rotation)
-    "streaming_stateful_sessionize",
-    "string_functions_parts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "top_orders",
-    "tumbling_15min_counts",
-    "union_names",
-    "wau_session",
-    "wau_user_twolevel",
-    "corpus_contamination_score",
-    "corpus_curation_topk",
-    "corpus_decontaminate",
-    "corpus_interleave",
-    "corpus_ngram_topk",
-    "corpus_pack_sequences",
-    "corpus_priority_sample",
-    "corpus_quality_funnel",
-    "corpus_sample_hash",
-    "corpus_split_assign",
-    "corpus_stratified_sample",
-    "dedup_clusters",
-    "dedup_jaccard_prefix",
-    "dedup_simhash_pairs",
-    "dedup_simhash_sigs",
-    "embed_cosine_neardup",
-    "embed_cosine_topk",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_semantic_dedup",
-    "embedding_stats_by_label",
-    "grouped_demean_applyinpandas",
-    "multimodal_frame_sample",
-    "multimodal_payload_digests",
-    "multimodal_pointer_fetch",
-    "q11_important_parts",
-    "q12_shipping_priority_split",
-    "q13_customer_distribution",
-    # tier 3: the 8 canonical sentinels (same set as r04/r05/r06)
+    # tier 1: the 3 round-8 lanes needing their FIRST driver hash row
+    "sessionize_auto",
+    "snapshot_asof_read",
+    "snapshot_restore_read",
+    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 15 remaining
+    # round-3 proofs, then the alphabetically-first 24 of the 43 round-4
+    # proofs (the 19 r04 leftovers head round 9's rotation)
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_dominant_suppliers",
+    "q21_blocking_suppliers",
+    "q22_dormant_capital",
+    "salted_join_user_events",
+    "salted_user_event_totals",
+    "streaming_restart_sessionize",
+    "text_repetition",
+    "text_weighted_score",
+    "asof_nearest_signup",
+    "attribution_linear",
+    "corpus_chunk_dedup",
+    "custom_sink_jsonl_roundtrip",
+    "custom_source_jsonl",
+    "dedup_incremental_bloom",
+    "dq_constraint_report",
+    "embed_quantized_topk",
+    "embed_vector_algebra",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "gdpr_erasure_report",
+    "grouped_weighted_mean_pandas",
+    "grouping_sets_event_margins",
+    "incremental_view_merge",
+    "k_anonymity_audit",
+    "merge_upsert_customers",
+    "peak_concurrent_sessions",
+    "props_map_stats",
+    "pseudonymous_join",
+    "retention_cohorts",
+    "rolling_7d_active_users",
+    "scd2_type_history",
+    "session_window_dynamic_gap",
+    # tier 3: the 8 canonical sentinels (same set as r04-r07)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

@@ -59,10 +59,10 @@ def test_readme_count_matches_registry():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-7 window:
+    inserts silently evicted driver-proven queries).  Pin the round-8 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-7 rotation — so this test does NOT claim full cumulative
+    the round-8 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -71,16 +71,17 @@ def test_driver_window_composition():
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r07 window freeze must have a driver row
-    in r01..r06 or sit in the r07 window awaiting one — at this freeze the
-    set is EMPTY-gap by construction: r01∪…∪r06 rows plus the r07 window
-    cover all 192 registered queries.  Queries added after the freeze are
-    exempt (next round's rotation) but must be listed here EXPLICITLY so
-    the exemption is a conscious act, not a silent hole."""
+    """Every query present at the r08 window freeze must have a driver row
+    in r01..r07 or sit in the r08 window awaiting one — at this freeze the
+    set is EMPTY-gap by construction: r01∪…∪r07 rows cover all 192 prior
+    queries and the 3 round-8 lanes hold window slots.  Queries added
+    after the freeze are exempt (next round's rotation) but must be listed
+    here EXPLICITLY so the exemption is a conscious act, not a silent
+    hole."""
     import json
     import pathlib
 
-    added_after_r07_freeze: set[str] = set()
+    added_after_r08_freeze: set[str] = set()
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -91,29 +92,29 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r07_freeze
+        and n not in added_after_r08_freeze
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-7 window audit: (a) every registered query either has a prior
+    """Round-8 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
     either one of the 8 declared sentinels or a STALE-REFRESH slot whose
-    newest prior row is from round 2 or 3 (the oldest proofs left in the
-    ledger after r06 drained 35 of the 46 r02 rows; refreshed
-    oldest-first).  `seen`/`latest` are pinned to the rounds BEFORE this
-    window froze (r01-r06): once the driver emits CORRECTNESS_r07 for the
-    window itself, an open glob would reclassify all 50 slots as re-proofs
-    and fail this test for succeeding."""
+    newest prior row is from round 3 or 4 (the oldest proofs left in the
+    ledger after r07 drained the r02 rows and 28 of the 43 r03 rows;
+    refreshed oldest-first).  `seen`/`latest` are pinned to the rounds
+    BEFORE this window froze (r01-r07): once the driver emits
+    CORRECTNESS_r08 for the window itself, an open glob would reclassify
+    all 50 slots as re-proofs and fail this test for succeeding."""
     import json
     import pathlib
     import re
 
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for f in sorted(root.glob("CORRECTNESS_r0[1-6].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[1-7].json")):
         rnd = int(re.search(r"r0(\d)", f.name).group(1))
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
@@ -130,18 +131,18 @@ def test_driver_window_drains_the_backlog():
     for n in registry.DRIVER_WINDOW:
         if n not in latest:
             continue  # first driver row — always a justified slot
-        assert n in sentinels or latest[n] in (2, 3), (
+        assert n in sentinels or latest[n] in (3, 4), (
             f"window slot {n!r} re-proves a query last proven in "
             f"r0{latest[n]} — neither a sentinel nor a stale refresh"
         )
-    # post-freeze additions (the r08 rotation) cannot have a slot in THIS
+    # post-freeze additions (the r09 rotation) cannot have a slot in THIS
     # window by construction — keep in lockstep with
-    # test_driver_rows_cumulative_coverage's added_after_r07_freeze
-    added_after_r07_freeze: set[str] = set()
+    # test_driver_rows_cumulative_coverage's added_after_r08_freeze
+    added_after_r08_freeze: set[str] = set()
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in added_after_r07_freeze
+        if n not in latest and n not in added_after_r08_freeze
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "

@@ -203,3 +203,70 @@ def test_skew_split_exact_gap_at_bucket_boundary(spark):
         _df(spark, rows), order_tiebreak=("event_id",), bucket_seconds=600
     )
     assert _groups(out) == {frozenset({0}), frozenset({1, 2})}
+
+
+def test_sessionize_auto_picks_plain_on_uniform(spark, sf_dir):
+    """On the uniform events table no key comes near the hot threshold, so
+    sessionize_auto must run the PLAIN single-exchange plan — paying the
+    split's 2x scan on uniform data is the measured 3.5x regression the
+    A/B found below the crossover."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.sessionize import sessionize, sessionize_auto
+
+    ev = read_table(spark, sf_dir, "events")
+    out = sessionize_auto(ev, order_tiebreak=("event_id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plain plan: exactly one exchange, no bucket-stitch join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # and byte-identical ids to the canonical definition
+    plain = sessionize(ev, order_tiebreak=("event_id",))
+    assert {
+        (r.event_id, r.session_id)
+        for r in out.select("event_id", "session_id").collect()
+    } == {
+        (r.event_id, r.session_id)
+        for r in plain.select("event_id", "session_id").collect()
+    }
+
+
+def test_sessionize_auto_engages_split_on_hot_key(spark, sf_dir):
+    """With the 20%-hot-key adversary and a threshold the bot key clears,
+    sessionize_auto must flip to the skew-split plan (window keyed by
+    (user, bucket), stitch join present) and still emit byte-identical
+    session ids — the flip is result-invisible by construction."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.sessionize import sessionize, sessionize_auto
+
+    ev = read_table(spark, sf_dir, "events")
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(-1).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    out = sessionize_auto(
+        hot, order_tiebreak=("event_id",), bucket_seconds=6 * 3600, hot_rows=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the split plan windows over (user, bucket) and joins the stitch back
+    assert "__bkt" in plan, plan
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
+    plain = sessionize(hot, order_tiebreak=("event_id",))
+    assert {
+        (r.event_id, r.session_id)
+        for r in out.select("event_id", "session_id").collect()
+    } == {
+        (r.event_id, r.session_id)
+        for r in plain.select("event_id", "session_id").collect()
+    }
+
+
+def test_measure_hotness_counts(spark):
+    from sparkgraft.ops.sessionize import measure_hotness
+
+    rows = [("A", T0)] * 5 + [("B", T0)] * 2
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)], "event_id long, user_id string, ts timestamp_ntz"
+    )
+    assert measure_hotness(df, "user_id") == (5, 7)

@@ -11,7 +11,9 @@ NULL actually appears (exactly the `count(*) FILTER` vs `F.count(col)`
 asymmetry a round-7 review caught in the evolution lanes).
 
 This tool manufactures that future: a byte-deterministic (key-modulus,
-no RNG) copy of a scale dir with
+no RNG) copy of a scale dir.
+
+Round-7 classes (NULL/empty content):
 
 - ``events.value``   -> NULL where event_id % 20 == 0   (5%)
 - ``events.props``   -> NULL where event_id % 31 == 0   (~3%)
@@ -19,15 +21,40 @@ no RNG) copy of a scale dir with
 - ``documents.text`` -> NULL where doc_id % 41 == 0     (~2.4%)
 - ``customer.c_acctbal`` -> NULL where c_custkey % 25 == 0 (4%)
 
+Round-8 classes (adversarial KEYS and TIME — the next drift axis: nothing
+in TESTDATA.md promises unique (user, ts) pairs, in-range timestamps, or
+positive prices):
+
+- ``events.ts`` -> the user's FIRST event ts where event_id % 43 == 0
+  (~2.3%): exact (user_id, ts) COLLISIONS, so every ordering tiebreak
+  (sessionize's (ts, event_id), window lag/lead, latest-per-user) is
+  actually exercised instead of vacuously deterministic
+- ``events.ts`` -> epoch 0 where event_id % 53 == 0; 1969-12-31
+  23:59:59.999999 (NEGATIVE epoch) where % 59 == 0; the Asia/Seoul DST
+  spring-forward instant 1987-05-09 17:00:00 UTC (= local 02:00 jumping
+  to 03:00) where % 61 == 0 and one microsecond before it where % 67 == 0
+  — the KST normalization path (ops/temporal) meets a real historic DST
+  transition, not just the fixed +09:00 of modern dates
+- ``events.value`` -> negated where event_id % 73 == 0 (negative values)
+- ``orders.o_totalprice`` / ``lineitem.l_extendedprice`` -> 0.0 where the
+  row key % 47 == 0, negated where % 71 == 0 (zero/negative prices
+  through every TPC-H revenue aggregate)
+
+``--empty TABLE`` additionally writes the named table with ZERO rows
+(schema preserved) — the fully-empty-source rig: after an aggressive
+filter at 100 TB, any operator can legally see an empty input, and it
+must return an empty (or identity) result, not crash.
+
 Every other table is copied unchanged.  Run the strict bitwise audit on
-the output dir: lanes that fail have a latent NULL-handling asymmetry
-between their Spark plan and their DuckDB oracle (or a crash on NULL in
-a UDF) — fix them BEFORE a regeneration makes the failure a red driver
-hash row.
+the output dir: lanes that fail have a latent asymmetry between their
+Spark plan and their DuckDB oracle (or a crash in a UDF) — fix them
+BEFORE a regeneration makes the failure a red driver hash row.
 
     python tools/perturb_testdata.py --src /root/testdata/sf0.001 \
         --dst .scale_cache/sf0.001-drift
     python tools/strict_audit.py --queries all --sf-dir .scale_cache/sf0.001-drift
+    python tools/perturb_testdata.py --src /root/testdata/sf0.001 \
+        --dst .scale_cache/sf0.001-empty-events --empty events
 """
 
 from __future__ import annotations
@@ -64,17 +91,60 @@ def _set_where(table: pa.Table, col: str, key: str, mod: int, value, rem: int = 
     return table.set_column(table.schema.get_field_index(col), col, vals)
 
 
-def perturb(src: str, dst: str) -> None:
+def _negate_where(table: pa.Table, col: str, key: str, mod: int, rem: int = 0):
+    mask = _mod_mask(table, key, mod, rem)
+    vals = pc.if_else(mask, pc.negate(table[col]), table[col])
+    return table.set_column(table.schema.get_field_index(col), col, vals)
+
+
+def _perturb_events_keys_time(tab: pa.Table) -> pa.Table:
+    """The round-8 key/time classes (module docstring) — pandas for the
+    per-user min-ts collision (arrow has no grouped transform), then
+    point-timestamp overrides.  Order matters: collisions derive from the
+    ORIGINAL timestamps, then the boundary instants overwrite (two events
+    of one user both hitting % 53 == 0 collide at epoch 0 — compounding
+    the duplicate-(user, ts) class, which is the point)."""
+    import pandas as pd
+
+    df = tab.to_pandas()
+    first_ts = df.groupby("user_id")["ts"].transform("min")
+    df.loc[df.event_id % 43 == 0, "ts"] = first_ts[df.event_id % 43 == 0]
+    df.loc[df.event_id % 53 == 0, "ts"] = pd.Timestamp("1970-01-01 00:00:00")
+    df.loc[df.event_id % 59 == 0, "ts"] = pd.Timestamp("1969-12-31 23:59:59.999999")
+    # Asia/Seoul 1987 spring-forward: local 02:00 +09:00 -> 03:00 +10:00,
+    # i.e. UTC 1987-05-09 17:00:00; one row lands ON it, one 1 us before
+    df.loc[df.event_id % 61 == 0, "ts"] = pd.Timestamp("1987-05-09 17:00:00")
+    df.loc[df.event_id % 67 == 0, "ts"] = pd.Timestamp("1987-05-09 16:59:59.999999")
+    df.loc[df.event_id % 73 == 0, "value"] = -df.loc[df.event_id % 73 == 0, "value"]
+    return pa.Table.from_pandas(df, schema=tab.schema, preserve_index=False)
+
+
+def perturb(src: str, dst: str, empty: str = "") -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         sp = os.path.join(src, f"{t}.parquet")
         dp = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(sp):
             continue
+        if t == empty:
+            pq.write_table(pq.read_table(sp).slice(0, 0), dp)
+            print(f"# {t}: EMPTIED (schema preserved)")
+            continue
         if t == "events":
             tab = pq.read_table(sp)
             tab = _null_where(tab, "value", "event_id", 20)
             tab = _null_where(tab, "props", "event_id", 31)
+            tab = _perturb_events_keys_time(tab)
+            pq.write_table(tab, dp)
+        elif t == "orders":
+            tab = pq.read_table(sp)
+            tab = _set_where(tab, "o_totalprice", "o_orderkey", 47, 0.0)
+            tab = _negate_where(tab, "o_totalprice", "o_orderkey", 71)
+            pq.write_table(tab, dp)
+        elif t == "lineitem":
+            tab = pq.read_table(sp)
+            tab = _set_where(tab, "l_extendedprice", "l_orderkey", 47, 0.0)
+            tab = _negate_where(tab, "l_extendedprice", "l_orderkey", 71)
             pq.write_table(tab, dp)
         elif t == "documents":
             tab = pq.read_table(sp)
@@ -98,15 +168,22 @@ def perturb(src: str, dst: str) -> None:
             pq.write_table(tab, dp)
         else:
             shutil.copyfile(sp, dp)
-        print(f"# {t}: {'perturbed' if t in ('events', 'documents', 'customer') else 'copied'}")
+        perturbed = ("events", "documents", "customer", "orders", "lineitem")
+        print(f"# {t}: {'perturbed' if t in perturbed else 'copied'}")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--dst", default=".scale_cache/sf0.001-drift")
+    ap.add_argument(
+        "--empty",
+        default="",
+        help="write this table with zero rows (schema preserved) instead "
+        "of perturbing it — the fully-empty-source rig",
+    )
     args = ap.parse_args()
-    perturb(args.src, args.dst)
+    perturb(args.src, args.dst, empty=args.empty)
     return 0
 
 
