@@ -3625,6 +3625,7 @@ def q_streaming_session_window(spark, sf_dir):
            event_type,
            count(*) AS n
     FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -3636,7 +3637,10 @@ def q_streaming_state_inspect(spark, sf_dir):
     replaying the stream.
 
     Harness: a watermarked tumbling-hour aggregation runs availableNow
-    over the events table with a 3650-day watermark delay, so NO window
+    over the events table with a 100-year watermark delay (pre-epoch
+    drift-rig timestamps sit ~54 years before the live data's max ts, so
+    a 10-year delay silently EVICTED their windows from state — the rig
+    caught the state read under-counting), so NO window
     ever crosses the watermark and the final state store holds the
     complete merged aggregate (the sink sees update-mode deltas only). Reading the
     checkpoint back must therefore reproduce the batch GROUP BY exactly —
@@ -3652,12 +3656,22 @@ def q_streaming_state_inspect(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="sparkgraft_stinsp_")
     src, ckpt = f"{work}/src", f"{work}/ckpt"
-    _t(spark, sf_dir, "events").select("event_type", "ts").write.parquet(src)
+    # PRE-EPOCH event times are a hard Spark Structured Streaming
+    # boundary, not a delay-tuning problem: the event-time watermark
+    # initializes at epoch 0, so a first-batch row before 1970-01-01 is
+    # already below-watermark on arrival and silently dropped as late —
+    # no delay setting can admit it (r08 drift rig, negative-epoch
+    # timestamps).  The lane declares the boundary: both the streamed
+    # input and the oracle filter to ts >= epoch, so the hash still
+    # certifies state-read losslessness over every admissible row.
+    _t(spark, sf_dir, "events").select("event_type", "ts").where(
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ).write.parquet(src)
     agg = (
         spark.readStream.schema("event_type string, ts timestamp_ntz")
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "3650 days")
+        .withWatermark("ts", "36500 days")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -4441,10 +4455,19 @@ def _z_interleave_duck(x: str, y: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
-_Z_X_S = "(user_id % 65536)"
-_Z_Y_S = "(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 65536)"
-_Z_X_D = "(user_id % 65536)"
-_Z_Y_D = "(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536)"
+# Dimensions are folded to [0, 65536) with a FLOORED mod before the
+# interleave, and Spark's INT-typed datediff is widened to BIGINT first:
+# a pre-epoch timestamp makes day_idx negative, where the sign-carrying
+# `%` would feed all-ones two's-complement bits into the interleave and
+# Spark's 32-bit shiftleft(1, 31) would overflow to a NEGATIVE zval
+# (both latent on clean data, found by the r08 epoch-boundary drift rig)
+_Z_X_S = "pmod(user_id, 65536)"
+_Z_Y_S = "pmod(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT), 65536)"
+_Z_X_D = "(((user_id % 65536) + 65536) % 65536)"
+_Z_Y_D = (
+    "(((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536)"
+    " + 65536) % 65536)"
+)
 
 
 @register(
@@ -4547,8 +4570,17 @@ def q_bitmap_distinct_rollup(spark, sf_dir):
              count(*) AS n,
              sum(CAST(xr AS HUGEINT)) AS sx,
              sum(CAST(xr AS HUGEINT) * xr) AS sxx,
-             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(value * xr AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct
+             -- cast double-rounds (int128 -> double, then / 10^scale)
+             -- once the unscaled sum passes 2^53, while Spark rounds the
+             -- decimal correctly in one step; the decimal string parsed
+             -- by a correctly-rounded strtod is engine-identical at any
+             -- magnitude (r08 drift rig: epoch-0 timestamps stretch xr
+             -- spans to ~54 years and push sxy's unscaled value to ~2^62)
+             CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(value * xr AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxy
       FROM x GROUP BY user_id),
     d AS (SELECT user_id, n, sx, sy, sxy,
                  n * sxx - sx * sx AS den

@@ -139,3 +139,34 @@ def test_decode_stub_is_byte_true_under_unicode(spark, tmp_path):
     by_id = {int(r.doc_id): r for _, r in spdf.iterrows()}
     assert by_id[1]["n_bytes"] == len("héllo wörld".encode()) == 13
     assert by_id[2]["head_byte"] == "日本語のテキスト".encode()[0] == 230
+
+
+#: round-8 additions — the lanes the adversarial KEY/TIME rig caught
+#: diverging (not crashing): pre-epoch timestamps overflowed the z-order
+#: interleave's 32-bit shiftleft and fed signed bits through `%`; a
+#: 54-year xr span pushed the trend lane's decimal sums past the 2^53
+#: double-rounding boundary (oracle now routes decimal->double through
+#: VARCHAR); pre-epoch event times are below Spark's epoch-initialized
+#: streaming watermark, so the state-inspect lane declares ts >= epoch on
+#: both sides.  All three must now match bitwise on the widened rig.
+KEYTIME_LANES = (
+    "zorder_layout_audit",
+    "user_value_trend",
+    "streaming_state_inspect",
+    # tiebreak-sensitive lanes: duplicate (user, ts) collisions must not
+    # perturb the deterministic ordering contracts
+    "sessionize_ids",
+    "latest_event_per_user",
+    "kst_daily_counts",
+)
+
+
+@pytest.mark.parametrize("name", KEYTIME_LANES)
+def test_lane_survives_keytime_drift_bitwise(spark, drift_dir, name):
+    from sparkgraft import registry
+    from tests.oracle import run_oracle
+
+    spdf = registry.queries()[name](spark, drift_dir).toPandas()
+    opdf = run_oracle(registry.oracles()[name], drift_dir)
+    errs = _bit_compare(spdf, opdf)
+    assert not errs, f"{name} diverged on key/time drift data: {errs[:3]}"

@@ -94,12 +94,39 @@ def test_digest_separator_injection_cannot_shift_columns(spark):
     assert digest_spark(df) == digest_oracle(same, SF)
 
 
-def test_digest_rejects_float_columns(spark):
-    df = spark.createDataFrame([(1.5,)], "x double")
+def test_digest_rejects_float32_columns(spark):
+    # float64 digests under the round(x, 6) precondition; float32 and
+    # decimal still have no engine-portable text form and must be rejected
+    df = spark.createDataFrame([(1.5,)], "x float")
     with pytest.raises(ValueError, match="unsupported"):
         digest_spark(df)
     with pytest.raises(ValueError, match="unsupported"):
-        digest_oracle("SELECT 1.5::DOUBLE AS x", SF)
+        digest_oracle("SELECT 1.5::FLOAT AS x", SF)
+
+
+def test_digest_doubles_round6_precondition(spark):
+    """round(x, 6)-product doubles must digest identically: the
+    DECIMAL(38,6) re-cast is tie-free for such values (module docstring)
+    and renders with identical trailing-zero scale; NULL, NaN and the
+    infinities get explicit markers that cannot collide."""
+    vals = [0.5, 1.0, -0.123457, 0.000001, -0.0, 123456.654321]
+    rows = [(v,) for v in vals] + [
+        (None,),
+        (float("nan"),),
+        (float("inf"),),
+        (float("-inf"),),
+    ]
+    df = spark.createDataFrame(rows, "x double")
+    sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({v!r}::DOUBLE)" for v in vals)
+        + ", (NULL::DOUBLE), ('nan'::DOUBLE), ('infinity'::DOUBLE),"
+        " ('-infinity'::DOUBLE)) AS t(x)"
+    )
+    assert digest_spark(df) == digest_oracle(sql, SF)
+    # and a 1-in-last-decimal perturbation is detected
+    bad = sql.replace("(0.5::DOUBLE)", "(0.500001::DOUBLE)")
+    assert digest_spark(df) != digest_oracle(bad, SF)
 
 
 def test_stray_digest_name_rejected_before_session():
