@@ -497,10 +497,14 @@ def quality_funnel(
     """
     is_lang = F.col("lang") == lang
     is_long = is_lang & (token_count(col) >= min_tokens)
+    # conditional-count stages coalesce to 0: SUM over an EMPTY corpus is
+    # NULL, but a funnel stage that admitted nothing counted ZERO docs
+    # (count(*)-with-predicate semantics, matching the oracle; r08
+    # --empty drift rig)
     agg = df.agg(
         F.count(F.lit(1)).alias("s0"),
-        F.sum(is_lang.cast("long")).alias("s1"),
-        F.sum(is_long.cast("long")).alias("s2"),
+        F.coalesce(F.sum(is_lang.cast("long")), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(is_long.cast("long")), F.lit(0)).alias("s2"),
         F.count_distinct(F.when(is_long, F.col(col))).alias("s3"),
     )
     return (

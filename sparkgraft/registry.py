@@ -1033,10 +1033,19 @@ def q_anti_join_dormant_customers(spark, sf_dir):
            count(*) AS n
     FROM events
     GROUP BY CUBE (event_type, event_date_kst)
+    HAVING count(*) > 0
     """,
 )
 def q_cube_event_counts(spark, sf_dir):
-    """CUBE grouping sets: counts at every (type, kst-date) subtotal level."""
+    """CUBE grouping sets: counts at every (type, kst-date) subtotal level.
+
+    Empty-relation contract: Spark's CUBE emits ZERO rows on an empty
+    input — no degenerate all-NULL global row — where ANSI (and DuckDB)
+    emit the () grouping set's single count-0 row.  The engine declares
+    Spark's behavior (grouping sets enumerate OBSERVED groups), and the
+    oracle pins it with ``HAVING count(*) > 0``: a no-op on any non-empty
+    relation (every observed group counts >= 1), dropping exactly the
+    empty-relation artifact (r08 --empty drift rig)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select("event_type", local_date("ts").alias("event_date_kst"))
@@ -1414,7 +1423,14 @@ def q_streaming_restart_sessionize(spark, sf_dir):
     # has no encoding cases at all.
     raw = _t(spark, sf_dir, "events")
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    if lo is None:
+        # empty source (r08 --empty drift rig): any split instant works —
+        # both batches are empty and the restart machinery still runs
+        import datetime
+
+        mid = datetime.datetime(1970, 1, 1)
+    else:
+        mid = lo + (hi - lo) / 2
     raw_schema = raw.schema
 
     def _run():
@@ -1441,6 +1457,14 @@ def q_streaming_restart_sessionize(spark, sf_dir):
     _run()
     raw.where(F.col("ts") > mid_lit).write.parquet(f"{src}/b2")
     _run()
+    import os as _os
+
+    if not _os.path.exists(out):
+        # zero batches fired (empty source, no part files listed): the
+        # sink dir was never created — return the empty typed relation
+        return spark.createDataFrame(
+            [], "user_id bigint, ts timestamp_ntz, session_id string"
+        )
     return spark.read.parquet(out).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "session_id"
     )
@@ -3573,6 +3597,13 @@ def q_streaming_session_window(spark, sf_dir):
     out, src = f"{work}/out", f"{work}/src"
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     mx = ev.agg(F.max("ts")).collect()[0][0]
+    if mx is None:
+        # empty source (r08 --empty drift rig): the sentinel still streams
+        # (one row, user -1, excluded from output), so the machinery runs
+        # end-to-end and emits the empty relation
+        import datetime
+
+        mx = datetime.datetime(1970, 1, 1)
     ev.write.parquet(f"{src}/b1")
     spark.createDataFrame(
         [(-1,)], "user_id bigint"

@@ -170,3 +170,54 @@ def test_lane_survives_keytime_drift_bitwise(spark, drift_dir, name):
     opdf = run_oracle(registry.oracles()[name], drift_dir)
     errs = _bit_compare(spdf, opdf)
     assert not errs, f"{name} diverged on key/time drift data: {errs[:3]}"
+
+
+#: round-8 empty-source class: after an aggressive filter at 100 TB any
+#: operator can legally see an EMPTY input; the --empty rig caught four
+#: lanes assuming otherwise (stream fixtures doing arithmetic on a
+#: collected None max/min; SUM-as-count reading NULL on empty; Spark's
+#: CUBE emitting no () row on an empty relation where ANSI emits one —
+#: that last is a declared engine contract, pinned in the oracle).
+EMPTY_EVENTS_LANES = (
+    "cube_event_counts",
+    "streaming_restart_sessionize",
+    "streaming_session_window",
+    "sessionize_auto",
+)
+EMPTY_DOCS_LANES = ("corpus_quality_funnel", "dedup_minhash_lsh")
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_ev"))
+    perturb(SRC, d, empty="events")
+    return d
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_doc"))
+    perturb(SRC, d, empty="documents")
+    return d
+
+
+@pytest.mark.parametrize("name", EMPTY_EVENTS_LANES)
+def test_lane_survives_empty_events_bitwise(spark, empty_events_dir, name):
+    from sparkgraft import registry
+    from tests.oracle import run_oracle
+
+    spdf = registry.queries()[name](spark, empty_events_dir).toPandas()
+    opdf = run_oracle(registry.oracles()[name], empty_events_dir)
+    errs = _bit_compare(spdf, opdf)
+    assert not errs, f"{name} diverged on empty events: {errs[:3]}"
+
+
+@pytest.mark.parametrize("name", EMPTY_DOCS_LANES)
+def test_lane_survives_empty_documents_bitwise(spark, empty_docs_dir, name):
+    from sparkgraft import registry
+    from tests.oracle import run_oracle
+
+    spdf = registry.queries()[name](spark, empty_docs_dir).toPandas()
+    opdf = run_oracle(registry.oracles()[name], empty_docs_dir)
+    errs = _bit_compare(spdf, opdf)
+    assert not errs, f"{name} diverged on empty documents: {errs[:3]}"
