@@ -270,6 +270,21 @@ def main() -> int:
         n: round(r[labels[-1]] / r[labels[-2]], 2) if r[labels[-2]] > 0 else None
         for n, r in results.items()
     }
+    # Reconciliation (round-7 verdict ask #6): a lane that carries a
+    # DEEP-decade contract point AND runs sub-second at this grid's top
+    # point is graded by its contract exponent, not by this grid's slope —
+    # at sub-second walls the shared grid's ratio is JVM/noise-floor
+    # arithmetic (r07: salted_join_hotkey read 1.89 here vs a 0.97 fitted
+    # exponent at 100x), and publishing the noisy number as the headline
+    # invites reading it as a regression.  The per-lane slope still prints;
+    # only the headline max defers to the contract measurement.
+    _NOISE_WALL_S = 1.0
+    contract_deferred = {
+        n
+        for n, spec in DEEP.items()
+        if spec["contract"] == "linear"
+        and results.get(n, {}).get(labels[-1], _NOISE_WALL_S) < _NOISE_WALL_S
+    }
     sec_per_1k = {
         n: {
             lb: round(results[n][lb] / max(emitted[n][lb] / 1000.0, 1e-9), 4)
@@ -290,7 +305,10 @@ def main() -> int:
         "value": max(
             s
             for n, s in slopes.items()
-            if s is not None and n not in QUADRATIC and n not in PAIR_LANES
+            if s is not None
+            and n not in QUADRATIC
+            and n not in PAIR_LANES
+            and n not in contract_deferred
         ),
         "unit": "x",
         "replication": REPL,
@@ -301,6 +319,9 @@ def main() -> int:
         "slopes_last_decade_normalized_per_1k_rows": slopes_norm,
         "quadratic_contract_lanes": sorted(QUADRATIC),
         "pair_lanes": sorted(PAIR_LANES),
+        # sub-second-wall lanes deferred to their deep-decade contract
+        # exponent (see the reconciliation comment above slopes)
+        "contract_deferred_lanes": sorted(contract_deferred),
         "skew_ab": _skew_ab(spark, scaled),
     }
 
