@@ -154,3 +154,33 @@ def test_stray_digest_name_rejected_before_session():
     assert "--digest names not in the selected query set" in proc.stderr
     # and it failed fast: no Spark session line in stderr
     assert "SparkContext" not in proc.stderr
+
+
+def test_tripped_collect_guard_auto_retries_in_digest_mode(tmp_path):
+    """End-to-end pin of the at-scale default: a lane whose collect trips
+    the --max-result-size guard must be retried in-engine and reported
+    under auto_digest with the run still exact — never a hard failure,
+    never a silent unguarded collect."""
+    import json
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = str(tmp_path / "audit.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "strict_audit.py"),
+            "--queries", "sessionize_ids",
+            "--max-result-size", "50k",
+            "--sf-dir", SF,
+            "--cpus", "4",
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = json.load(open(out))
+    assert payload["exact"] == 1 and not payload["failures"]
+    assert payload["auto_digest"] == ["sessionize_ids"]
