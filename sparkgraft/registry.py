@@ -1061,6 +1061,7 @@ def q_cube_event_counts(spark, sf_dir):
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90
     FROM events
+    WHERE isfinite(value)
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -1069,8 +1070,17 @@ def q_percentile_value_by_type(spark, sf_dir):
     """Exact interpolated percentiles per group (median + p90). Exact
     percentile needs the group sorted — at 100 TB prefer approx_percentile
     (t-digest sketch, map-side combinable); exact is the oracle contract
-    here."""
-    ev = _t(spark, sf_dir, "events")
+    here.
+
+    Finite-domain declaration (r08 --nonfinite rig): interpolated
+    percentiles over NaN are undefined and the engines disagree silently
+    (Spark's percentile sorts NaN greatest and includes it; DuckDB's
+    quantile_cont does not) — both sides restrict to finite values.
+    NULLs were already ignored by the aggregate on both engines, so the
+    filter is a no-op on any finite dataset."""
+    ev = _t(spark, sf_dir, "events").where(
+        ~F.isnan("value") & (F.abs("value") != F.lit(float("inf")))
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -2501,13 +2511,14 @@ def q_session_window_dynamic_gap(spark, sf_dir):
 @register(
     "value_histogram",
     """
-    WITH bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    WITH fin AS (SELECT * FROM events WHERE value IS NULL OR isfinite(value)),
+    bounds AS (SELECT min(value) AS mn, max(value) AS mx FROM fin),
     binned AS (
       SELECT event_type,
              CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19) AS BIGINT)
                AS bin,
              mn, mx
-      FROM events CROSS JOIN bounds)
+      FROM fin CROSS JOIN bounds)
     SELECT event_type, bin,
            count(*) AS n,
            round(mn + bin * ((mx - mn) / 20.0), 6) AS bin_lo,
@@ -2525,8 +2536,17 @@ def q_value_histogram(spark, sf_dir):
     exact min/max, so boundaries are deterministic cross-engine; the
     least(..., 19) clamp puts value == max into the last bin (the
     standard closed-right edge case).
+
+    Finite-domain declaration (r08 --nonfinite rig): a histogram over a
+    domain containing ±inf/NaN is meaningless (width = inf, every bin
+    expression NaN) and the engines disagree silently — both sides
+    restrict to FINITE values (NULLs keep flowing to the NULL bin as
+    before); a no-op on any finite dataset.
     """
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNull()
+        | (~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))))
+    )
     bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     w = (F.col("mx") - F.col("mn")) / F.lit(20.0)
     binned = ev.crossJoin(F.broadcast(bounds)).select(
@@ -2761,6 +2781,10 @@ def q_asof_nearest_signup(spark, sf_dir):
     SELECT 'events_user_not_null',
            (SELECT count(*) FROM events WHERE user_id IS NULL)
     UNION ALL
+    SELECT 'events_value_finite',
+           (SELECT count(*) FROM events
+            WHERE value IS NOT NULL AND NOT isfinite(value))
+    UNION ALL
     SELECT 'lineitem_fk_orders',
            (SELECT count(*) FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -2801,6 +2825,15 @@ def q_dq_constraint_report(spark, sf_dir):
     ev_checks = ev.agg(
         F.count(F.when(~F.col("event_type").isin("click", "view", "purchase", "signup"), 1)).alias("bad_type"),
         F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user"),
+        # the gate for the IEEE-specials class (r08 --nonfinite rig): the
+        # exact-decimal lanes declare a finite value domain; THIS check is
+        # what detects a violation upstream instead of a mid-job ANSI
+        # cast error
+        F.count(
+            F.when(
+                F.isnan("value") | (F.abs("value") == F.lit(float("inf"))), 1
+            )
+        ).alias("nonfinite_value"),
     )
     orders_check = orders.agg(
         (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
@@ -2817,6 +2850,7 @@ def q_dq_constraint_report(spark, sf_dir):
     report = (
         _row("events_type_accepted", ev_checks.select(F.col("bad_type").alias("n")))
         .union(_row("events_user_not_null", ev_checks.select(F.col("null_user").alias("n"))))
+        .union(_row("events_value_finite", ev_checks.select(F.col("nonfinite_value").alias("n"))))
         .union(_row("lineitem_fk_orders", fk_check))
         .union(_row("lineitem_qty_range", qty_check))
         .union(_row("orders_pk_unique", orders_check))

@@ -221,3 +221,57 @@ def test_lane_survives_empty_documents_bitwise(spark, empty_docs_dir, name):
     opdf = run_oracle(registry.oracles()[name], empty_docs_dir)
     errs = _bit_compare(spdf, opdf)
     assert not errs, f"{name} diverged on empty documents: {errs[:3]}"
+
+
+#: round-8 IEEE-specials class (--nonfinite probe rig): NaN/±inf in
+#: events.value.  Policy: lanes whose math is undefined over specials
+#: declare a FINITE domain explicitly on both sides (histogram bins,
+#: interpolated percentiles — both diverged silently before);
+#: dq_constraint_report's events_value_finite check is the production
+#: gate that detects specials upstream; exact-decimal lanes keep their
+#: loud ANSI cast error (a declared precondition, not a bug).
+NONFINITE_LANES = (
+    "value_histogram",
+    "percentile_value_by_type",
+    "dq_constraint_report",
+)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nonfinite"))
+    perturb(SRC, d, nonfinite=True)
+    return d
+
+
+@pytest.mark.parametrize("name", NONFINITE_LANES)
+def test_lane_survives_nonfinite_values_bitwise(spark, nonfinite_dir, name):
+    from sparkgraft import registry
+    from tests.oracle import run_oracle
+
+    spdf = registry.queries()[name](spark, nonfinite_dir).toPandas()
+    opdf = run_oracle(registry.oracles()[name], nonfinite_dir)
+    errs = _bit_compare(spdf, opdf)
+    assert not errs, f"{name} diverged on nonfinite values: {errs[:3]}"
+
+
+def test_dq_report_detects_nonfinite_values(spark, nonfinite_dir):
+    from sparkgraft import registry
+
+    rows = {
+        r.check_name: r.n_violations
+        for r in registry.queries()["dq_constraint_report"](
+            spark, nonfinite_dir
+        ).collect()
+    }
+    assert rows["events_value_finite"] > 0
+
+
+def test_exact_decimal_lane_fails_loud_on_specials(spark, nonfinite_dir):
+    """The declared finite-domain precondition: a scaled-integer lane fed
+    ±inf must raise the ANSI cast error LOUDLY (matching the oracle's own
+    ConversionException), never silently NULL the special away."""
+    from sparkgraft import registry
+
+    with pytest.raises(Exception, match="CAST_OVERFLOW|cannot be cast"):
+        registry.queries()["ewma_user_value"](spark, nonfinite_dir).toPandas()

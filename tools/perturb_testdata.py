@@ -45,6 +45,15 @@ positive prices):
 filter at 100 TB, any operator can legally see an empty input, and it
 must return an empty (or identity) result, not crash.
 
+``--nonfinite`` additionally poisons ``events.value`` with NaN
+(event_id % 79 == 0), +inf (% 83 == 0) and -inf (% 89 == 0) — the
+probe rig for IEEE-special handling.  This variant is NOT part of the
+default perturbation set: lanes that feed ``value`` into exact-decimal
+arithmetic have a declared finite-domain precondition (ANSI
+double→decimal casts error on specials BY DESIGN — loud, not silent),
+and `dq_constraint_report` is the production gate that detects the
+specials upstream.  Run it to find lanes that diverge SILENTLY.
+
 Every other table is copied unchanged.  Run the strict bitwise audit on
 the output dir: lanes that fail have a latent asymmetry between their
 Spark plan and their DuckDB oracle (or a crash in a UDF) — fix them
@@ -119,7 +128,7 @@ def _perturb_events_keys_time(tab: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, schema=tab.schema, preserve_index=False)
 
 
-def perturb(src: str, dst: str, empty: str = "") -> None:
+def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         sp = os.path.join(src, f"{t}.parquet")
@@ -135,6 +144,10 @@ def perturb(src: str, dst: str, empty: str = "") -> None:
             tab = _null_where(tab, "value", "event_id", 20)
             tab = _null_where(tab, "props", "event_id", 31)
             tab = _perturb_events_keys_time(tab)
+            if nonfinite:
+                tab = _set_where(tab, "value", "event_id", 79, float("nan"))
+                tab = _set_where(tab, "value", "event_id", 83, float("inf"))
+                tab = _set_where(tab, "value", "event_id", 89, float("-inf"))
             pq.write_table(tab, dp)
         elif t == "orders":
             tab = pq.read_table(sp)
@@ -182,8 +195,15 @@ def main() -> int:
         help="write this table with zero rows (schema preserved) instead "
         "of perturbing it — the fully-empty-source rig",
     )
+    ap.add_argument(
+        "--nonfinite",
+        action="store_true",
+        help="also poison events.value with NaN/+inf/-inf — the "
+        "IEEE-specials probe rig (not part of the default set; see "
+        "module docstring)",
+    )
     args = ap.parse_args()
-    perturb(args.src, args.dst, empty=args.empty)
+    perturb(args.src, args.dst, empty=args.empty, nonfinite=args.nonfinite)
     return 0
 
 
