@@ -78,6 +78,12 @@ FLAGSHIPS = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "corpus_chunk_overlap",
+    # round-9: the sub-quadratic LSH-pruned triangle lane, measured next
+    # to its exact sibling — content-class canonicalization means the
+    # replication rig's exact twins collapse into classes before any
+    # scoring, so its contract is LINEAR where graph_triangle_count's is
+    # declared quadratic
+    "graph_triangle_lsh",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;
@@ -302,13 +308,19 @@ def main() -> int:
     }
     out = {
         "metric": "scale_slope_last_decade_max_subquadratic",
+        # default=None: on a narrowed lane selection every measured lane can
+        # land in QUADRATIC / PAIR_LANES / contract_deferred — emit null with
+        # the per-lane detail intact instead of crashing the bench run
         "value": max(
-            s
-            for n, s in slopes.items()
-            if s is not None
-            and n not in QUADRATIC
-            and n not in PAIR_LANES
-            and n not in contract_deferred
+            (
+                s
+                for n, s in slopes.items()
+                if s is not None
+                and n not in QUADRATIC
+                and n not in PAIR_LANES
+                and n not in contract_deferred
+            ),
+            default=None,
         ),
         "unit": "x",
         "replication": REPL,
@@ -365,6 +377,16 @@ DEEP = {
         # fitted exponent (log t-ratio / log n-ratio) must stay at or
         # below quadratic-with-slack
         "bar": 2.3,
+    },
+    # the sub-quadratic sibling: LSH-bucketed candidate scoring over
+    # distinct-content classes + closed-form expansion, so replication's
+    # exact twins never enter the pair phase — linear contract, same bar
+    # as the other composite lanes
+    "graph_triangle_lsh": {
+        "table": "embeddings",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
     },
     "sessionize_ids": {
         "table": "events",

@@ -684,16 +684,125 @@ def restore_table_version(path: str, created_ns: int) -> str:
     # the immutable snapshot's own copy.
     live_sidecar = os.path.join(os.path.realpath(p), _HISTORY_SIDECAR)
     tmp_sidecar = os.path.join(tmp, _HISTORY_SIDECAR)
-    if os.path.exists(tmp_sidecar):
+    snap_had_sidecar = os.path.exists(tmp_sidecar)
+    if snap_had_sidecar:
         os.remove(tmp_sidecar)
-    if os.path.exists(live_sidecar):
-        import shutil
+    import shutil
 
+    if os.path.exists(live_sidecar):
         shutil.copy2(live_sidecar, tmp_sidecar)
+    elif snap_had_sidecar:
+        # live sidecar lost out-of-band but the snapshot carried one: the
+        # snapshot's own history is strictly older yet still a valid reader
+        # for the restored files — keep it (as a COPY, never a hardlink into
+        # the immutable snapshot) rather than silently restoring a versioned
+        # table with no history at all
+        shutil.copy2(
+            os.path.join(target["path"], _HISTORY_SIDECAR), tmp_sidecar
+        )
     vdir = _sibling(p, "v", ns)
     os.rename(tmp, vdir)
     _flip_live_pointer(p, vdir, ns)
     return vdir
+
+
+# ---------------------------------------------------------------------------
+# Per-epoch planning statistics (SCALE.md §Planning statistics)
+#
+# `sessionize_auto` / `salted_join_auto` flip plans on a measured key-hotness
+# statistic.  Per-invocation that is one column-pruned scan — cheap next to
+# the windowed shuffle, but on a production pipeline the statistic should be
+# computed ONCE per table epoch (the round-8 verdict's watch item) and read
+# back as a cached scalar.  A grouped statistic (max rows on one key) cannot
+# ride an `Observation` on the load job — observations evaluate scalar
+# aggregate expressions over the flowing rows, and per-key max-count needs a
+# grouping — so the amortization is a sidecar: compute after ingest, persist
+# next to the table, invalidate on the next version flip.
+# ---------------------------------------------------------------------------
+
+_STATS_SIDECAR_KIND = "stats"
+
+
+def _stats_sidecar_path(path: str) -> str:
+    # fixed ns=0: one stats sidecar per table (epoch recorded INSIDE the
+    # file), reusing the hidden-sibling naming so partition discovery and
+    # file listing never see it
+    return _sibling(path, _STATS_SIDECAR_KIND, 0)
+
+
+def _table_epoch(path: str) -> int:
+    """Current epoch marker for a table path: the live version's
+    ``created_ns`` for a compaction-managed table, else the max mtime_ns
+    of the directory's data files (append = new files = new epoch)."""
+    import os
+
+    real = os.path.realpath(path)
+    base = os.path.basename(real.rstrip("/"))
+    if "__v_" in base:
+        return int(base.rsplit("_", 1)[1])
+    newest = os.stat(real).st_mtime_ns
+    for entry in os.scandir(real):
+        if not entry.name.startswith((".", "_")):
+            newest = max(newest, entry.stat(follow_symlinks=False).st_mtime_ns)
+    return newest
+
+
+def save_table_stats(path: str, stats: dict) -> str:
+    """Merge ``stats`` (name -> JSON-serializable value) into the table's
+    hidden stats sidecar, stamped with the current table epoch.  Same
+    atomic tmp+replace protocol as the schema-history sidecar."""
+    import json
+    import os
+
+    sidecar = _stats_sidecar_path(path)
+    existing = load_table_stats(path, any_epoch=True)
+    epoch = _table_epoch(path)
+    for name, value in stats.items():
+        existing[name] = {"value": value, "epoch": epoch}
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(existing, f)
+    os.replace(tmp, sidecar)
+    return sidecar
+
+
+def load_table_stats(path: str, any_epoch: bool = False) -> dict:
+    """Read the table's stats sidecar: name -> {"value", "epoch"}.
+    By default entries from a SUPERSEDED epoch are dropped (stale plans
+    are worse than a re-measure); ``any_epoch=True`` returns everything
+    (used by save to merge without re-stamping unrelated stats)."""
+    import json
+    import os
+
+    sidecar = _stats_sidecar_path(path)
+    if not os.path.exists(sidecar):
+        return {}
+    with open(sidecar) as f:
+        stats = json.load(f)
+    if any_epoch:
+        return stats
+    epoch = _table_epoch(path)
+    return {k: v for k, v in stats.items() if v.get("epoch") == epoch}
+
+
+def cached_key_hotness(spark: SparkSession, path: str, key: str) -> tuple[int, int]:
+    """The amortized planning statistic: ``(max rows on one key, total
+    rows)`` for ``path``'s ``key`` column, computed AT MOST once per table
+    epoch.  Cache hit = zero Spark jobs (a JSON read); miss (first call of
+    the epoch, or the table was re-versioned/appended since) = one
+    column-pruned map-side-combined scan, persisted for every later
+    caller.  Feed the result to ``sessionize_auto(..., hotness=...)`` /
+    ``salted_join_auto(..., hotness=...)``."""
+    from sparkgraft.ops.sessionize import measure_hotness
+
+    stat_name = f"key_hotness:{key}"
+    cached = load_table_stats(path).get(stat_name)
+    if cached is not None:
+        mx, n = cached["value"]
+        return int(mx), int(n)
+    mx, n = measure_hotness(spark.read.parquet(resolve_table_path(path)), key)
+    save_table_stats(path, {stat_name: [mx, n]})
+    return mx, n
 
 
 def compact_small_files(

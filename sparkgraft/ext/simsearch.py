@@ -1097,3 +1097,166 @@ def triangle_counts(e):
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def lsh_triangle_counts(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-node triangle counts over the LSH-pruned similarity graph —
+    the sub-quadratic sibling of :func:`knn_graph` + :func:`triangle_counts`
+    (whose edge materialization is O(N²) FLOPs by its EXACT contract).
+    Graph semantics, declared: two vectors are adjacent iff they are
+    byte-identical (exact near-dups by definition) or their distinct
+    contents share an LSH bucket (the seeded hyperplanes of
+    :func:`bucket_sql`) with cosine >= ``threshold`` — the similarity
+    graph an at-scale curation pipeline actually builds (exact all-pairs
+    is the audit tool, not the production path).
+
+    Three ideas make it scale:
+
+    1. **LSH candidate pruning**: scoring happens only inside buckets —
+       one equi-join on bucket id replaces the all-block-pairs grid, so
+       the flop count is sum(bucket²) over DISTINCT contents, not N².
+       At corpus scale you bound bucket sizes by adding planes/bands;
+       the bucket join shape is unchanged.
+    2. **Content-class canonicalization** (the minhash-lane precedent):
+       byte-identical vectors collapse into one class (id = min member
+       id, multiplicity m) BEFORE any scoring, so a duplicate-heavy
+       corpus — the realistic 100 TB regime — costs distinct-contents
+       flops, not raw-row flops.
+    3. **Closed-form expansion**: the node-level graph is the class
+       graph with every class internally a clique, so per-node triangle
+       counts come from per-CLASS arithmetic — for a node of class c:
+       C(m_c−1, 2) within-class triangles, (m_c−1)·Σ_{d∈adj(c)} m_d
+       straddling an in-class edge, Σ_{d∈adj(c)} C(m_d, 2) with both
+       others in one neighbor class, and Σ m_d·m_e over class-level
+       triangles {c,d,e} — all BIGINT, so the whole relation is
+       trivially bit-stable.  The class-triangle term reuses the same
+       degree-ordered orientation as :func:`triangle_counts` (each class
+       triangle enumerated once as a wedge at its lowest-(degree, id)
+       corner).
+
+    One shuffle tags classes (window over the vector itself — engines
+    group on native array equality, no cross-engine float rendering),
+    one bucket equi-join scores candidates, two equi-joins enumerate
+    class triangles, one join expands back to members.
+    """
+    from pyspark.sql import Window
+
+    tagged = emb.select(F.col(id_col).alias("node"), F.col(vec_col).alias("v"))
+    wcls = Window.partitionBy("v")
+    tagged = tagged.withColumn("cls", F.min("node").over(wcls)).withColumn(
+        "m", F.count(F.lit(1)).over(wcls)
+    )
+    members = tagged.select("node", "cls")
+    reps = tagged.where(F.col("node") == F.col("cls")).select("cls", "v", "m")
+
+    sig = reps.withColumn("bucket", F.expr(bucket_sql("v")))
+    a = sig.select(
+        "bucket",
+        F.col("cls").alias("ca"),
+        F.col("v").alias("va"),
+        F.col("m").alias("ma"),
+    )
+    b = sig.select(
+        "bucket",
+        F.col("cls").alias("cb"),
+        F.col("v").alias("vb"),
+        F.col("m").alias("mb"),
+    )
+    # each class has exactly one bucket, so an unordered class pair meets
+    # at most once — no post-join dedup needed
+    e = (
+        a.join(b, "bucket")
+        .where(F.col("ca") < F.col("cb"))
+        .where(F.expr(cosine_sql("va", "vb")) >= F.lit(float(threshold)))
+        .select("ca", "cb", "ma", "mb")
+    )
+    # referenced by degree, orientation, both wedge legs, the closure and
+    # the S/Q rollup — checkpoint or the bucket-scoring DAG re-executes
+    # per reference (same rationale as the exact lane's edge checkpoint)
+    e = e.localCheckpoint(eager=True)
+
+    deg = (
+        e.select(F.col("ca").alias("node"))
+        .unionAll(e.select("cb"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    a_lt_b = F.struct(F.col("ra"), F.col("ca")) < F.struct(
+        F.col("rb"), F.col("cb")
+    )
+    o = (
+        e.join(_rk_side(deg, "ca", "ra"), "ca")
+        .join(_rk_side(deg, "cb", "rb"), "cb")
+        .select(
+            F.when(a_lt_b, F.col("ca")).otherwise(F.col("cb")).alias("u"),
+            F.when(a_lt_b, F.col("cb")).otherwise(F.col("ca")).alias("v"),
+            F.when(a_lt_b, F.col("rb")).otherwise(F.col("ra")).alias("rvd"),
+            F.when(a_lt_b, F.col("ma")).otherwise(F.col("mb")).alias("mu"),
+            F.when(a_lt_b, F.col("mb")).otherwise(F.col("ma")).alias("mv"),
+        )
+    )
+    o = o.localCheckpoint(eager=True)
+    o1 = o.select(
+        "u",
+        "mu",
+        F.col("v").alias("x"),
+        F.col("rvd").alias("rxd"),
+        F.col("mv").alias("mx"),
+    )
+    o2 = o.select(
+        "u",
+        F.col("v").alias("y"),
+        F.col("rvd").alias("ryd"),
+        F.col("mv").alias("my"),
+    )
+    wedges = o1.join(o2, "u").where(
+        F.struct(F.col("rxd"), F.col("x")) < F.struct(F.col("ryd"), F.col("y"))
+    )
+    closure = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"])
+    wsum = (
+        tri.select(F.col("u").alias("cnode"), (F.col("mx") * F.col("my")).alias("w"))
+        .unionAll(tri.select(F.col("x"), (F.col("mu") * F.col("my")).alias("w")))
+        .unionAll(tri.select(F.col("y"), (F.col("mu") * F.col("mx")).alias("w")))
+        .groupBy("cnode")
+        .agg(F.sum("w").alias("w"))
+    )
+    # per-class neighbor sums over the symmetrized class edges:
+    # s = sum of neighbor multiplicities, q = sum of C(m_d, 2)
+    sq = (
+        e.select(F.col("ca").alias("cnode"), F.col("mb").alias("nm"))
+        .unionAll(e.select(F.col("cb"), F.col("ma")))
+        .groupBy("cnode")
+        .agg(
+            F.sum("nm").alias("s"),
+            F.sum(F.expr("(nm * (nm - 1)) div 2")).alias("q"),
+        )
+    )
+    totals = (
+        reps.select("cls", "m")
+        .join(sq, F.col("cls") == sq["cnode"], "left")
+        .drop("cnode")
+        .join(wsum, F.col("cls") == wsum["cnode"], "left")
+        .drop("cnode")
+        .select(
+            "cls",
+            (
+                F.expr("((m - 1) * (m - 2)) div 2")
+                + (F.col("m") - 1) * F.coalesce(F.col("s"), F.lit(0))
+                + F.coalesce(F.col("q"), F.lit(0))
+                + F.coalesce(F.col("w"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )
+    return (
+        members.join(totals, "cls")
+        .where(F.col("n_triangles") > 0)
+        .select("node", "n_triangles")
+    )

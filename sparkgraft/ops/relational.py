@@ -192,6 +192,52 @@ def salted_join(
     return b.join(s, on=[on, "__salt"]).drop("__salt")
 
 
+def salted_join_auto(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+    hot_rows: int = 2_000_000,
+    hotness: tuple[int, int] | None = None,
+) -> DataFrame:
+    """:func:`salted_join` with the skew defense engaged only when the
+    big side's key distribution is actually hot — the join-side twin of
+    ``ops.sessionize.sessionize_auto`` (same decision statistic, same
+    measured crossover).
+
+    The A/B grid (SCALE_CHECK_r08 ``skew_ab``) shows salting LOSES below
+    its crossover (0.76x/0.62x at 10-100x — it pays an n_salts-fold
+    replication of the small side and a wider shuffle key for skew that a
+    single reducer absorbs anyway) and wins 1.5x once one key's rows
+    dominate a reducer, so hard-coding either plan is wrong somewhere.
+    Decision rule: salt iff some key holds at least ``hot_rows`` big-side
+    rows — absolute rows, not share, because reducer wall-clock is set by
+    the biggest single key partition, not its fraction of the table.  The
+    default sits at the measured local[32] crossover; on a real cluster
+    the crossover arrives earlier (idle neighbors don't absorb the
+    straggler), so tune ``hot_rows`` DOWN, never up.
+
+    ``hotness``: pass a cached ``(max rows on one key, total rows)``
+    statistic — e.g. ``catalog.load_table_stats``'s per-epoch figure — to
+    skip the measuring scan entirely (the once-per-epoch amortization
+    SCALE.md §Planning statistics describes).  When omitted, one
+    column-pruned map-side-combined pass computes it.
+
+    Output is exactly the plain join's either way (salting is
+    equality-tested; pinned again for the auto form by the property
+    test), so the flip is invisible to results.
+    """
+    from sparkgraft.ops.sessionize import measure_hotness
+
+    mx, _n = hotness if hotness is not None else measure_hotness(big, on)
+    if mx >= int(hot_rows):
+        return salted_join(
+            big, small, on, n_salts=n_salts, salt_source=salt_source
+        )
+    return big.join(small, on=on)
+
+
 def exact_sum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-insensitive SUM for double columns.
 

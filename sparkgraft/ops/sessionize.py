@@ -230,6 +230,7 @@ def sessionize_auto(
     session_col: str = "session_id",
     bucket_seconds: int = 86_400,
     hot_rows: int = 2_000_000,
+    hotness: tuple[int, int] | None = None,
 ) -> DataFrame:
     """``sessionize`` with the skew defense engaged only when the data is
     actually hot — the measured A/B (SCALE_CHECK_r07 skew_ab) shows the
@@ -250,8 +251,13 @@ def sessionize_auto(
     deterministic ids over the same true session-start instants — pinned
     by the equality property test), so the flip is invisible to results,
     exactly like the dedup blocking-plan flip it copies.
+
+    ``hotness``: pass a cached ``(max rows on one key, total rows)``
+    statistic — e.g. ``catalog.load_table_stats``'s per-epoch figure — to
+    skip the measuring scan (SCALE.md §Planning statistics: compute once
+    per table epoch at ingest, not per invocation).
     """
-    mx, _n = measure_hotness(df, user_col)
+    mx, _n = hotness if hotness is not None else measure_hotness(df, user_col)
     if mx >= int(hot_rows):
         return sessionize_skew_split(
             df,

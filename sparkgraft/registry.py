@@ -1343,7 +1343,12 @@ def q_salted_join_user_events(spark, sf_dir):
     event_id, the small side replicates once per salt, and the join runs
     on (user_id, salt) so a bot user's rows spread over 16 reducers
     (ops/relational.salted_join). The oracle states the PLAIN join —
-    salting must be invisible in the results."""
+    salting must be invisible in the results.
+
+    This lane pins the ALWAYS-SALTED plan; production callers should
+    prefer ``salted_join_auto`` (next lane), which engages the salt only
+    past the measured hotness crossover — the A/B grid shows hard-coded
+    salting loses 0.76x/0.62x below it."""
     from sparkgraft.ops.relational import salted_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
@@ -1354,6 +1359,43 @@ def q_salted_join_user_events(spark, sf_dir):
     )
     return (
         salted_join(ev, totals, "user_id", n_salts=16, salt_source="event_id")
+        .select("event_id", "user_id", "n_events")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "salted_join_auto",
+    """
+    WITH totals AS (SELECT user_id, count(*) AS n_events
+                    FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, t.n_events
+    FROM events e JOIN totals t USING (user_id)
+    ORDER BY e.event_id
+    """,
+)
+def q_salted_join_auto(spark, sf_dir):
+    """Adaptive skew defense for the equi-join
+    (ops/relational.salted_join_auto), extending the ``sessionize_auto``
+    precedent to the join: one column-pruned map-side-combined pass
+    measures the big side's key hotness, and the salted plan engages only
+    past the measured local[32] crossover (~2M rows on one key —
+    SCALE_CHECK_r08 ``skew_ab``: salting loses 0.76x/0.62x below it, wins
+    1.5x at 1000x).  The oracle states the PLAIN join and the same SQL as
+    the always-salted lane above: whichever plan the statistic picks, the
+    result must be bit-identical (also pinned on an artificially hot rig
+    by the property test).  At 100 TB the statistic should come from the
+    per-epoch cache (catalog.cached_key_hotness), not a per-call scan."""
+    from sparkgraft.ops.relational import salted_join_auto
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    totals = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        salted_join_auto(ev, totals, "user_id", n_salts=16, salt_source="event_id")
         .select("event_id", "user_id", "n_events")
         .orderBy("event_id")
     )
@@ -2856,6 +2898,49 @@ def q_dq_constraint_report(spark, sf_dir):
         .union(_row("orders_pk_unique", orders_check))
     )
     return report.orderBy("check_name")
+
+
+@register(
+    "dq_gated_value_rollup",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS event_day,
+           count(value) AS n_values,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, event_day
+    ORDER BY event_type, event_day
+    """,
+)
+def q_dq_gated_value_rollup(spark, sf_dir):
+    """Gate-then-process: the production shape the IEEE-specials policy
+    describes, with the gate actually CONSUMED (round-8 verdict #7 — the
+    ``events_value_finite`` check existed but nothing ran it fail-closed).
+    ``ops.dq.require_finite`` makes one column-pruned map-side-combined
+    pre-pass over events.value and raises LOUDLY before the rollup's
+    shuffle executes if the batch violates the declared finite domain —
+    versus the ungated alternative where a single NaN surfaces as a
+    mid-job ANSI cast error after the cluster already paid the scan.  On
+    clean data the gate is invisible: the rollup (daily per-type exact
+    value sums — the exact-decimal class the finite domain protects) is
+    what the oracle hashes.  The abort path is pinned by
+    tests/test_dq_gate.py on a poisoned batch."""
+    from sparkgraft.ops.dq import require_finite
+    from sparkgraft.ops.relational import exact_sum
+
+    ev = require_finite(
+        _t(spark, sf_dir, "events"), "value", "events_value_finite"
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("event_day")
+        )
+        .agg(
+            F.count("value").alias("n_values"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type", "event_day")
+    )
 
 
 @register(
@@ -5306,12 +5391,20 @@ def _snapshot_workspace(spark, sf_dir):
     (event_id % 10 = 3) into the live version, compact again.  Returns
     (table path, created_ns of the load-1 snapshot).  The tempdir is the
     fixture; at scale the versions are compaction points on a real ingest
-    and the snapshot listing comes from the same pointer history."""
+    and the snapshot listing comes from the same pointer history.  The
+    returned DataFrame is lazy — the caller (driver/audit) materializes it
+    after this function returns — so the workspace can't be deleted here;
+    register process-exit cleanup instead so repeated driver/audit runs
+    don't accrete event-table copies in /tmp."""
+    import atexit
+    import shutil
     import tempfile
 
     from sparkgraft.catalog import compact_small_files, list_table_versions
 
-    path = tempfile.mkdtemp(prefix="sparkgraft_snap_") + "/events_managed"
+    workspace = tempfile.mkdtemp(prefix="sparkgraft_snap_")
+    atexit.register(shutil.rmtree, workspace, ignore_errors=True)
+    path = workspace + "/events_managed"
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     ev.where(F.col("event_id") % 10 <= 2).write.parquet(path)
     compact_small_files(spark, path, target_mb=128)
@@ -5370,81 +5463,82 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 8's window, in three
+# artifact, not an accident of module layout.  Round 9's window, in three
 # tiers:
-#   (1) the 3 queries without a driver HASH row — the round-8
-#       `sessionize_auto` (measured skew plan-flip) and the two snapshot
-#       lanes (`snapshot_asof_read`, `snapshot_restore_read`) promoting
-#       time travel + rollback from pytest-only to driver-verified, as the
-#       r07 verdict staged;
-#   (2) 39 stale-refresh re-proofs, oldest-first — the 15 proofs still
-#       dating from ROUND 3 (the TPC-H tail q6/q9/q15-q22, both uniform
-#       salted-join lanes, `streaming_restart_sessionize`,
-#       `text_repetition`, `text_weighted_score`), then the
-#       alphabetically-first 24 of the 43 round-4 proofs (testdata has
-#       been regenerated every round since); the 19 r04 leftovers head
-#       round 9's rotation;
-#   (3) the 8 canonical sentinels (same set as r04-r07).
+#   (1) the 3 queries without a driver HASH row — all registered THIS
+#       round: `salted_join_auto` (the measured join plan-flip the r08
+#       verdict staged, twin of `sessionize_auto`), `dq_gated_value_rollup`
+#       (the gate-then-process consumer of the IEEE-specials DQ gate), and
+#       `graph_triangle_lsh` (the sub-quadratic LSH-pruned triangle lane);
+#   (2) 39 stale-refresh re-proofs, oldest-first — the 19 proofs still
+#       dating from ROUND 4 (streaming batch twins, the text
+#       BM25/fuzzy/RRF/LM/PII tail, `timeseries_gapfill`,
+#       `trade_pagerank`, `unpivot_lineitem_measures`, the `value_*`
+#       tail, `wau_sketch_weekly`, `wau_wow_growth`), then the
+#       alphabetically-first 20 of the 42 round-5 proofs (testdata has
+#       been regenerated every round since); the 22 r05 leftovers head
+#       round 10's rotation;
+#   (3) the 8 canonical sentinels (same set as r04-r08).
 # With (1) drained, cumulative driver-hash coverage stays at 100% of the
-# registry and no query's newest driver row is older than r04.
+# registry and no query's newest driver row is older than r05.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 9 ROTATION: any query registered after THIS freeze (list them in
-# tests/test_registry_parity.py `added_after_r08_freeze` as you add them)
-# plus stale-refresh re-proofs (the 19 remaining r04 rows first, then r05
+# ROUND 10 ROTATION: any query registered after THIS freeze (list them in
+# tests/test_registry_parity.py `added_after_r09_freeze` as you add them)
+# plus stale-refresh re-proofs (the 22 remaining r05 rows first, then r06
 # oldest-first) and the 8 sentinels.  Keep new registrations few enough to
 # drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: the 3 round-8 lanes needing their FIRST driver hash row
-    "sessionize_auto",
-    "snapshot_asof_read",
-    "snapshot_restore_read",
-    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 15 remaining
-    # round-3 proofs, then the alphabetically-first 24 of the 43 round-4
-    # proofs (the 19 r04 leftovers head round 9's rotation)
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_dominant_suppliers",
-    "q21_blocking_suppliers",
-    "q22_dormant_capital",
-    "salted_join_user_events",
-    "salted_user_event_totals",
-    "streaming_restart_sessionize",
-    "text_repetition",
-    "text_weighted_score",
-    "asof_nearest_signup",
-    "attribution_linear",
-    "corpus_chunk_dedup",
-    "custom_sink_jsonl_roundtrip",
-    "custom_source_jsonl",
-    "dedup_incremental_bloom",
-    "dq_constraint_report",
-    "embed_quantized_topk",
-    "embed_vector_algebra",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "gdpr_erasure_report",
-    "grouped_weighted_mean_pandas",
-    "grouping_sets_event_margins",
-    "incremental_view_merge",
-    "k_anonymity_audit",
-    "merge_upsert_customers",
-    "peak_concurrent_sessions",
-    "props_map_stats",
-    "pseudonymous_join",
-    "retention_cohorts",
-    "rolling_7d_active_users",
-    "scd2_type_history",
-    "session_window_dynamic_gap",
-    # tier 3: the 8 canonical sentinels (same set as r04-r07)
+    # tier 1: the 3 round-9 lanes needing their FIRST driver hash row
+    "salted_join_auto",
+    "dq_gated_value_rollup",
+    "graph_triangle_lsh",
+    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 19 remaining
+    # round-4 proofs, then the alphabetically-first 20 of the 42 round-5
+    # proofs (the 22 r05 leftovers head round 10's rotation)
+    "session_window_stats",
+    "streaming_replay_dedup",
+    "streaming_static_enrich",
+    "streaming_stream_join",
+    "streaming_windowed_counts",
+    "text_bm25_search",
+    "text_fuzzy_probe_match",
+    "text_hybrid_rrf",
+    "text_lm_score",
+    "text_pii_scrub",
+    "timeseries_gapfill",
+    "trade_pagerank",
+    "unpivot_lineitem_measures",
+    "value_histogram",
+    "value_quantiles_approx",
+    "value_time_correlation",
+    "value_zscore_outliers",
+    "wau_sketch_weekly",
+    "wau_wow_growth",
+    "bitmap_distinct_rollup",
+    "collation_distinct_audit",
+    "column_profile_lineitem",
+    "corpus_chunk_overlap",
+    "corpus_dup_span_fraction",
+    "corpus_shard_assign",
+    "corpus_source_datacard",
+    "corpus_temperature_mix",
+    "corpus_vocab_growth",
+    "custom_stream_jsonl_counts",
+    "dedup_incremental_minhash",
+    "dedup_keep_canonical",
+    "embed_arrow_norms",
+    "embed_kmeans_clusters",
+    "embed_knn_graph",
+    "embed_pca_projection",
+    "embed_pq_topk",
+    "events_variant_k_stats",
+    "ewma_user_value",
+    "graph_triangle_count",
+    # tier 3: the 8 canonical sentinels (same set as r04-r08)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

@@ -1766,6 +1766,80 @@ def q_graph_triangle_count(spark, sf_dir):
     return simsearch.triangle_counts(e).orderBy("node")
 
 
+def _lsh_triangle_oracle(tau: float = 0.2) -> str:
+    planes = simsearch.planes_duckdb_literal()
+    bucket = (
+        f"array_to_string(list_transform({planes}, p -> "
+        f"CASE WHEN list_sum(list_transform(generate_series(1, len(v)),"
+        f" i -> v[i]::DOUBLE * p[i])) > 0 THEN '1' ELSE '0' END), '')"
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT vec_id AS node, embedding AS v,
+             min(vec_id) OVER (PARTITION BY embedding) AS cls,
+             count(*) OVER (PARTITION BY embedding) AS m
+      FROM embeddings),
+    reps AS (SELECT cls, v, m FROM tagged WHERE node = cls),
+    sig AS (SELECT cls, v, m, {bucket} AS bucket FROM reps),
+    e AS (SELECT a.cls AS ca, b.cls AS cb, a.m AS ma, b.m AS mb
+          FROM sig a JOIN sig b USING (bucket)
+          WHERE a.cls < b.cls AND {_cos_d('a.v', 'b.v')} >= {tau}),
+    deg AS (SELECT cnode, count(*) AS d
+            FROM (SELECT ca AS cnode FROM e UNION ALL SELECT cb FROM e)
+            GROUP BY cnode),
+    o AS (SELECT CASE WHEN (ra.d, e.ca) < (rb.d, e.cb) THEN e.ca ELSE e.cb END AS u,
+                 CASE WHEN (ra.d, e.ca) < (rb.d, e.cb) THEN e.cb ELSE e.ca END AS v,
+                 CASE WHEN (ra.d, e.ca) < (rb.d, e.cb) THEN rb.d ELSE ra.d END AS rvd,
+                 CASE WHEN (ra.d, e.ca) < (rb.d, e.cb) THEN e.ma ELSE e.mb END AS mu,
+                 CASE WHEN (ra.d, e.ca) < (rb.d, e.cb) THEN e.mb ELSE e.ma END AS mv
+          FROM e JOIN deg ra ON e.ca = ra.cnode JOIN deg rb ON e.cb = rb.cnode),
+    tri AS (SELECT o1.u, o1.mu, o1.v AS x, o1.mv AS mx, o2.v AS y, o2.mv AS my
+            FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.rvd, o1.v) < (o2.rvd, o2.v)
+            JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+    wsum AS (SELECT cnode, sum(w) AS w FROM (
+               SELECT u AS cnode, mx * my AS w FROM tri
+               UNION ALL SELECT x, mu * my FROM tri
+               UNION ALL SELECT y, mu * mx FROM tri)
+             GROUP BY cnode),
+    sq AS (SELECT cnode, sum(nm) AS s, sum((nm * (nm - 1)) // 2) AS q FROM (
+             SELECT ca AS cnode, mb AS nm FROM e
+             UNION ALL SELECT cb, ma FROM e)
+           GROUP BY cnode),
+    totals AS (SELECT r.cls,
+                      ((r.m - 1) * (r.m - 2)) // 2
+                      + (r.m - 1) * coalesce(sq.s, 0)
+                      + coalesce(sq.q, 0) + coalesce(wsum.w, 0) AS t
+               FROM reps r LEFT JOIN sq ON r.cls = sq.cnode
+                           LEFT JOIN wsum ON r.cls = wsum.cnode)
+    SELECT tg.node, CAST(t.t AS BIGINT) AS n_triangles
+    FROM tagged tg JOIN totals t USING (cls)
+    WHERE t.t > 0
+    ORDER BY node
+    """
+
+
+@register("graph_triangle_lsh", _lsh_triangle_oracle())
+def q_graph_triangle_lsh(spark, sf_dir):
+    """Per-node triangle counts over the LSH-pruned similarity graph
+    (ext/simsearch.lsh_triangle_counts) — the SUB-QUADRATIC variant the
+    round-8 verdict staged next to `graph_triangle_count`, whose exact
+    blocked kNN is O(N²) FLOPs by contract (its 100x exponent of 1.763
+    is the cost of exactness, not a plan defect).  Edge semantics,
+    declared: byte-identical vectors are adjacent by definition;
+    distinct contents are adjacent iff they share a seeded-hyperplane
+    LSH bucket with cosine >= 0.2.  Candidate scoring is one bucket
+    equi-join over distinct-content CLASSES (never N², never
+    duplication-quadratic — the content-class canonicalization
+    precedent), the class-triangle phase is the same degree-ordered
+    two-equi-join wedge enumeration as the exact lane, and per-node
+    counts expand from per-class closed forms in pure BIGINT arithmetic.
+    Deep-decade contract: linear (bench_scale DEEP), vs the exact lane's
+    declared quadratic."""
+    return simsearch.lsh_triangle_counts(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2
+    ).orderBy("node")
+
+
 def _pq_oracle(
     n_queries: int = 8,
     m: int = 4,

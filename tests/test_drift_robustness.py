@@ -183,6 +183,11 @@ EMPTY_EVENTS_LANES = (
     "streaming_restart_sessionize",
     "streaming_session_window",
     "sessionize_auto",
+    # round-9 lanes whose decision/gate statistics read a first() over an
+    # aggregate — on empty input the row is all-NULL and must coerce to 0,
+    # not crash (the round-8 empty-source class)
+    "salted_join_auto",
+    "dq_gated_value_rollup",
 )
 EMPTY_DOCS_LANES = ("corpus_quality_funnel", "dedup_minhash_lsh")
 

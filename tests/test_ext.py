@@ -916,3 +916,69 @@ def test_weighted_score_empty_and_null_text(spark, tmp_path):
         r[0]: r[1] for r in con.execute(oracles()["text_weighted_score"]).fetchall()
     }
     assert oracle == got
+
+
+def test_lsh_triangle_expansion_matches_direct_enumeration(spark, sf_dir):
+    """lsh_triangle_counts (round 9) computes per-node triangle counts from
+    per-CLASS closed forms over the content-class graph.  This test pins
+    the expansion against DIRECT enumeration: build the node-level edge
+    set from the declared semantics (identical vectors adjacent by
+    definition; distinct contents adjacent iff same LSH bucket and
+    cosine >= tau), feed it to the already-proven exact triangle_counts,
+    and require identical per-node counts — on a duplicate-HEAVY fixture
+    (planted twins and triplets) so all four closed-form terms
+    (within-class, straddle, neighbor-pair, class-triangle) carry."""
+    tau = 0.2
+    base = (
+        read_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(120)
+        .select("vec_id", "embedding")
+    )
+    # plant duplicates: ids 0..39 get one twin, ids 0..14 get a second
+    # (classes of multiplicity 1, 2 and 3)
+    dup1 = base.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    dup2 = base.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionAll(dup1).unionAll(dup2)
+
+    got = {
+        (r.node, r.n_triangles)
+        for r in simsearch.lsh_triangle_counts(emb, threshold=tau).collect()
+    }
+
+    # direct node-level edges (the declared semantics, no class shortcut):
+    # tiny fixture, so the quadratic cross join is fine here
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.expr(simsearch.bucket_sql("embedding")).alias("ba"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.expr(simsearch.bucket_sql("embedding")).alias("bb"),
+    )
+    edges = (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .where(
+            (F.col("va") == F.col("vb"))
+            | (
+                (F.col("ba") == F.col("bb"))
+                & (F.expr(simsearch.cosine_sql("va", "vb")) >= F.lit(tau))
+            )
+        )
+        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"))
+    )
+    expected = {
+        (r.node, r.n_triangles)
+        for r in simsearch.triangle_counts(edges).collect()
+    }
+    assert expected  # fixture sanity: the graph actually has triangles
+    assert got == expected
+    # and duplicates genuinely participate (a planted twin holds triangles)
+    assert any(node >= 10_000 for node, _ in got)

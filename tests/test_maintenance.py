@@ -652,3 +652,78 @@ def test_restore_keeps_current_schema_history(spark, tmp_path):
     # and the restored data still reads under the current spec
     got = catalog.read_spec_evolved(spark, work, v3)
     assert "tag" in got.columns and got.count() == 16
+
+
+def test_restore_falls_back_to_snapshot_sidecar_when_live_lost(spark, tmp_path):
+    """Round-9 advice fix: if the LIVE table lost its _schema_history.json
+    out-of-band but the snapshot being restored carried one, the restored
+    version must keep the snapshot's history (as a copy, never a hardlink
+    into the immutable snapshot) rather than silently restoring a
+    versioned table with no history at all."""
+    work = str(tmp_path / "evolost")
+    _evolved_table(spark, work, partitioned=False)
+    catalog.compact_small_files(spark, work, target_mb=128)
+    snap_ns = catalog.list_table_versions(work)[0]["created_ns"]
+    snap_dir = catalog.resolve_table_path_asof(work, snap_ns)
+    snap_history = catalog.load_schema_history(snap_dir)
+    assert snap_history  # precondition: the snapshot has a sidecar
+
+    # simulate out-of-band deletion of the live sidecar
+    live_sidecar = os.path.join(
+        catalog.resolve_table_path(work), "_schema_history.json"
+    )
+    os.remove(live_sidecar)
+
+    restored = catalog.restore_table_version(work, snap_ns)
+    assert catalog.load_schema_history(restored) == snap_history
+    # the snapshot's own copy stays untouched, and the restored one is a
+    # COPY (distinct inode), not a hardlink that a later edit could corrupt
+    assert catalog.load_schema_history(snap_dir) == snap_history
+    snap_stat = os.stat(os.path.join(snap_dir, "_schema_history.json"))
+    rest_stat = os.stat(os.path.join(restored, "_schema_history.json"))
+    assert snap_stat.st_ino != rest_stat.st_ino
+
+
+def test_table_stats_cache_per_epoch(spark, tmp_path):
+    """catalog.cached_key_hotness: the planning statistic is computed once
+    per table epoch — a second call is a pure sidecar read (no Spark
+    jobs), and an append/compaction invalidates it (new epoch -> fresh
+    measure)."""
+    work = str(tmp_path / "statstbl")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "event_id long, user_id long"
+    ).write.parquet(work)
+
+    mx, n = catalog.cached_key_hotness(spark, work, "user_id")
+    assert (mx, n) == (10, 30)
+    # cache hit: corrupt the parquet-visible answer path by asserting no
+    # recompute — monkeypatch measure_hotness to explode if called again
+    import sparkgraft.ops.sessionize as sz
+
+    orig = sz.measure_hotness
+    try:
+        sz.measure_hotness = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("cache miss: measure_hotness re-ran inside the epoch")
+        )
+        assert catalog.cached_key_hotness(spark, work, "user_id") == (10, 30)
+    finally:
+        sz.measure_hotness = orig
+
+    # new epoch: append rows -> the cached figure is stale and must refresh
+    spark.createDataFrame(
+        [(100 + i, 7) for i in range(25)], "event_id long, user_id long"
+    ).write.mode("append").parquet(work)
+    mx2, n2 = catalog.cached_key_hotness(spark, work, "user_id")
+    assert (mx2, n2) == (25, 55)
+
+
+def test_table_stats_sidecar_is_discovery_invisible(spark, tmp_path):
+    """The stats sidecar must reuse the hidden-sibling naming: a reader of
+    the table root (and partition discovery) must never see it."""
+    work = str(tmp_path / "statshidden")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(work)
+    catalog.save_table_stats(work, {"key_hotness:b": [1, 1]})
+    assert spark.read.parquet(work).count() == 1
+    sidecar = catalog._stats_sidecar_path(work)
+    assert os.path.basename(sidecar).startswith(".")
+    assert os.path.exists(sidecar)

@@ -120,6 +120,55 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert any(u == 424242 for _, u, _n in salted)
 
 
+def test_salted_join_auto_flips_both_ways_and_is_result_invisible(spark, sf_dir):
+    """salted_join_auto (round 9): on the uniform events table the measured
+    hotness sits far below the crossover, so the PLAIN join plan must run
+    (no __salt column anywhere — hard-coded salting is the measured
+    0.76x/0.62x regression below the crossover); with a planted hot key
+    and a threshold it clears, the salted plan must engage (__salt in the
+    plan).  Both ways the rows are exactly the plain join's."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.relational import salted_join_auto
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    plain = {
+        (r.event_id, r.user_id, r.n_events)
+        for r in ev.join(totals, "user_id").collect()
+    }
+
+    auto_cold = salted_join_auto(ev, totals, "user_id", salt_source="event_id")
+    assert "__salt" not in auto_cold._jdf.queryExecution().executedPlan().toString()
+    assert {
+        (r.event_id, r.user_id, r.n_events) for r in auto_cold.collect()
+    } == plain
+
+    auto_hot = salted_join_auto(
+        ev, totals, "user_id", salt_source="event_id", hot_rows=1
+    )
+    assert "__salt" in auto_hot._jdf.queryExecution().executedPlan().toString()
+    assert {
+        (r.event_id, r.user_id, r.n_events) for r in auto_hot.collect()
+    } == plain
+
+
+def test_salted_join_auto_consumes_cached_hotness(spark, sf_dir):
+    """The per-epoch amortization: a cached (max, total) statistic must be
+    honored without any measuring scan — passing a fabricated hot figure
+    flips the plan even though the data is uniform, proving the statistic
+    (not a hidden re-measure) drives the decision."""
+    from sparkgraft.io.readers import read_table
+    from sparkgraft.ops.relational import salted_join_auto
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    forced = salted_join_auto(
+        ev, totals, "user_id", salt_source="event_id",
+        hot_rows=100, hotness=(10_000, 60_000),
+    )
+    assert "__salt" in forced._jdf.queryExecution().executedPlan().toString()
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """The documented 100 TB escape hatch (HyperLogLog++) must land within
     its advertised error of the exact distinct count."""

@@ -45,9 +45,23 @@ positive prices):
 filter at 100 TB, any operator can legally see an empty input, and it
 must return an empty (or identity) result, not crash.
 
-``--nonfinite`` additionally poisons ``events.value`` with NaN
-(event_id % 79 == 0), +inf (% 83 == 0) and -inf (% 89 == 0) — the
-probe rig for IEEE-special handling.  This variant is NOT part of the
+``--nonfinite`` additionally poisons EVERY float column (round 9 widened
+it beyond ``events.value`` — NaN propagates through
+``aggregate(zip_with(...))`` without erroring, so a special in an
+EMBEDDING would silently poison every cosine/PQ/k-means lane, and
+negative zero / denormals were untested):
+
+- ``events.value``: NaN (event_id % 79 == 0), +inf (% 83), -inf (% 89),
+  NEGATIVE ZERO (% 97), double denormal 5e-324 (% 101)
+- ``embeddings.embedding``: element-level — NaN at element 0
+  (vec_id % 79 == 0), +inf at 1 (% 83), -inf at 2 (% 89), -0.0f at 3
+  (% 97), float32 denormal 1e-45 at 4 (% 101)
+- every scalar double in the star schema — ``customer.c_acctbal``,
+  ``supplier.s_acctbal``, ``part.p_retailprice``, ``orders.o_totalprice``,
+  ``lineitem.l_quantity/l_extendedprice/l_discount/l_tax`` — gets NaN
+  (row key % 79 == 0), +inf (% 83), -inf (% 89)
+
+The probe rig for IEEE-special handling; NOT part of the
 default perturbation set: lanes that feed ``value`` into exact-decimal
 arithmetic have a declared finite-domain precondition (ANSI
 double→decimal casts error on specials BY DESIGN — loud, not silent),
@@ -128,6 +142,39 @@ def _perturb_events_keys_time(tab: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, schema=tab.schema, preserve_index=False)
 
 
+def _specials_where(tab: pa.Table, col: str, key: str) -> pa.Table:
+    """The scalar-double special triple: NaN / +inf / -inf at the shared
+    % 79 / 83 / 89 moduli (same classes as events.value so one audit run
+    exercises every consumer of every float column identically)."""
+    tab = _set_where(tab, col, key, 79, float("nan"))
+    tab = _set_where(tab, col, key, 83, float("inf"))
+    return _set_where(tab, col, key, 89, float("-inf"))
+
+
+def _poison_embeddings(tab: pa.Table) -> pa.Table:
+    """Element-level specials inside the embedding arrays — NaN flows
+    through `aggregate(zip_with(...))` without erroring, so this is the
+    silent-divergence probe for every cosine/PQ/k-means/LSH lane; -0.0
+    and the float32 denormal exercise sign-of-zero and underflow paths
+    (bucket_sql's `> 0` test, norm sqrt, quantization rounding)."""
+    import numpy as np
+
+    df = tab.to_pandas()
+
+    def _set_elem(mod: int, idx: int, val) -> None:
+        for i in df.index[df.vec_id % mod == 0]:
+            arr = np.asarray(df.at[i, "embedding"], dtype=np.float32).copy()
+            arr[idx % len(arr)] = val
+            df.at[i, "embedding"] = arr
+
+    _set_elem(79, 0, np.float32("nan"))
+    _set_elem(83, 1, np.float32("inf"))
+    _set_elem(89, 2, np.float32("-inf"))
+    _set_elem(97, 3, np.float32("-0.0"))
+    _set_elem(101, 4, np.float32(1e-45))  # float32 subnormal
+    return pa.Table.from_pandas(df, schema=tab.schema, preserve_index=False)
+
+
 def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
@@ -145,20 +192,35 @@ def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> Non
             tab = _null_where(tab, "props", "event_id", 31)
             tab = _perturb_events_keys_time(tab)
             if nonfinite:
-                tab = _set_where(tab, "value", "event_id", 79, float("nan"))
-                tab = _set_where(tab, "value", "event_id", 83, float("inf"))
-                tab = _set_where(tab, "value", "event_id", 89, float("-inf"))
+                tab = _specials_where(tab, "value", "event_id")
+                tab = _set_where(tab, "value", "event_id", 97, -0.0)
+                tab = _set_where(tab, "value", "event_id", 101, 5e-324)
             pq.write_table(tab, dp)
         elif t == "orders":
             tab = pq.read_table(sp)
             tab = _set_where(tab, "o_totalprice", "o_orderkey", 47, 0.0)
             tab = _negate_where(tab, "o_totalprice", "o_orderkey", 71)
+            if nonfinite:
+                tab = _specials_where(tab, "o_totalprice", "o_orderkey")
             pq.write_table(tab, dp)
         elif t == "lineitem":
             tab = pq.read_table(sp)
             tab = _set_where(tab, "l_extendedprice", "l_orderkey", 47, 0.0)
             tab = _negate_where(tab, "l_extendedprice", "l_orderkey", 71)
+            if nonfinite:
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+                    tab = _specials_where(tab, c, "l_orderkey")
             pq.write_table(tab, dp)
+        elif t == "supplier" and nonfinite:
+            pq.write_table(
+                _specials_where(pq.read_table(sp), "s_acctbal", "s_suppkey"), dp
+            )
+        elif t == "part" and nonfinite:
+            pq.write_table(
+                _specials_where(pq.read_table(sp), "p_retailprice", "p_partkey"), dp
+            )
+        elif t == "embeddings" and nonfinite:
+            pq.write_table(_poison_embeddings(pq.read_table(sp)), dp)
         elif t == "documents":
             tab = pq.read_table(sp)
             tab = _set_where(tab, "text", "doc_id", 37, "")
@@ -178,10 +240,14 @@ def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> Non
         elif t == "customer":
             tab = pq.read_table(sp)
             tab = _null_where(tab, "c_acctbal", "c_custkey", 25)
+            if nonfinite:
+                tab = _specials_where(tab, "c_acctbal", "c_custkey")
             pq.write_table(tab, dp)
         else:
             shutil.copyfile(sp, dp)
-        perturbed = ("events", "documents", "customer", "orders", "lineitem")
+        perturbed = ["events", "documents", "customer", "orders", "lineitem"]
+        if nonfinite:
+            perturbed += ["supplier", "part", "embeddings"]
         print(f"# {t}: {'perturbed' if t in perturbed else 'copied'}")
 
 

@@ -267,6 +267,26 @@ def _digest_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     return []
 
 
+def _is_result_size_abort(exc: Exception) -> bool:
+    """True iff ``exc`` is the driver result-size guard tripping — the one
+    failure class the auto-digest retry exists for.  Match the Spark error
+    condition when the exception carries one, else the full canonical
+    message phrase; a bare 'maxResultSize' substring is NOT enough (an
+    unrelated error that merely mentions the conf key must not silently
+    flip the lane into digest mode and mask itself)."""
+    get_cond = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    if callable(get_cond):
+        try:
+            cond = get_cond() or ""
+        except Exception:
+            cond = ""
+        if "MAX_RESULT_SIZE" in cond.upper():
+            return True
+    return "bigger than spark.driver.maxResultSize" in str(exc)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -335,6 +355,12 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
+        # the DOUBLE canonicalization (decimal(38,6) re-cast) relies on ANSI
+        # to fail LOUD if a finite value ever overflows the decimal range; in
+        # a non-ANSI session the cast yields NULL and concat_ws silently
+        # drops the column from the row string.  ANSI is the Spark 4 default
+        # — pin it so a session-default drift can't corrupt the encoding.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", args.driver_mem)
         # digest lanes never collect; collect-compare lanes keep the
@@ -364,8 +390,14 @@ def main() -> int:
                     # collect" — exactly what digest mode is for; retry
                     # in-engine before reporting (re-raise anything else,
                     # and re-raise again if the schema can't digest)
-                    if "maxResultSize" not in str(exc):
+                    if not _is_result_size_abort(exc):
                         raise
+                    print(
+                        f"# {name}: collect tripped the result-size guard "
+                        f"({type(exc).__name__}: {str(exc)[:200]}) — "
+                        "retrying in digest mode",
+                        file=sys.stderr,
+                    )
                     try:
                         errs = _digest_compare(
                             qs[name](spark, args.sf_dir), oracles[name], args.sf_dir
