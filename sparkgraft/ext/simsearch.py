@@ -55,6 +55,35 @@ def planes_duckdb_literal() -> str:
     return f"[{rows}]"
 
 
+def finite_vector_sql(vec: str) -> str:
+    """Predicate: every element of ``vec`` is present and finite (no
+    NULL/NaN/±inf elements).
+
+    The similarity lanes' DECLARED DOMAIN (round-9 --nonfinite probe): a
+    NaN inside one embedding flows through every dot product without
+    erroring and then hits engine-divergent ranking rules — numpy drops
+    non-finite scores where SQL total orders sort NaN greatest — and a
+    NULL element is worse: DuckDB's ``list_sum`` SKIPS it (partial dot)
+    where Spark's ``aggregate`` fold propagates it (NULL dot), so an
+    incomplete vector silently scores differently per engine.
+    "Similarity of a corrupt vector" has no meaningful answer; the lanes
+    exclude such vectors up front, identically on both engines
+    (`dq_constraint_report embeddings_finite` is the upstream gate that
+    makes the exclusion observable instead of silent).  Empty vectors
+    pass (no violating element); -0.0 and denormals pass (finite, and
+    IEEE arithmetic on them is engine-identical)."""
+    return (
+        f"size(filter({vec}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
+        f" OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0"
+    )
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Apply the declared finite-embedding domain (see
+    :func:`finite_vector_sql`)."""
+    return df.where(F.expr(finite_vector_sql(vec_col)))
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Double-precision dot product of two float-array expressions."""
     return (

@@ -2827,6 +2827,11 @@ def q_asof_nearest_signup(spark, sf_dir):
            (SELECT count(*) FROM events
             WHERE value IS NOT NULL AND NOT isfinite(value))
     UNION ALL
+    SELECT 'embeddings_finite',
+           (SELECT count(*) FROM embeddings
+            WHERE len(list_filter(embedding,
+                                  x -> x IS NULL OR NOT isfinite(x::DOUBLE))) > 0)
+    UNION ALL
     SELECT 'lineitem_fk_orders',
            (SELECT count(*) FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -2877,6 +2882,17 @@ def q_dq_constraint_report(spark, sf_dir):
             )
         ).alias("nonfinite_value"),
     )
+    # the round-9 widening of the IEEE gate: element-level specials inside
+    # an embedding silently poison every cosine/PQ/k-means lane (NaN flows
+    # through the dot-product fold without erroring), so the similarity
+    # lanes declare a finite-vector domain (ext/simsearch.finite_vectors)
+    # and THIS check is the upstream detector
+    from sparkgraft.ext.simsearch import finite_vector_sql
+
+    emb_check = (
+        _t(spark, sf_dir, "embeddings")
+        .agg(F.count(F.when(~F.expr(finite_vector_sql("embedding")), 1)).alias("n"))
+    )
     orders_check = orders.agg(
         (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
     )
@@ -2893,6 +2909,7 @@ def q_dq_constraint_report(spark, sf_dir):
         _row("events_type_accepted", ev_checks.select(F.col("bad_type").alias("n")))
         .union(_row("events_user_not_null", ev_checks.select(F.col("null_user").alias("n"))))
         .union(_row("events_value_finite", ev_checks.select(F.col("nonfinite_value").alias("n"))))
+        .union(_row("embeddings_finite", emb_check))
         .union(_row("lineitem_fk_orders", fk_check))
         .union(_row("lineitem_qty_range", qty_check))
         .union(_row("orders_pk_unique", orders_check))
@@ -3087,8 +3104,13 @@ def q_incremental_view_merge(spark, sf_dir):
       FROM events)
     SELECT event_type, decile,
            count(*) AS n,
-           round(min(value), 6) AS lo,
-           round(max(value), 6) AS hi
+           -- + 0.0 canonicalizes sign-of-zero (r09 --nonfinite probe:
+           -- Spark's NormalizeFloatingNumbers rewrites a -0.0 sort key to
+           -- +0.0 before the range partitioner, so its min/max emit +0.0
+           -- where DuckDB keeps the -0.0 bit pattern; x + 0.0 == x for
+           -- every other value, so the canonicalization is exact)
+           round(min(value), 6) + 0.0 AS lo,
+           round(max(value), 6) + 0.0 AS hi
     FROM binned
     GROUP BY event_type, decile
     ORDER BY event_type, decile
@@ -3136,8 +3158,12 @@ def q_value_decile_bins(spark, sf_dir):
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 6).alias("lo"),
-            F.round(F.max("value"), 6).alias("hi"),
+            # + 0.0: sign-of-zero canonicalization, mirrored in the oracle
+            # (see the oracle comment) — makes the declared +0.0 canonical
+            # zero explicit on BOTH engines instead of relying on Spark's
+            # NormalizeFloatingNumbers having touched the value upstream
+            (F.round(F.min("value"), 6) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("value"), 6) + F.lit(0.0)).alias("hi"),
         )
         .orderBy("event_type", "decile")
     )
@@ -5486,9 +5512,15 @@ def q_snapshot_restore_read(spark, sf_dir):
 #
 # ROUND 10 ROTATION: any query registered after THIS freeze (list them in
 # tests/test_registry_parity.py `added_after_r09_freeze` as you add them)
-# plus stale-refresh re-proofs (the 22 remaining r05 rows first, then r06
-# oldest-first) and the 8 sentinels.  Keep new registrations few enough to
-# drain in one window.
+# first, then the SIX lanes whose OUTPUT or domain changed after their
+# newest driver proof (the r09 nonfinite fixes: `dq_constraint_report`
+# grew the `embeddings_finite` row, and `embed_cosine_topk`,
+# `embed_cosine_neardup`, `embed_ivf_topk`, `embed_lsh_topk`,
+# `embed_semantic_dedup` declared the finite-embedding domain — clean-data
+# results unchanged for the five, but their standing proofs predate the
+# declaration), then stale-refresh re-proofs (the remaining r05 rows, then
+# r06 oldest-first) and the 8 sentinels.  Keep new registrations few
+# enough to drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -690,11 +690,25 @@ def _cos_d(a: str, b: str) -> str:
     return f"round({_dot_d(a, b)} / (sqrt({_dot_d(a, a)}) * sqrt({_dot_d(b, b)})), 8)"
 
 
+#: DuckDB twin of ext/simsearch.finite_vector_sql — the similarity lanes'
+#: declared finite-embedding domain (round-9 --nonfinite probe:
+#: element-level NaN/±inf hit engine-divergent ranking rules, and a NULL
+#: element splits the engines at the dot product itself — DuckDB list_sum
+#: skips it, Spark's fold propagates it; `dq_constraint_report
+#: embeddings_finite` is the upstream gate).  Both engines exclude exactly
+#: the vectors holding a NULL or non-finite element; empty vectors pass.
+_EMB_FINITE = (
+    "(SELECT * FROM embeddings"
+    " WHERE len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)"
+)
+
+
 @register(
     "embed_cosine_topk",
     f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM {_EMB_FINITE} WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM {_EMB_FINITE}),
     scored AS (
       SELECT qid, cid, {_cos_d('qv', 'cv')} AS cosine
       FROM q CROSS JOIN c WHERE qid <> cid)
@@ -705,24 +719,28 @@ def _cos_d(a: str, b: str) -> str:
     """,
 )
 def q_embed_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 8)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 8).
+    Finite-embedding domain declared (simsearch.finite_vectors)."""
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return simsearch.brute_force_topk(emb, F.col("vec_id") < 8, k=5)
 
 
 @register(
     "embed_cosine_neardup",
     f"""
-    WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
-    b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings)
+    WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM {_EMB_FINITE}),
+    b AS (SELECT vec_id AS vec_b, embedding AS vb FROM {_EMB_FINITE})
     SELECT vec_a, vec_b, {_cos_d('va', 'vb')} AS cosine
     FROM a CROSS JOIN b
     WHERE vec_a < vec_b AND {_cos_d('va', 'vb')} >= 0.45
     """,
 )
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.45, brute force)."""
-    return simsearch.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.45)
+    """Embedding-cosine near-dup pairs (threshold 0.45, brute force).
+    Finite-embedding domain declared (simsearch.finite_vectors)."""
+    return simsearch.cosine_neardup_pairs(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), 0.45
+    )
 
 
 @register(
@@ -781,7 +799,7 @@ def _lsh_oracle() -> str:
     )
     return f"""
     WITH sig AS (SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket
-                 FROM embeddings),
+                 FROM {_EMB_FINITE}),
     q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS b0 FROM sig WHERE vec_id < 8),
     q AS (SELECT qid, qv, unnest([b0, {flips}]) AS bucket FROM q0),
     c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM sig),
@@ -797,8 +815,9 @@ def _lsh_oracle() -> str:
 
 @register("embed_lsh_topk", _lsh_oracle())
 def q_embed_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (8 seeded hyperplanes, cosine re-rank)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """LSH-bucketed ANN top-5 (8 seeded hyperplanes, cosine re-rank).
+    Finite-embedding domain declared (simsearch.finite_vectors)."""
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return simsearch.lsh_topk(emb, F.col("vec_id") < 8, k=5)
 
 
@@ -810,7 +829,7 @@ def _ivf_oracle() -> str:
     )
     cell = f"list_position({dist}, list_min({dist}))".replace("{v}", "embedding")
     return f"""
-    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM {_EMB_FINITE}),
     q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM sig WHERE vec_id < 8),
     c AS (SELECT vec_id AS cid, embedding AS cv, cell FROM sig),
     scored AS (
@@ -825,8 +844,9 @@ def _ivf_oracle() -> str:
 
 @register("embed_ivf_topk", _ivf_oracle())
 def q_embed_ivf_topk(spark, sf_dir):
-    """IVF-style ANN top-5: nearest-centroid cells + exact cosine re-rank."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """IVF-style ANN top-5: nearest-centroid cells + exact cosine re-rank.
+    Finite-embedding domain declared (simsearch.finite_vectors)."""
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return simsearch.ivf_topk(emb, F.col("vec_id") < 8, k=5)
 
 
@@ -838,7 +858,7 @@ def _semantic_dedup_oracle(thr: float) -> str:
     )
     cell = f"list_position({dist}, list_min({dist}))".replace("{v}", "embedding")
     return f"""
-    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    WITH sig AS (SELECT vec_id, embedding, {cell} AS cell FROM {_EMB_FINITE}),
     a AS (SELECT vec_id AS vec_a, embedding AS va, cell FROM sig),
     b AS (SELECT vec_id AS vec_b, embedding AS vb, cell FROM sig),
     dropped AS (
@@ -856,8 +876,9 @@ def _semantic_dedup_oracle(thr: float) -> str:
 def q_embed_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
     cosine near-dup drop, keep-lowest-id (ext/simsearch.semantic_dedup) —
-    the O(N²/C) embedding-dedup shape for corpus scale."""
-    emb = _t(spark, sf_dir, "embeddings")
+    the O(N²/C) embedding-dedup shape for corpus scale.
+    Finite-embedding domain declared (simsearch.finite_vectors)."""
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return simsearch.semantic_dedup(emb, 0.45).orderBy("vec_id")
 
 
@@ -1357,8 +1378,8 @@ def q_text_bigram_lm_score(spark, sf_dir):
 
 
 _KNN_CTE_PREFIX = f"""
-    WITH a AS (SELECT vec_id AS src, embedding AS sv FROM embeddings),
-    b AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings),
+    WITH a AS (SELECT vec_id AS src, embedding AS sv FROM {_EMB_FINITE}),
+    b AS (SELECT vec_id AS dst, embedding AS dv FROM {_EMB_FINITE}),
     scored AS (
       SELECT src, dst, {_cos_d('sv', 'dv')} AS cosine
       FROM a CROSS JOIN b WHERE src <> dst),
@@ -1386,10 +1407,11 @@ def q_embed_knn_graph(spark, sf_dir):
     the edge list semantic clustering / label propagation consume, with
     the mutual-kNN flag. Block-matrix scoring with per-block partial
     top-k so the shuffle carries <= B*k candidates per node
-    (ext/simsearch.knn_graph)."""
-    return simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3).orderBy(
-        "vec_a", "vec_b"
-    )
+    (ext/simsearch.knn_graph).  Finite-embedding domain declared
+    (simsearch.finite_vectors)."""
+    return simsearch.knn_graph(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=3
+    ).orderBy("vec_a", "vec_b")
 
 
 def _dup_ngram_d(n: int) -> str:
@@ -1759,7 +1781,9 @@ def q_graph_triangle_count(spark, sf_dir):
     # closure), and without a checkpoint Spark re-executes the ENTIRE
     # blocked-kNN DAG per reference (plan audit: 229 exchanges -> ~20)
     e = (
-        simsearch.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+        simsearch.knn_graph(
+            simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=3
+        )
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
@@ -1778,7 +1802,7 @@ def _lsh_triangle_oracle(tau: float = 0.2) -> str:
       SELECT vec_id AS node, embedding AS v,
              min(vec_id) OVER (PARTITION BY embedding) AS cls,
              count(*) OVER (PARTITION BY embedding) AS m
-      FROM embeddings),
+      FROM {_EMB_FINITE}),
     reps AS (SELECT cls, v, m FROM tagged WHERE node = cls),
     sig AS (SELECT cls, v, m, {bucket} AS bucket FROM reps),
     e AS (SELECT a.cls AS ca, b.cls AS cb, a.m AS ma, b.m AS mb
@@ -1836,7 +1860,7 @@ def q_graph_triangle_lsh(spark, sf_dir):
     Deep-decade contract: linear (bench_scale DEEP), vs the exact lane's
     declared quadratic."""
     return simsearch.lsh_triangle_counts(
-        _t(spark, sf_dir, "embeddings"), threshold=0.2
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), threshold=0.2
     ).orderBy("node")
 
 

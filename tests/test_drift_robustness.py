@@ -239,6 +239,23 @@ NONFINITE_LANES = (
     "value_histogram",
     "percentile_value_by_type",
     "dq_constraint_report",
+    # round-9 widening: element-level specials + NULL elements inside
+    # embeddings (the rig poisons every float column).  The similarity
+    # lanes declare a finite-AND-complete vector domain
+    # (ext/simsearch.finite_vectors, _EMB_FINITE twin) — without it, NaN
+    # hit numpy-vs-SQL ranking divergence and a NULL element split the
+    # engines at the dot product itself (DuckDB list_sum skips it,
+    # Spark's fold propagates it)
+    "embed_cosine_topk",
+    "embed_cosine_neardup",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_semantic_dedup",
+    "embed_knn_graph",
+    "graph_triangle_count",
+    "graph_triangle_lsh",
+    # -0.0 class: sign-of-zero canonicalization (+ 0.0 on both engines)
+    "value_decile_bins",
 )
 
 
@@ -270,6 +287,19 @@ def test_dq_report_detects_nonfinite_values(spark, nonfinite_dir):
         ).collect()
     }
     assert rows["events_value_finite"] > 0
+    # round-9: the widened gate sees the poisoned embeddings too (NaN,
+    # ±inf AND the NULL-element incomplete-vector class)
+    assert rows["embeddings_finite"] > 0
+
+
+def test_gated_lane_fails_closed_on_nonfinite_rig(spark, nonfinite_dir):
+    """The gate-then-process lane on the poisoned rig must abort via the
+    DQ gate (loud, pre-shuffle), never reach the rollup's ANSI cast."""
+    from sparkgraft import registry
+    from sparkgraft.ops.dq import DQGateError
+
+    with pytest.raises(DQGateError):
+        registry.queries()["dq_gated_value_rollup"](spark, nonfinite_dir)
 
 
 def test_exact_decimal_lane_fails_loud_on_specials(spark, nonfinite_dir):

@@ -55,7 +55,9 @@ negative zero / denormals were untested):
   NEGATIVE ZERO (% 97), double denormal 5e-324 (% 101)
 - ``embeddings.embedding``: element-level — NaN at element 0
   (vec_id % 79 == 0), +inf at 1 (% 83), -inf at 2 (% 89), -0.0f at 3
-  (% 97), float32 denormal 1e-45 at 4 (% 101)
+  (% 97), float32 denormal 1e-45 at 4 (% 101), NULL at 5 (% 103 — the
+  incomplete-vector class: DuckDB list_sum skips it, Spark's fold
+  propagates it)
 - every scalar double in the star schema — ``customer.c_acctbal``,
   ``supplier.s_acctbal``, ``part.p_retailprice``, ``orders.o_totalprice``,
   ``lineitem.l_quantity/l_extendedprice/l_discount/l_tax`` — gets NaN
@@ -156,23 +158,32 @@ def _poison_embeddings(tab: pa.Table) -> pa.Table:
     through `aggregate(zip_with(...))` without erroring, so this is the
     silent-divergence probe for every cosine/PQ/k-means/LSH lane; -0.0
     and the float32 denormal exercise sign-of-zero and underflow paths
-    (bucket_sql's `> 0` test, norm sqrt, quantization rounding)."""
-    import numpy as np
+    (bucket_sql's `> 0` test, norm sqrt, quantization rounding); the NULL
+    element is its own class — DuckDB's list_sum SKIPS a NULL element
+    where Spark's aggregate fold propagates it, so an incomplete vector
+    diverges silently unless the declared domain excludes it.
 
-    df = tab.to_pandas()
-
-    def _set_elem(mod: int, idx: int, val) -> None:
-        for i in df.index[df.vec_id % mod == 0]:
-            arr = np.asarray(df.at[i, "embedding"], dtype=np.float32).copy()
-            arr[idx % len(arr)] = val
-            df.at[i, "embedding"] = arr
-
-    _set_elem(79, 0, np.float32("nan"))
-    _set_elem(83, 1, np.float32("inf"))
-    _set_elem(89, 2, np.float32("-inf"))
-    _set_elem(97, 3, np.float32("-0.0"))
-    _set_elem(101, 4, np.float32(1e-45))  # float32 subnormal
-    return pa.Table.from_pandas(df, schema=tab.schema, preserve_index=False)
+    The column is rebuilt via pa.array over python lists: a pandas
+    round-trip would silently convert the planted NaN to null
+    (nan-as-missing), collapsing the two distinct classes into one."""
+    ids = tab["vec_id"].to_pylist()
+    vecs = [list(map(float, v)) for v in tab["embedding"].to_pylist()]
+    specials = [
+        (79, 0, float("nan")),
+        (83, 1, float("inf")),
+        (89, 2, float("-inf")),
+        (97, 3, -0.0),
+        (101, 4, 1e-45),  # float32 subnormal
+        (103, 5, None),   # incomplete vector (NULL element)
+    ]
+    for i, vid in enumerate(ids):
+        for mod, idx, val in specials:
+            if vid % mod == 0:
+                vecs[i][idx % len(vecs[i])] = val
+    col = pa.array(vecs, type=tab.schema.field("embedding").type)
+    return tab.set_column(
+        tab.schema.get_field_index("embedding"), "embedding", col
+    )
 
 
 def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> None:
