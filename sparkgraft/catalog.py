@@ -733,30 +733,51 @@ def _stats_sidecar_path(path: str) -> str:
 def _table_epoch(path: str) -> int:
     """Current epoch marker for a table path: the live version's
     ``created_ns`` for a compaction-managed table, else the max mtime_ns
-    of the directory's data files (append = new files = new epoch)."""
+    across the directory TREE's visible entries (append = new files = new
+    epoch — recursive, so an append into a nested partition leaf bumps
+    the epoch even when no top-level mtime moves).
+
+    The version-dir test is anchored to the full ``__v_<ns digits>``
+    artifact shape (same anchor as :func:`_sibling_glob`): a table that
+    merely CONTAINS the marker substring (``events__v_backup``) is a
+    plain directory, not a version pointer."""
     import os
+    import re
 
     real = os.path.realpath(path)
     base = os.path.basename(real.rstrip("/"))
-    if "__v_" in base:
-        return int(base.rsplit("_", 1)[1])
+    m = re.search(r"__v_(\d+)$", base)
+    if m:
+        return int(m.group(1))
     newest = os.stat(real).st_mtime_ns
-    for entry in os.scandir(real):
-        if not entry.name.startswith((".", "_")):
-            newest = max(newest, entry.stat(follow_symlinks=False).st_mtime_ns)
+    for dirpath, dirnames, filenames in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for name in (*dirnames, *filenames):
+            if name.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(dirpath, name), follow_symlinks=False)
+            newest = max(newest, st.st_mtime_ns)
     return newest
 
 
-def save_table_stats(path: str, stats: dict) -> str:
+def save_table_stats(path: str, stats: dict, epoch: int | None = None) -> str:
     """Merge ``stats`` (name -> JSON-serializable value) into the table's
-    hidden stats sidecar, stamped with the current table epoch.  Same
-    atomic tmp+replace protocol as the schema-history sidecar."""
+    hidden stats sidecar, stamped with the table epoch.  Same atomic
+    tmp+replace protocol as the schema-history sidecar.
+
+    ``epoch``: pass the epoch captured BEFORE computing the statistic —
+    if an append lands while the measuring scan runs, the stat is
+    recorded against the PRE-scan epoch and the post-append epoch reads
+    as a cache miss, instead of a stale measurement being stamped fresh.
+    Defaults to the current epoch for stats that are cheap/atomic to
+    compute."""
     import json
     import os
 
     sidecar = _stats_sidecar_path(path)
     existing = load_table_stats(path, any_epoch=True)
-    epoch = _table_epoch(path)
+    if epoch is None:
+        epoch = _table_epoch(path)
     for name, value in stats.items():
         existing[name] = {"value": value, "epoch": epoch}
     tmp = sidecar + ".tmp"
@@ -800,8 +821,13 @@ def cached_key_hotness(spark: SparkSession, path: str, key: str) -> tuple[int, i
     if cached is not None:
         mx, n = cached["value"]
         return int(mx), int(n)
+    # capture the epoch BEFORE the measuring scan: an append landing
+    # mid-scan creates a new epoch, and this measurement (which never saw
+    # the appended rows) must read as a miss for it, not get stamped as
+    # its fresh statistic
+    epoch = _table_epoch(path)
     mx, n = measure_hotness(spark.read.parquet(resolve_table_path(path)), key)
-    save_table_stats(path, {stat_name: [mx, n]})
+    save_table_stats(path, {stat_name: [mx, n]}, epoch=epoch)
     return mx, n
 
 

@@ -708,6 +708,14 @@ def kmeans_assign(
             r[id_col]: list(r["qv"])
             for r in q.where(F.col(id_col) < k).collect()
         }
+        missing = [j for j in range(k) if j not in init]
+        if missing:
+            raise ValueError(
+                f"kmeans_assign: seed vectors {missing} absent from the input "
+                f"(declared precondition: ids 0..{k - 1} must exist and be "
+                f"in-domain — a seed excluded by the finite-vector filter or "
+                f"missing from the corpus has no defined centroid)"
+            )
         cents = [init[j] for j in range(k)]
 
         def dist_exprs(cs: list[list[int]]) -> list[str]:
@@ -986,6 +994,15 @@ def pq_topk(
             r[id_col]: list(r["qv"])
             for r in q.where(F.col(id_col) < max(k_codes, n_queries)).collect()
         }
+        need = max(k_codes, n_queries)
+        missing = [j for j in range(need) if j not in init_rows]
+        if missing:
+            raise ValueError(
+                f"pq_topk: seed/query vectors {missing} absent from the input "
+                f"(declared precondition: ids 0..{need - 1} must exist and be "
+                f"in-domain — codebook seeds and query anchors excluded by "
+                f"the finite-vector filter have no defined codes)"
+            )
 
         def sq_expr(arr_expr: str, c: list[int]) -> str:
             lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)

@@ -5512,15 +5512,16 @@ def q_snapshot_restore_read(spark, sf_dir):
 #
 # ROUND 10 ROTATION: any query registered after THIS freeze (list them in
 # tests/test_registry_parity.py `added_after_r09_freeze` as you add them)
-# first, then the SIX lanes whose OUTPUT or domain changed after their
+# first, then the TEN lanes whose OUTPUT or domain changed after their
 # newest driver proof (the r09 nonfinite fixes: `dq_constraint_report`
 # grew the `embeddings_finite` row, and `embed_cosine_topk`,
 # `embed_cosine_neardup`, `embed_ivf_topk`, `embed_lsh_topk`,
-# `embed_semantic_dedup` declared the finite-embedding domain — clean-data
-# results unchanged for the five, but their standing proofs predate the
-# declaration), then stale-refresh re-proofs (the remaining r05 rows, then
-# r06 oldest-first) and the 8 sentinels.  Keep new registrations few
-# enough to drain in one window.
+# `embed_semantic_dedup`, `embed_quantized_topk`, `embed_vector_algebra`,
+# `embedding_stats_by_label`, `ml_ann_neighbors` declared the
+# finite-embedding domain — clean-data results unchanged for all nine,
+# but their standing proofs predate the declaration), then stale-refresh
+# re-proofs (the remaining r05 rows, then r06 oldest-first) and the 8
+# sentinels.  Keep new registrations few enough to drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -411,11 +411,11 @@ def q_ml_minhash_pairs(spark, sf_dir):
 
 
 def _ml_ann_audit_oracle() -> str:
-    from sparkgraft.registry_ext import _cos_d
+    from sparkgraft.registry_ext import _EMB_FINITE, _cos_d
 
     return f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id <> 0),
+    WITH q AS (SELECT embedding AS qv FROM {_EMB_FINITE} WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM {_EMB_FINITE} WHERE vec_id <> 0),
     scored AS (SELECT cid, {_cos_d('qv', 'cv')} AS cosine FROM q CROSS JOIN c)
     SELECT cid, cosine, TRUE AS ann_overlap_ok
     FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, cid) AS rn FROM scored)
@@ -430,10 +430,11 @@ def q_ml_ann_neighbors(spark, sf_dir):
     audited against the exact cosine top-10 of vec_id 0: emits the EXACT
     neighbor list (hashable) plus a replicated boolean asserting the ANN
     result overlaps it in >= 6 of 10 slots (unit-norm embeddings: euclidean
-    rank == cosine rank)."""
+    rank == cosine rank).  Finite-embedding domain declared
+    (simsearch.finite_vectors)."""
     from sparkgraft.ext import ml_lsh, simsearch
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     exact = simsearch.brute_force_topk(emb, F.col("vec_id") == 0, k=10).select("cid", "cosine")
     ml = ml_lsh.ml_ann_neighbors(emb, query_vec_id=0, k=10).select(
         F.col("vec_id").alias("cid")

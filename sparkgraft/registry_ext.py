@@ -749,13 +749,13 @@ def q_embed_neardup(spark, sf_dir):
     WITH amax AS (
       SELECT max(list_max(list_transform(embedding,
                  x -> abs(CAST(x AS DOUBLE))))) AS amax
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)),
     quant AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))
                AS qv
-      FROM embeddings CROSS JOIN amax),
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0) CROSS JOIN amax),
     q AS (SELECT vec_id AS qid, qv AS qa,
                  list_sum(list_transform(qv, x -> x * x)) AS qn
           FROM quant WHERE vec_id < 8),
@@ -780,7 +780,7 @@ def q_embed_quantized_topk(spark, sf_dir):
     """int8 scalar-quantized cosine top-5 (global symmetric scale; scoring
     is pure integer dot products, so the path is bit-exact cross-engine) —
     the 4x memory/bandwidth ANN lever (ext/simsearch.quantized_topk)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return simsearch.quantized_topk(emb, F.col("vec_id") < 8, k=5)
 
 
@@ -925,15 +925,16 @@ def q_salted_user_event_totals(spark, sf_dir):
                  / count(*), 6) AS avg_c0,
            round(max(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
              AS max_component
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)
     GROUP BY label
     ORDER BY label
     """,
 )
 def q_embedding_stats_by_label(spark, sf_dir):
     """Array-function surface over the embedding column: size, element
-    access, element-wise max — grouped per label."""
-    emb = _t(spark, sf_dir, "embeddings")
+    access, element-wise max — grouped per label.  Finite-embedding
+    domain declared (simsearch.finite_vectors)."""
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     return (
         emb.groupBy("label")
         .agg(
@@ -1077,7 +1078,7 @@ def q_text_fuzzy_probe_match(spark, sf_dir):
              CAST(len(embedding) AS BIGINT) AS dim,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS s
-      FROM embeddings)
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0))
     SELECT vec_id, label, dim,
            CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS norm2_sc,
            CAST(len(list_filter(s, x -> x * dim > list_sum(s))) AS BIGINT)
@@ -1097,8 +1098,9 @@ def q_embed_vector_algebra(spark, sf_dir):
     Scale: zero shuffles — pure row-wise codegen over the embedding
     column; this is the template for feature-engineering passes
     (normalization, clipping, sparsification) at any corpus size.
+    Finite-embedding domain declared (simsearch.finite_vectors).
     """
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
     df = emb.select(
         "vec_id",
         "label",
@@ -1504,7 +1506,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
         f"""qv AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)),
     cent0 AS (SELECT vec_id AS cluster, v FROM qv WHERE vec_id < {k})"""
     ]
     for t in range(iters):
@@ -1551,7 +1553,9 @@ def q_embed_kmeans(spark, sf_dir):
     distances and pmod-floor centroid updates make the iterative algorithm
     hash-identical across engines — the oracle unrolls the same three
     Lloyd iterations as CTEs."""
-    return simsearch.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, iters=3)
+    return simsearch.kmeans_assign(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=4, iters=3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1594,7 +1598,7 @@ def q_text_quality_classifier(spark, sf_dir):
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)),
     s AS (
       SELECT vec_id,
              CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sumsq_micro
@@ -1610,7 +1614,9 @@ def q_embed_arrow_norms(spark, sf_dir):
     values + offsets with np.add.reduceat — no per-row Python. Half-away
     micro-unit quantization and floor(sqrt) keep the relation
     hash-identical to the SQL oracle."""
-    return simsearch.arrow_vector_norms(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    return simsearch.arrow_vector_norms(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
+    ).orderBy("vec_id")
 
 
 @register(
@@ -1679,7 +1685,7 @@ def _pca_oracle(dim: int = 64, iters: int = 128, shift: int = 20) -> str:
         f"""qv AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)),
     nn AS (SELECT count(*) AS n FROM qv),
     ex AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM qv),
     sm AS (SELECT dim, CAST(sum(val) AS BIGINT) AS s FROM ex GROUP BY dim),
@@ -1725,7 +1731,9 @@ def q_embed_pca_projection(spark, sf_dir):
     of the data, and the oracle unrolls the identical iteration in SQL.
     The dim² covariance collect is model state (kmeans/pagerank
     contract); the projection pass is map-only with the vector inlined."""
-    return simsearch.pca_pc1_projections(_t(spark, sf_dir, "embeddings"))
+    return simsearch.pca_pc1_projections(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
+    )
 
 
 _KNN_EDGES_CTES = (
@@ -1885,7 +1893,7 @@ def _pq_oracle(
         """qv AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-      FROM embeddings)"""
+      FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0))"""
     ]
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
@@ -1967,7 +1975,7 @@ def q_embed_pq_topk(spark, sf_dir):
     (shrink candidates to m BYTES each + LUT scoring).  The oracle unrolls
     the identical per-subspace Lloyd iterations, codes, and ADC tables as
     CTEs (ext/simsearch.pq_topk)."""
-    return simsearch.pq_topk(_t(spark, sf_dir, "embeddings"))
+    return simsearch.pq_topk(simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")))
 
 
 def _inc_minhash_oracle() -> str:

@@ -254,6 +254,14 @@ NONFINITE_LANES = (
     "embed_knn_graph",
     "graph_triangle_count",
     "graph_triangle_lsh",
+    # the integer-path members of the family (same declared domain; their
+    # pre-declaration behavior was a loud mid-job ANSI cast abort, now
+    # they process the in-domain remainder)
+    "embed_quantized_topk",
+    "embedding_stats_by_label",
+    "embed_vector_algebra",
+    "embed_arrow_norms",
+    "embed_pca_projection",
     # -0.0 class: sign-of-zero canonicalization (+ 0.0 on both engines)
     "value_decile_bins",
 )
@@ -300,6 +308,18 @@ def test_gated_lane_fails_closed_on_nonfinite_rig(spark, nonfinite_dir):
 
     with pytest.raises(DQGateError):
         registry.queries()["dq_gated_value_rollup"](spark, nonfinite_dir)
+
+
+def test_seed_anchored_lanes_fail_loud_when_seed_out_of_domain(spark, nonfinite_dir):
+    """kmeans/PQ anchor their codebooks and query set on vec_ids 0..k-1;
+    on the poisoned rig vec_id 0 is out of the declared finite domain, so
+    the lanes must raise the CLEAR declared-precondition error (never a
+    cryptic KeyError, never a silent partial model)."""
+    from sparkgraft import registry
+
+    for name in ("embed_kmeans_clusters", "embed_pq_topk"):
+        with pytest.raises(ValueError, match="declared precondition"):
+            registry.queries()[name](spark, nonfinite_dir)
 
 
 def test_exact_decimal_lane_fails_loud_on_specials(spark, nonfinite_dir):

@@ -188,6 +188,9 @@ def _poison_embeddings(tab: pa.Table) -> pa.Table:
 
 def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
+    perturbed = ["events", "documents", "customer", "orders", "lineitem"]
+    if nonfinite:
+        perturbed += ["supplier", "part", "embeddings"]
     for t in TABLES:
         sp = os.path.join(src, f"{t}.parquet")
         dp = os.path.join(dst, f"{t}.parquet")
@@ -256,9 +259,6 @@ def perturb(src: str, dst: str, empty: str = "", nonfinite: bool = False) -> Non
             pq.write_table(tab, dp)
         else:
             shutil.copyfile(sp, dp)
-        perturbed = ["events", "documents", "customer", "orders", "lineitem"]
-        if nonfinite:
-            perturbed += ["supplier", "part", "embeddings"]
         print(f"# {t}: {'perturbed' if t in perturbed else 'copied'}")
 
 
