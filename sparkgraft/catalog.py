@@ -723,19 +723,44 @@ def restore_table_version(path: str, created_ns: int) -> str:
 _STATS_SIDECAR_KIND = "stats"
 
 
-def _stats_sidecar_path(path: str) -> str:
+def _stats_sidecar_path(path: str, store: str | None = None) -> str:
     # fixed ns=0: one stats sidecar per table (epoch recorded INSIDE the
     # file), reusing the hidden-sibling naming so partition discovery and
-    # file listing never see it
+    # file listing never see it.
+    #
+    # ``store``: external stats directory for READ-ONLY tables (another
+    # team's lake, a mounted snapshot) where writing next to the data is
+    # impossible — the sidecar lives under ``store`` keyed by the table's
+    # realpath (digest + basename, so two tables sharing a basename never
+    # collide), while the EPOCH still comes from the table itself, so
+    # invalidation semantics are identical to the adjacent-sidecar form.
+    if store is not None:
+        import hashlib
+        import os
+
+        real = os.path.realpath(path)
+        key = hashlib.md5(real.encode()).hexdigest()[:16]
+        base = os.path.basename(real.rstrip("/"))
+        return os.path.join(store, f".{base}__{_STATS_SIDECAR_KIND}_{key}")
     return _sibling(path, _STATS_SIDECAR_KIND, 0)
 
 
 def _table_epoch(path: str) -> int:
-    """Current epoch marker for a table path: the live version's
-    ``created_ns`` for a compaction-managed table, else the max mtime_ns
-    across the directory TREE's visible entries (append = new files = new
-    epoch — recursive, so an append into a nested partition leaf bumps
-    the epoch even when no top-level mtime moves).
+    """Current epoch marker for a table path: for a compaction-managed
+    table, the MAX of the live version's ``created_ns`` and the newest
+    mtime_ns inside that version dir — appends land INSIDE the live
+    version dir between compactions (see ``compact_small_files``'s append
+    note), so created_ns alone would let a stale statistic survive until
+    the next version flip; for a plain directory, the max mtime_ns across
+    the tree's visible entries (append = new files = new epoch —
+    recursive, so an append into a nested partition leaf bumps the epoch
+    even when no top-level mtime moves).
+
+    Cost: one os.walk + per-entry stat — O(#files) driver-side listing
+    per call.  That is deliberate and NOT memoized per process: a memo
+    would serve a pre-append epoch to the very caller that just appended,
+    and the listing is metadata-only (no data read, no Spark job) — the
+    same order of work every Spark read already does for file discovery.
 
     The version-dir test is anchored to the full ``__v_<ns digits>``
     artifact shape (same anchor as :func:`_sibling_glob`): a table that
@@ -747,9 +772,7 @@ def _table_epoch(path: str) -> int:
     real = os.path.realpath(path)
     base = os.path.basename(real.rstrip("/"))
     m = re.search(r"__v_(\d+)$", base)
-    if m:
-        return int(m.group(1))
-    newest = os.stat(real).st_mtime_ns
+    newest = int(m.group(1)) if m else os.stat(real).st_mtime_ns
     for dirpath, dirnames, filenames in os.walk(real):
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         for name in (*dirnames, *filenames):
@@ -760,7 +783,9 @@ def _table_epoch(path: str) -> int:
     return newest
 
 
-def save_table_stats(path: str, stats: dict, epoch: int | None = None) -> str:
+def save_table_stats(
+    path: str, stats: dict, epoch: int | None = None, store: str | None = None
+) -> str:
     """Merge ``stats`` (name -> JSON-serializable value) into the table's
     hidden stats sidecar, stamped with the table epoch.  Same atomic
     tmp+replace protocol as the schema-history sidecar.
@@ -770,16 +795,26 @@ def save_table_stats(path: str, stats: dict, epoch: int | None = None) -> str:
     recorded against the PRE-scan epoch and the post-append epoch reads
     as a cache miss, instead of a stale measurement being stamped fresh.
     Defaults to the current epoch for stats that are cheap/atomic to
-    compute."""
+    compute.
+
+    Concurrency: the merge is read-modify-replace, NOT atomic across
+    writers — two concurrent savers can each read the same base and the
+    later ``os.replace`` drops the earlier writer's new stat
+    (last-writer-wins).  That is self-healing (the dropped stat reads as
+    a cache miss and is recomputed + re-saved by its next consumer) and
+    deliberate: per-stat file locking would buy nothing for a cache whose
+    misses are correct, just slower."""
     import json
     import os
 
-    sidecar = _stats_sidecar_path(path)
-    existing = load_table_stats(path, any_epoch=True)
+    sidecar = _stats_sidecar_path(path, store=store)
+    existing = load_table_stats(path, any_epoch=True, store=store)
     if epoch is None:
         epoch = _table_epoch(path)
     for name, value in stats.items():
         existing[name] = {"value": value, "epoch": epoch}
+    if store is not None:
+        os.makedirs(store, exist_ok=True)
     tmp = sidecar + ".tmp"
     with open(tmp, "w") as f:
         json.dump(existing, f)
@@ -787,15 +822,24 @@ def save_table_stats(path: str, stats: dict, epoch: int | None = None) -> str:
     return sidecar
 
 
-def load_table_stats(path: str, any_epoch: bool = False) -> dict:
+def load_table_stats(
+    path: str, any_epoch: bool = False, store: str | None = None
+) -> dict:
     """Read the table's stats sidecar: name -> {"value", "epoch"}.
     By default entries from a SUPERSEDED epoch are dropped (stale plans
     are worse than a re-measure); ``any_epoch=True`` returns everything
-    (used by save to merge without re-stamping unrelated stats)."""
+    (used by save to merge without re-stamping unrelated stats).
+
+    Cost note: a cache HIT is zero Spark jobs, but NOT zero driver work —
+    the epoch check walks the table tree (O(#files) stat calls, see
+    ``_table_epoch``).  Metadata-only and far below any Spark job, but at
+    millions of files per table prefer the version-dir layout
+    (``compact_small_files``), whose walk is bounded to the live
+    version."""
     import json
     import os
 
-    sidecar = _stats_sidecar_path(path)
+    sidecar = _stats_sidecar_path(path, store=store)
     if not os.path.exists(sidecar):
         return {}
     with open(sidecar) as f:
@@ -829,6 +873,51 @@ def cached_key_hotness(spark: SparkSession, path: str, key: str) -> tuple[int, i
     mx, n = measure_hotness(spark.read.parquet(resolve_table_path(path)), key)
     save_table_stats(path, {stat_name: [mx, n]}, epoch=epoch)
     return mx, n
+
+
+def cached_index(
+    path: str,
+    kind: str,
+    params: dict,
+    trainer,
+    store: str | None = None,
+) -> tuple[object, bool]:
+    """Per-epoch cache for TRAINED index artifacts — k-means centroids,
+    PQ codebooks, IVF cell centers — extending the ``cached_key_hotness``
+    precedent from scalar planning statistics to model state.
+
+    At 100 TB an ANN index is trained once per corpus epoch (a sampled
+    k-means over the new ingest) and reused by every query until the next
+    epoch; retraining per call (what ``kmeans_assign``/``pq_topk`` do
+    when not handed an artifact) repays the fitting scans on every query.
+    This helper makes the train-once contract mechanical:
+
+    - cache HIT: the artifact comes back from the stats sidecar (a JSON
+      read — ``trainer`` is never invoked), stamped-epoch-checked so an
+      append or compaction since training reads as a miss;
+    - cache MISS: ``trainer()`` runs (its Spark jobs are the training
+      cost), and the artifact is persisted against the PRE-training epoch
+      (same mid-train-append discipline as ``save_table_stats``).
+
+    ``params`` disambiguates artifacts of the same kind (k, iters, m —
+    anything that changes the trained shape); ``store`` redirects the
+    sidecar for read-only tables.  The artifact must be JSON-serializable
+    (int/float lists round-trip exactly; keep centroids in micro-unit
+    ints, the ``kmeans_fit`` convention).
+
+    Returns ``(artifact, hit)`` — ``hit`` distinguishes a served cache
+    from a fresh train for callers that audit the flip (the
+    ``embed_index_cache_audit`` driver lane pins cached == fresh).
+    """
+    sig = ",".join(f"{k}={params[k]}" for k in sorted(params))
+    stat_name = f"index:{kind}:{sig}"
+    cached = load_table_stats(path, store=store).get(stat_name)
+    if cached is not None:
+        return cached["value"], True
+    epoch = _table_epoch(path)
+    artifact = trainer()
+    save_table_stats(path, {stat_name: artifact}, epoch=epoch, store=store)
+    return artifact, False
 
 
 def compact_small_files(

@@ -398,24 +398,30 @@ N_CENTROIDS = 8
 _CENTROIDS = (np.random.RandomState(7).standard_normal((N_CENTROIDS, DIM)) * 0.1).round(6)
 
 
-def centroids_spark_literal() -> str:
+def centroids_spark_literal(cents: list[list[float]] | None = None) -> str:
     rows = ", ".join(
         "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in row) + ")"
-        for row in _CENTROIDS.tolist()
+        for row in (cents if cents is not None else _CENTROIDS.tolist())
     )
     return f"array({rows})"
 
 
-def centroids_duckdb_literal() -> str:
+def centroids_duckdb_literal(cents: list[list[float]] | None = None) -> str:
     rows = ", ".join(
-        "[" + ", ".join(f"{w}::DOUBLE" for w in row) + "]" for row in _CENTROIDS.tolist()
+        "[" + ", ".join(f"{w}::DOUBLE" for w in row) + "]"
+        for row in (cents if cents is not None else _CENTROIDS.tolist())
     )
     return f"[{rows}]"
 
 
-def ivf_bucket_sql(vec: str) -> str:
-    """IVF cell id: index (1-based) of the nearest centroid by squared L2."""
-    cents = centroids_spark_literal()
+def ivf_bucket_sql(vec: str, centroids: list[list[float]] | None = None) -> str:
+    """IVF cell id: index (1-based) of the nearest centroid by squared L2.
+
+    ``centroids``: trained cell centers (e.g. ``kmeans_fit`` micro-units
+    divided back to doubles, served per corpus epoch by
+    ``catalog.cached_index``); defaults to the fixed seeded literals that
+    keep the demo lanes cross-engine reproducible."""
+    cents = centroids_spark_literal(centroids)
     dist = (
         f"transform({cents}, c -> aggregate(zip_with({vec}, c,"
         " (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)),"
@@ -430,23 +436,29 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: nearest-centroid cells partition the corpus; queries
     search only their own cell, then exact cosine re-ranks. Same join shape
     as LSH (one equi-join on cell id) — the scale path when centroids are
     trained on the actual distribution. nprobe>1 = also search the
-    next-nearest cells (analogous to LSH multi-probe)."""
+    next-nearest cells (analogous to LSH multi-probe).
+
+    ``centroids``: trained cell centers for the corpus epoch — at 100 TB
+    pass ``catalog.cached_index``'s artifact (train once per ingest
+    epoch, every query reads the cached literal) instead of the default
+    seeded demo centroids."""
     sig = emb.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         _norm(vec_col).alias("cn"),
-        F.expr(ivf_bucket_sql(vec_col)).alias("cell"),
+        F.expr(ivf_bucket_sql(vec_col, centroids)).alias("cell"),
     )
     q = emb.where(query_filter).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         _norm(vec_col).alias("qn"),
-        F.expr(ivf_bucket_sql(vec_col)).alias("cell"),
+        F.expr(ivf_bucket_sql(vec_col, centroids)).alias("cell"),
     )
     scored = (
         F.broadcast(q)
@@ -672,6 +684,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over MICRO-UNIT-quantized embeddings — exact and
     engine-portable (the clustering backbone of SemDeDup-style curation,
@@ -692,76 +705,136 @@ def kmeans_assign(
     iterations.
 
     Output: (vec_id, cluster, sq_dist) — sq_dist in squared micro-units.
+
+    ``centroids``: fitted micro-unit centroids (``kmeans_fit``'s return,
+    served per corpus epoch by ``catalog.cached_index``) — when given,
+    the fitting loop and its seed precondition are skipped entirely and
+    this is ONE map-only assignment pass.
     """
-    q = emb.select(
-        F.col(id_col),
-        F.expr(
-            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
-        ).alias("qv"),
-    )
+    q = _quantize_micro(emb, id_col, vec_col)
+    if centroids is not None:
+        _check_centroid_shape(centroids, k, dim, "kmeans_assign")
+        return (
+            _kmeans_assigned(q, centroids, id_col)
+            .select(id_col, "cluster", "sq_dist")
+            .orderBy(id_col)
+        )
     # persisted for the fitting iterations' collects; the returned
     # assignment DataFrame is lazy and recomputes q from lineage after the
     # finally-unpersist — intentional (one map-only scan+quantize pass).
     q = q.persist()
     try:
-        init = {
-            r[id_col]: list(r["qv"])
-            for r in q.where(F.col(id_col) < k).collect()
-        }
-        missing = [j for j in range(k) if j not in init]
-        if missing:
-            raise ValueError(
-                f"kmeans_assign: seed vectors {missing} absent from the input "
-                f"(declared precondition: ids 0..{k - 1} must exist and be "
-                f"in-domain — a seed excluded by the finite-vector filter or "
-                f"missing from the corpus has no defined centroid)"
-            )
-        cents = [init[j] for j in range(k)]
-
-        def dist_exprs(cs: list[list[int]]) -> list[str]:
-            out = []
-            for c in cs:
-                lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
-                out.append(
-                    f"aggregate(zip_with(qv, array({lit}), (x, y) -> (x - y) * (x - y)),"
-                    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-                )
-            return out
-
-        def assigned(cs: list[list[int]]) -> DataFrame:
-            ds = dist_exprs(cs)
-            darr = "array(" + ", ".join(ds) + ")"
-            return q.select(
-                id_col,
-                "qv",
-                F.expr(f"array_position({darr}, array_min({darr})) - 1").alias("cluster"),
-                F.expr(f"array_min({darr})").alias("sq_dist"),
-            )
-
-        for _ in range(iters - 1):
-            a = assigned(cents)
-            sums = (
-                a.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            new_cents = list(cents)
-            for r in sums:
-                j, n = int(r["cluster"]), int(r["n"])
-                new_cents[j] = [int(r[f"s{i}"]) // n for i in range(dim)]
-            cents = new_cents
-
+        cents = _kmeans_fit_on_q(q, k, iters, id_col, dim)
         return (
-            assigned(cents)
+            _kmeans_assigned(q, cents, id_col)
             .select(id_col, "cluster", "sq_dist")
             .orderBy(id_col)
         )
+    finally:
+        q.unpersist()
+
+
+def _quantize_micro(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _check_centroid_shape(cents, k: int, dim: int, who: str) -> None:
+    if len(cents) != k or any(len(c) != dim for c in cents):
+        raise ValueError(
+            f"{who}: centroid artifact shape mismatch — expected {k} x {dim} "
+            f"micro-unit rows, got {len(cents)} x "
+            f"{sorted({len(c) for c in cents})} (stale cache from different "
+            f"params? cached_index keys artifacts by params for this reason)"
+        )
+
+
+def _kmeans_dist_exprs(cs: list[list[int]]) -> list[str]:
+    out = []
+    for c in cs:
+        lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
+        out.append(
+            f"aggregate(zip_with(qv, array({lit}), (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    return out
+
+
+def _kmeans_assigned(q: DataFrame, cs: list[list[int]], id_col: str) -> DataFrame:
+    ds = _kmeans_dist_exprs(cs)
+    darr = "array(" + ", ".join(ds) + ")"
+    return q.select(
+        id_col,
+        "qv",
+        F.expr(f"array_position({darr}, array_min({darr})) - 1").alias("cluster"),
+        F.expr(f"array_min({darr})").alias("sq_dist"),
+    )
+
+
+def _kmeans_fit_on_q(
+    q: DataFrame, k: int, iters: int, id_col: str, dim: int
+) -> list[list[int]]:
+    init = {
+        r[id_col]: list(r["qv"])
+        for r in q.where(F.col(id_col) < k).collect()
+    }
+    missing = [j for j in range(k) if j not in init]
+    if missing:
+        raise ValueError(
+            f"kmeans_assign: seed vectors {missing} absent from the input "
+            f"(declared precondition: ids 0..{k - 1} must exist and be "
+            f"in-domain — a seed excluded by the finite-vector filter or "
+            f"missing from the corpus has no defined centroid)"
+        )
+    cents = [init[j] for j in range(k)]
+    for _ in range(iters - 1):
+        a = _kmeans_assigned(q, cents, id_col)
+        sums = (
+            a.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in sums:
+            j, n = int(r["cluster"]), int(r["n"])
+            new_cents[j] = [int(r[f"s{i}"]) // n for i in range(dim)]
+        cents = new_cents
+    return cents
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> list[list[int]]:
+    """Fit-only half of :func:`kmeans_assign`: the same deterministic
+    micro-unit Lloyd recipe, returning the k x dim integer centroid
+    artifact instead of assignments.
+
+    This is the trainer ``catalog.cached_index`` invokes once per corpus
+    epoch; every later caller passes the cached artifact back into
+    ``kmeans_assign(..., centroids=...)`` (or, divided to doubles, into
+    ``ivf_topk(..., centroids=...)``) and pays zero fitting scans.  The
+    integer micro-unit representation is what makes the artifact
+    CACHEABLE AT ALL: JSON round-trips int lists exactly, so a cached
+    assignment is bit-identical to a fresh one — pinned by the
+    ``embed_index_cache_audit`` driver lane."""
+    q = _quantize_micro(emb, id_col, vec_col).persist()
+    try:
+        return _kmeans_fit_on_q(q, k, iters, id_col, dim)
     finally:
         q.unpersist()
 
@@ -944,6 +1017,94 @@ def _pca_body(q, n, iters, id_col, dim):
     ).orderBy(id_col)
 
 
+def _pq_sq_expr(arr_expr: str, c: list[int]) -> str:
+    lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
+    return (
+        f"aggregate(zip_with({arr_expr}, array({lit}),"
+        " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _pq_fit_on_q(
+    q: DataFrame,
+    init_rows: dict,
+    m: int,
+    k_codes: int,
+    iters: int,
+    sub: int,
+    id_col: str,
+) -> list[list[list[int]]]:
+    cents: list[list[list[int]]] = []
+    for s in range(m):
+        start = s * sub + 1
+        sv = q.select(id_col, F.expr(f"slice(qv, {start}, {sub})").alias("sv"))
+        cs = [init_rows[j][s * sub : (s + 1) * sub] for j in range(k_codes)]
+        for _ in range(iters - 1):
+            darr = "array(" + ", ".join(_pq_sq_expr("sv", c) for c in cs) + ")"
+            a = sv.select(
+                id_col,
+                "sv",
+                F.expr(f"array_position({darr}, array_min({darr})) - 1").alias(
+                    "cluster"
+                ),
+            )
+            sums = (
+                a.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+                        for i in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            newc = list(cs)
+            for r in sums:
+                j, n_ = int(r["cluster"]), int(r["n"])
+                newc[j] = [int(r[f"s{i}"]) // n_ for i in range(sub)]
+            cs = newc
+        cents.append(cs)
+    return cents
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> list[list[list[int]]]:
+    """Fit-only half of :func:`pq_topk`: the deterministic per-subspace
+    Lloyd recipe, returning the m x k_codes x (dim/m) integer codebook.
+
+    The ``catalog.cached_index`` trainer for PQ — train once per corpus
+    epoch, then every query call passes the cached codebook into
+    ``pq_topk(..., codebook=...)`` and skips the fitting scans (the ADC
+    scoring pass is all that remains).  Integer micro-units make the JSON
+    round-trip exact, so cached == fresh bit-identically."""
+    sub = dim // m
+    q = _quantize_micro(emb, id_col, vec_col).persist()
+    try:
+        init_rows = {
+            r[id_col]: list(r["qv"])
+            for r in q.where(F.col(id_col) < k_codes).collect()
+        }
+        missing = [j for j in range(k_codes) if j not in init_rows]
+        if missing:
+            raise ValueError(
+                f"pq_fit: seed vectors {missing} absent from the input "
+                f"(declared precondition: ids 0..{k_codes - 1} must exist "
+                f"and be in-domain)"
+            )
+        return _pq_fit_on_q(q, init_rows, m, k_codes, iters, sub, id_col)
+    finally:
+        q.unpersist()
+
+
 def pq_topk(
     emb: DataFrame,
     n_queries: int = 8,
@@ -954,6 +1115,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half), exact-integer
     and engine-portable: vectors quantize to micro-units, each of ``m``
@@ -978,23 +1140,22 @@ def pq_topk(
     Output: (qid, cid, approx_sq_dist, rank) — squared micro-unit ADC
     distances, rank 1..topk per query (self included: PQ distance to self
     is the quantization error, a useful audit in itself).
+
+    ``codebook``: a fitted ``pq_fit`` artifact (per corpus epoch via
+    ``catalog.cached_index``) — skips the fitting scans and their seed
+    precondition; only the ``n_queries`` query anchors are read.
     """
     sub = dim // m
-    q = emb.select(
-        id_col,
-        F.expr(
-            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))"
-        ).alias("qv"),
-    ).persist()
+    q = _quantize_micro(emb, id_col, vec_col).persist()
     # persisted for the codebook-fitting collects below; the returned ADC
     # scoring DataFrame is lazy and recomputes q from lineage after the
     # finally-unpersist — intentional (one map-only scan+quantize pass).
     try:
+        need = max(k_codes, n_queries) if codebook is None else n_queries
         init_rows = {
             r[id_col]: list(r["qv"])
-            for r in q.where(F.col(id_col) < max(k_codes, n_queries)).collect()
+            for r in q.where(F.col(id_col) < need).collect()
         }
-        need = max(k_codes, n_queries)
         missing = [j for j in range(need) if j not in init_rows]
         if missing:
             raise ValueError(
@@ -1004,52 +1165,26 @@ def pq_topk(
                 f"the finite-vector filter have no defined codes)"
             )
 
-        def sq_expr(arr_expr: str, c: list[int]) -> str:
-            lit = ", ".join(f"CAST({v} AS BIGINT)" for v in c)
-            return (
-                f"aggregate(zip_with({arr_expr}, array({lit}),"
-                " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT),"
-                " (acc, v) -> acc + v)"
-            )
-
-        cents: list[list[list[int]]] = []
-        for s in range(m):
-            start = s * sub + 1
-            sv = q.select(id_col, F.expr(f"slice(qv, {start}, {sub})").alias("sv"))
-            cs = [init_rows[j][s * sub : (s + 1) * sub] for j in range(k_codes)]
-            for _ in range(iters - 1):
-                darr = "array(" + ", ".join(sq_expr("sv", c) for c in cs) + ")"
-                a = sv.select(
-                    id_col,
-                    "sv",
-                    F.expr(f"array_position({darr}, array_min({darr})) - 1").alias(
-                        "cluster"
-                    ),
+        if codebook is not None:
+            if len(codebook) != m or any(len(cs) != k_codes for cs in codebook):
+                raise ValueError(
+                    f"pq_topk: codebook artifact shape mismatch — expected "
+                    f"{m} subspaces x {k_codes} codes, got {len(codebook)} x "
+                    f"{sorted({len(cs) for cs in codebook})} (stale cache "
+                    f"from different params?)"
                 )
-                sums = (
-                    a.groupBy("cluster")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        *[
-                            F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
-                            for i in range(sub)
-                        ],
-                    )
-                    .collect()
-                )
-                newc = list(cs)
-                for r in sums:
-                    j, n_ = int(r["cluster"]), int(r["n"])
-                    newc[j] = [int(r[f"s{i}"]) // n_ for i in range(sub)]
-                cs = newc
-            cents.append(cs)
+            cents = [[list(map(int, c)) for c in cs] for cs in codebook]
+        else:
+            cents = _pq_fit_on_q(q, init_rows, m, k_codes, iters, sub, id_col)
 
         code_cols = []
         for s in range(m):
             start = s * sub + 1
             darr = (
                 "array("
-                + ", ".join(sq_expr(f"slice(qv, {start}, {sub})", c) for c in cents[s])
+                + ", ".join(
+                    _pq_sq_expr(f"slice(qv, {start}, {sub})", c) for c in cents[s]
+                )
                 + ")"
             )
             code_cols.append(

@@ -1492,7 +1492,9 @@ def q_udtf_split_sentences(spark, sf_dir):
 # Deterministic quantized k-means (round 4)
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 4, iters: int = 3, dim: int = 64, extra_select: str = ""
+) -> str:
     """Unrolled-Lloyd oracle: iteration t = argmin assignment against
     cent{t} (row_number tie-break to the smallest cluster — the same
     first-index-of-min rule as array_position) then exact-integer centroid
@@ -1540,7 +1542,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
         "WITH "
         + ",\n    ".join(parts)
         + f"""
-    SELECT vec_id, cluster, d AS sq_dist FROM asg{last} ORDER BY vec_id
+    SELECT vec_id, cluster, d AS sq_dist{extra_select}
+    FROM asg{last} ORDER BY vec_id
     """
     )
 
@@ -1552,10 +1555,105 @@ def q_embed_kmeans(spark, sf_dir):
     with TRUE mean centroids (ext/simsearch.kmeans_assign). Exact-integer
     distances and pmod-floor centroid updates make the iterative algorithm
     hash-identical across engines — the oracle unrolls the same three
-    Lloyd iterations as CTEs."""
+    Lloyd iterations as CTEs.
+
+    This lane deliberately trains per call (the fit IS what it proves);
+    production reuse goes through ``catalog.cached_index`` +
+    ``kmeans_assign(..., centroids=...)`` — see
+    ``embed_index_cache_audit``, which pins cached == fresh."""
     return simsearch.kmeans_assign(
         simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=4, iters=3
     )
+
+
+_CACHE_AUDIT_FLAGS = (
+    "kmeans_trained_on_miss",
+    "kmeans_served_from_cache",
+    "kmeans_cached_eq_fresh",
+    "pq_trained_on_miss",
+    "pq_served_from_cache",
+    "pq_cached_eq_fresh",
+)
+
+
+@register(
+    "embed_index_cache_audit",
+    _kmeans_oracle(
+        extra_select="".join(f",\n           TRUE AS {f}" for f in _CACHE_AUDIT_FLAGS)
+    ),
+)
+def q_embed_index_cache_audit(spark, sf_dir):
+    """Per-epoch index-artifact persistence, proven end to end
+    (catalog.cached_index — the round-9 verdict's staged item): k-means
+    centroids and the PQ codebook are trained ONCE through the cache-miss
+    path, persisted to a stats-store sidecar stamped with the table
+    epoch, read back through the cache-hit path (where a poison trainer
+    proves no retrain happens), and the final cluster assignment runs
+    from the CACHED artifact.
+
+    The oracle is the fresh-training kmeans oracle plus six pinned-TRUE
+    flags, so the driver hash itself certifies: miss trained, hit served
+    from disk without retraining, and cached artifact == fresh artifact
+    bit-for-bit (integer micro-units make the JSON round-trip exact).
+    At 100 TB this is the difference between one sampled training job
+    per ingest epoch and re-fitting on every query."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft import catalog
+
+    emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
+    table = os.path.join(sf_dir, "embeddings.parquet")
+    # external stats store: the testdata lake is read-only, the exact case
+    # the store parameter exists for; fresh per invocation so miss-then-hit
+    # is deterministic every run
+    store = tempfile.mkdtemp(prefix="sparkgraft_index_store_")
+
+    def _poison():
+        raise AssertionError(
+            "cached_index invoked the trainer on a cache HIT — the "
+            "train-once contract is broken"
+        )
+
+    try:
+        km_fresh, km_hit1 = catalog.cached_index(
+            table,
+            "kmeans",
+            {"k": 4, "iters": 3},
+            lambda: simsearch.kmeans_fit(emb, k=4, iters=3),
+            store=store,
+        )
+        km_cached, km_hit2 = catalog.cached_index(
+            table, "kmeans", {"k": 4, "iters": 3}, _poison, store=store
+        )
+        pq_fresh, pq_hit1 = catalog.cached_index(
+            table,
+            "pq",
+            {"m": 4, "k_codes": 8, "iters": 2},
+            lambda: simsearch.pq_fit(emb, m=4, k_codes=8, iters=2),
+            store=store,
+        )
+        pq_cached, pq_hit2 = catalog.cached_index(
+            table, "pq", {"m": 4, "k_codes": 8, "iters": 2}, _poison, store=store
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    flags = {
+        "kmeans_trained_on_miss": not km_hit1,
+        "kmeans_served_from_cache": km_hit2,
+        "kmeans_cached_eq_fresh": km_cached == km_fresh,
+        "pq_trained_on_miss": not pq_hit1,
+        "pq_served_from_cache": pq_hit2,
+        "pq_cached_eq_fresh": pq_cached == pq_fresh,
+    }
+    out = simsearch.kmeans_assign(
+        emb, k=4, iters=3, centroids=[list(map(int, c)) for c in km_cached]
+    )
+    for name in _CACHE_AUDIT_FLAGS:
+        out = out.withColumn(name, F.lit(bool(flags[name])))
+    return out
 
 
 # ---------------------------------------------------------------------------

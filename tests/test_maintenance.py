@@ -727,3 +727,102 @@ def test_table_stats_sidecar_is_discovery_invisible(spark, tmp_path):
     sidecar = catalog._stats_sidecar_path(work)
     assert os.path.basename(sidecar).startswith(".")
     assert os.path.exists(sidecar)
+
+
+def test_cached_index_train_once_per_epoch(spark, tmp_path):
+    """catalog.cached_index: the trainer runs exactly once per table epoch
+    (hit = sidecar read, never a retrain), the artifact JSON round-trips
+    bit-exactly, and an append invalidates the cache (new epoch -> the
+    trainer runs again)."""
+    work = str(tmp_path / "idxtbl")
+    spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(work)
+
+    calls = {"n": 0}
+
+    def trainer():
+        calls["n"] += 1
+        return [[1, 2], [3, 4]]
+
+    art1, hit1 = catalog.cached_index(work, "kmeans", {"k": 2}, trainer)
+    assert (art1, hit1, calls["n"]) == ([[1, 2], [3, 4]], False, 1)
+
+    def poison():
+        raise AssertionError("trainer ran on a cache hit")
+
+    art2, hit2 = catalog.cached_index(work, "kmeans", {"k": 2}, poison)
+    assert (art2, hit2) == ([[1, 2], [3, 4]], True)
+    # artifacts of the same kind with DIFFERENT params are distinct slots
+    art3, hit3 = catalog.cached_index(work, "kmeans", {"k": 3}, trainer)
+    assert (hit3, calls["n"]) == (False, 2)
+    assert art3 == [[1, 2], [3, 4]]
+
+    # append -> new epoch -> the cached artifact is stale and retrains
+    spark.createDataFrame(
+        [(100, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(work)
+    _, hit4 = catalog.cached_index(work, "kmeans", {"k": 2}, trainer)
+    assert (hit4, calls["n"]) == (False, 3)
+
+
+def test_cached_index_external_store_for_readonly_table(spark, tmp_path):
+    """The ``store`` parameter keeps the sidecar OUT of the table directory
+    (read-only lakes — the driver lanes' testdata case): nothing is
+    written next to the data, the artifact persists in the store, and the
+    epoch still comes from the table (append invalidates)."""
+    import os
+
+    work = str(tmp_path / "rotbl")
+    store = str(tmp_path / "statsstore")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(work)
+    before = sorted(os.listdir(str(tmp_path)))
+    names_in_table = set(os.listdir(work))
+
+    art, hit = catalog.cached_index(work, "demo", {"x": 1}, lambda: [7], store=store)
+    assert (art, hit) == ([7], False)
+    # table dir untouched; no adjacent hidden sidecar materialized
+    assert set(os.listdir(work)) == names_in_table
+    assert sorted(os.listdir(str(tmp_path))) == sorted(before + ["statsstore"])
+    art2, hit2 = catalog.cached_index(
+        work, "demo", {"x": 1}, lambda: [8], store=store
+    )
+    assert (art2, hit2) == ([7], True)
+
+    spark.createDataFrame([(3, 4)], "a long, b long").write.mode("append").parquet(work)
+    art3, hit3 = catalog.cached_index(
+        work, "demo", {"x": 1}, lambda: [9], store=store
+    )
+    assert (art3, hit3) == ([9], False)
+
+
+def test_version_dir_append_bumps_epoch(spark, tmp_path):
+    """Round-9 advice: for a compaction-managed table the epoch must be
+    max(live version created_ns, newest mtime INSIDE the version dir) —
+    appends land in the live version dir between compactions, and a
+    statistic cached at compaction time must NOT survive them."""
+    import os
+    import time as _time
+
+    work = str(tmp_path / "verstbl")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "event_id long, user_id long"
+    ).repartition(4).write.parquet(work)
+    catalog.compact_small_files(spark, work, target_mb=128)
+    assert os.path.islink(work)
+
+    epoch0 = catalog._table_epoch(work)
+    catalog.save_table_stats(work, {"key_hotness:user_id": [10, 30]})
+    assert catalog.load_table_stats(work)["key_hotness:user_id"]["value"] == [10, 30]
+
+    # append INTO the live version dir (write follows the symlink);
+    # ensure the mtime moves past the flip ns even on coarse filesystems
+    _time.sleep(0.05)
+    spark.createDataFrame(
+        [(100 + i, 7) for i in range(5)], "event_id long, user_id long"
+    ).write.mode("append").parquet(work)
+    assert catalog._table_epoch(work) > epoch0
+    assert "key_hotness:user_id" not in catalog.load_table_stats(work), (
+        "append into the live version dir must invalidate cached stats"
+    )

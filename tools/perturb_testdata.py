@@ -177,6 +177,10 @@ def _poison_embeddings(tab: pa.Table) -> pa.Table:
         (103, 5, None),   # incomplete vector (NULL element)
     ]
     for i, vid in enumerate(ids):
+        if not vecs[i]:
+            # empty vectors are in the declared domain (they pass the
+            # finite filter) — nothing to poison, and idx % 0 would raise
+            continue
         for mod, idx, val in specials:
             if vid % mod == 0:
                 vecs[i][idx % len(vecs[i])] = val
