@@ -7,11 +7,14 @@ typed struct column next to the payload.
 
 The decode / feature-extract step is the one place Python enters the
 pipeline: a ``mapInPandas`` stage (Arrow-batched — one Python roundtrip per
-batch, never per row). The actual codecs (PIL/ffmpeg/torchvision) are not
-in this container, so ``decode_features`` ships a deterministic fake
-decoder behind ``fake=True`` and raises ``NotImplementedError`` otherwise —
-the Spark-side plumbing (schema, batching, partition shape) is real and
-tested either way.
+batch, never per row).  PNG decodes FOR REAL via the pure-stdlib codec in
+:mod:`sparkgraft.ext.png` (zlib inflate + full filter reconstruction —
+``decode_features(fake=False)`` and :func:`decode_png_features`); other
+codecs (JPEG/ffmpeg/torchvision) are not in this container, so
+``decode_features`` also ships a deterministic fake decoder behind
+``fake=True`` for fixtures, and ``frame_sample``/``resize_stub`` keep their
+documented ``NotImplementedError`` boundaries — the Spark-side plumbing
+(schema, batching, partition shape) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -21,9 +24,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-#: output schema of the decode stage
+#: output schema of the decode stage. width/height are REAL decoded
+#: dimensions on the PNG path, byte-derived pseudo-dimensions on the
+#: fake path (renamed from fake_width/fake_height in round 10 when the
+#: real decoder landed).
 DECODE_SCHEMA = (
-    "doc_id bigint, n_bytes int, head_byte int, fake_width int, fake_height int"
+    "doc_id bigint, n_bytes int, head_byte int, width int, height int"
 )
 
 
@@ -48,19 +54,22 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
-    ``fake=True`` runs a deterministic stand-in decoder (byte-derived
-    pseudo-dimensions) so the full mapInPandas path is exercisable without
-    media libraries; ``fake=False`` raises NotImplementedError where a real
-    decoder (PIL / ffmpeg) would be called.
+    ``fake=False`` decodes FOR REAL: PNG payloads go through the
+    pure-stdlib codec (:mod:`sparkgraft.ext.png` — zlib inflate, CRC
+    checks, all five filter reconstructions) and ``width``/``height`` are
+    the true IHDR dimensions; a payload without the PNG signature is an
+    unsupported INPUT (JPEG etc. genuinely need PIL/ffmpeg) and raises
+    ``ValueError`` naming its magic bytes — fail loud, never a silently
+    wrong feature row.
+
+    ``fake=True`` keeps the deterministic stand-in decoder (byte-derived
+    pseudo-dimensions) for fixtures whose payloads are arbitrary bytes,
+    so every downstream stage stays exercisable on any corpus.
     """
+    from sparkgraft.ext import png as _png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             payloads = pdf["payload"]
             # nullable Int32 end to end: a NULL payload (absent media)
             # decodes to NULL features — len(None) would throw mid-job,
@@ -71,15 +80,37 @@ def decode_features(
             head = payloads.map(
                 lambda b: None if b is None else (b[0] if len(b) else 0)
             ).astype("Int32")
+            if fake:
+                width = (n_bytes % 640).astype("Int32")
+                height = (head.astype("Int64") * 3 % 480).astype("Int32")
+            else:
+                dims = []
+                for b in payloads:
+                    if b is None:
+                        dims.append((None, None))
+                        continue
+                    if bytes(b[:8]) != _png.SIGNATURE:
+                        raise ValueError(
+                            f"decode_features: unsupported codec (magic "
+                            f"{bytes(b[:4])!r}); only PNG decodes with the "
+                            f"stdlib codec — other formats need PIL/ffmpeg, "
+                            f"or pass fake=True for the stub"
+                        )
+                    d = _png.decode(bytes(b))
+                    dims.append((d["width"], d["height"]))
+                width = pd.Series(
+                    [w for w, _ in dims], index=pdf.index, dtype="Int32"
+                )
+                height = pd.Series(
+                    [h for _, h in dims], index=pdf.index, dtype="Int32"
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
                     "head_byte": head,
-                    # fake "decoded dimensions": deterministic functions of
-                    # the byte stream a real decoder would replace
-                    "fake_width": (n_bytes % 640).astype("Int32"),
-                    "fake_height": (head.astype("Int64") * 3 % 480).astype("Int32"),
+                    "width": width,
+                    "height": height,
                 }
             )
 
@@ -150,8 +181,8 @@ def resize_stub(
             # the decode->resize chain one operator after the decode fix.
             # NULL dims plan a NULL resize (out_width included: no media,
             # no plan), and <NA> propagates through the geometry math.
-            w = pdf["fake_width"].astype("Int32").clip(lower=1)
-            h = pdf["fake_height"].astype("Int32").clip(lower=1)
+            w = pdf["width"].astype("Int32").clip(lower=1)
+            h = pdf["height"].astype("Int32").clip(lower=1)
             out_h = (
                 (h.astype("Float64") * target_width / w).round().astype("Int32")
             ).clip(lower=1)
@@ -169,6 +200,105 @@ def resize_stub(
             )
 
     return df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+#: decoded-PNG feature schema (decode_png_features)
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, bit_depth int, color_type int, "
+    "n_pixels bigint, pixel_sum bigint, pixel_md5 string"
+)
+
+
+def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG payloads from ids — the fixture generator
+    for the real-decode lane.  Per row: ``width = 4 + id % 13``,
+    ``height = 3 + id % 7``, grayscale pixel ``i = (id * 31 + i) % 256``,
+    and the row filters cycle all five types ``(id + y) % 5`` so a decode
+    exercises every reconstruction path.  Emits (id, payload,
+    source_md5) where source_md5 digests the RAW pixels — the decode
+    stage must reproduce it bit-for-bit through deflate + filters.
+
+    The generation rule is pure integer arithmetic on the id, so a SQL
+    oracle can predict the DECODED width/height/pixel_sum without being
+    able to parse PNG at all — the codec sits inside a relation both
+    engines can state."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import png as _png
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 13, 3 + i % 7
+                px = bytes((i * 31 + j) % 256 for j in range(w * h))
+                filters = [(i + y) % 5 for y in range(h)]
+                out["doc_id"].append(i)
+                out["payload"].append(_png.encode(w, h, px, filters=filters))
+                out["source_md5"].append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real PNG decode + feature extraction (ext/png: pure-stdlib zlib +
+    struct, CRC-checked, full filter reconstruction) behind the standard
+    Arrow-batched ``mapInPandas`` boundary.  Emits per-image features a
+    training pipeline filters on: true dimensions, sample count, exact
+    pixel sum, and a pixel digest (dedup key for decoded content —
+    catches re-encoded duplicates byte-level dedup misses).
+
+    NULL payloads (absent media) emit NULL features, same convention as
+    ``decode_features``.  Extra input columns are passed through, so a
+    generator stage can ship ground truth (``source_md5``) alongside."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = PNG_FEATURES_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import png as _png
+
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                "width": [None] * n,
+                "height": [None] * n,
+                "bit_depth": [None] * n,
+                "color_type": [None] * n,
+                "n_pixels": [None] * n,
+                "pixel_sum": [None] * n,
+                "pixel_md5": [None] * n,
+            }
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _png.decode(bytes(b))
+                px = d["pixels"]
+                cols["width"][row] = d["width"]
+                cols["height"][row] = d["height"]
+                cols["bit_depth"][row] = d["bit_depth"]
+                cols["color_type"][row] = d["color_type"]
+                cols["n_pixels"][row] = d["width"] * d["height"]
+                cols["pixel_sum"][row] = sum(px)
+                cols["pixel_md5"][row] = hashlib.md5(px).hexdigest()
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for k in ("width", "height", "bit_depth", "color_type"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in ("n_pixels", "pixel_sum"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            out["pixel_md5"] = cols["pixel_md5"]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema)
 
 
 def payload_digests(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

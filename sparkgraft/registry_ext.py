@@ -1325,25 +1325,83 @@ def q_multimodal_frame_sample(spark, sf_dir):
     SELECT doc_id,
            CAST(nb AS INT) AS n_bytes,
            CAST(hb AS INT) AS head_byte,
-           CAST(nb % 640 AS INT) AS fake_width,
-           CAST(hb * 3 % 480 AS INT) AS fake_height
+           CAST(nb % 640 AS INT) AS width,
+           CAST(hb * 3 % 480 AS INT) AS height
     FROM b
     """,
 )
 def q_decode_stub(spark, sf_dir):
     """Arrow-batched decode stub over binary payloads (deterministic fake
-    decoder standing in for PIL/ffmpeg; exercises the real mapInPandas
-    plumbing — schema, batching, partitioning).
+    decoder standing in for general media codecs; exercises the real
+    mapInPandas plumbing — schema, batching, partitioning).
 
     Oracle-backed since round 6: the fake decode path is deterministic
-    byte arithmetic (length, first byte, modular fake dimensions), all
+    byte arithmetic (length, first byte, modular pseudo-dimensions), all
     SQL-expressible over the ASCII source text — same trick the
-    multimodal_frame_sample oracle already uses — so the one historically
-    rows-only query now gets the full driver hash check.  The REAL-codec
-    boundary is unchanged: ``fake=False`` still raises where PIL/ffmpeg
-    would run (env-blocked; see ext/multimodal.py:60)."""
+    multimodal_frame_sample oracle already uses.  Since round 10 the
+    REAL decode path exists for PNG (``fake=False`` — pure-stdlib codec,
+    proven by ``multimodal_decode_png``); the width/height columns were
+    renamed from fake_* when the real path landed (schema change →
+    r10 window slot)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_payload(docs), fake=True)
+
+
+@register(
+    "multimodal_decode_png",
+    """
+    -- predicts the REAL PNG decoder's output straight through the codec:
+    -- the payload generator builds each image from pure id arithmetic
+    -- (width 4+id%13, height 3+id%7, pixel i = (id*31+i)%256, row filters
+    -- cycling all five types), so decoded dimensions and the exact pixel
+    -- sum are SQL-stateable even though SQL cannot parse PNG; the
+    -- pixels_match flag certifies the md5 of the DECODED pixels equals
+    -- the md5 of the source pixels (digest-strength roundtrip through
+    -- deflate + filter reconstruction)
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(0, CAST(w * h AS BIGINT)),
+                i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS pixel_sum,
+           TRUE AS pixels_match
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL media decode, end to end (the round-9 verdict's staged codec
+    retirement): deterministic PNG payloads are synthesized per doc_id
+    (ext/multimodal.synth_png_payloads — real deflate streams, row
+    filters cycling all five types), then decoded by the pure-stdlib
+    codec (ext/png: struct chunk framing, CRC checks, zlib inflate,
+    Sub/Up/Average/Paeth reconstruction) inside the same Arrow-batched
+    mapInPandas boundary the stub documented.
+
+    The oracle predicts the decoder's output THROUGH the codec from id
+    arithmetic alone, and pixels_match pins the decoded-pixel md5 against
+    the pre-encode source md5 — a digest-grade roundtrip proof the driver
+    hash then certifies.  Scale posture: both stages are per-row-bounded
+    map work over Arrow batches, no shuffle, no driver traffic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_png_payloads(docs)
+    feats = multimodal.decode_png_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_pixels",
+        "pixel_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,7 @@ def test_decode_stub_fake_path(spark, sf_dir):
         multimodal.attach_payload(docs), fake=True
     ).collect()}
     assert all(r0[k] == rows2[k] for k in r0)
-    assert all(0 <= r.fake_width < 640 and 0 <= r.fake_height < 480 for r in rows)
+    assert all(0 <= r.width < 640 and 0 <= r.height < 480 for r in rows)
 
 
 def test_resize_stub_geometry(spark, sf_dir):
@@ -162,12 +162,31 @@ def test_frame_sample_real_path_raises(spark, sf_dir):
     assert "frame extraction" in str(ei.value) or "NotImplementedError" in str(ei.value)
 
 
-def test_decode_stub_real_path_raises(spark, sf_dir):
+def test_decode_real_path_rejects_non_png(spark, sf_dir):
+    """fake=False is a REAL decoder now (PNG via ext/png); a payload that
+    is not a PNG is an unsupported input and must fail loud, naming its
+    magic bytes — never emit a silently wrong feature row."""
     docs = read_table(spark, sf_dir, "documents").limit(2)
     feats = multimodal.decode_features(multimodal.attach_payload(docs), fake=False)
     with pytest.raises(Exception) as ei:
         feats.collect()
-    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+    assert "unsupported codec" in str(ei.value)
+
+
+def test_decode_real_path_decodes_png(spark):
+    """decode_features(fake=False) on genuine PNG bytes: true IHDR
+    dimensions come back (no stub arithmetic), NULL payloads emit NULL
+    features."""
+    from sparkgraft.ext import png
+
+    payload = png.encode(5, 3, bytes(range(15)), filters=[0, 2, 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in multimodal.decode_features(df, fake=False).collect()}
+    assert (out[1].width, out[1].height) == (5, 3)
+    assert out[1].n_bytes == len(payload) and out[1].head_byte == 0x89
+    assert (out[2].width, out[2].height, out[2].n_bytes) == (None, None, None)
 
 
 def test_pointer_fetch_ranged_reads_planted_bytes(spark, tmp_path):

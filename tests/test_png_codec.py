@@ -1,0 +1,120 @@
+"""Pure-stdlib PNG codec (ext/png): roundtrip, cross-filter, strictness.
+
+The decoder is the real-codec retirement of the multimodal decode stub
+(round-10 verdict item): it must reconstruct every filter type exactly and
+fail LOUD on anything malformed or out of scope — a silently wrong pixel
+is worse than no decode at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+
+from sparkgraft.ext import png
+
+
+def _pixels(n: int, seed: int = 7) -> bytes:
+    return bytes((seed * 31 + j) % 256 for j in range(n))
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter_and_colortype(color_type, ch, ft):
+    w, h = 11, 6
+    px = _pixels(w * h * ch, seed=ft + color_type)
+    data = png.encode(w, h, px, color_type=color_type, filters=[ft] * h)
+    d = png.decode(data)
+    assert d["pixels"] == px
+    assert (d["width"], d["height"], d["bit_depth"], d["color_type"]) == (
+        w, h, 8, color_type,
+    )
+
+
+def test_mixed_filters_and_single_column_edge():
+    # width 1 exercises the x < ch boundary (a and c predictors are 0)
+    for w, h in ((1, 9), (2, 1), (17, 13)):
+        px = _pixels(w * h)
+        data = png.encode(w, h, px, filters=[y % 5 for y in range(h)])
+        assert png.decode(data)["pixels"] == px
+
+
+def test_decoder_strictness():
+    good = png.encode(4, 4, _pixels(16))
+    with pytest.raises(ValueError, match="bad signature"):
+        png.decode(b"\x00" * 20)
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0x01  # inside IHDR body
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png.decode(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode(good[:-8])
+    # declared scope: 16-bit and interlace refused by name
+    import struct
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = png.SIGNATURE + png._chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="bit depth 16"):
+        png.decode(bad)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlace"):
+        png.decode(png.SIGNATURE + png._chunk(b"IHDR", ihdr_i))
+
+
+def test_inflated_length_check():
+    # valid framing, wrong pixel count inside IDAT
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 7)  # not (stride+1)*h
+    data = (
+        png.SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", idat)
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated stream"):
+        png.decode(data)
+
+
+def test_multi_idat_chunks_concatenate():
+    """PNG allows the compressed stream split across IDAT chunks — a real
+    decoder must concatenate before inflating."""
+    w, h = 6, 5
+    px = _pixels(w * h)
+    whole = png.encode(w, h, px)
+    # re-split: rebuild the file with the IDAT payload cut in two
+    import struct
+
+    pos, chunks = 8, []
+    while pos < len(whole):
+        (ln,) = struct.unpack(">I", whole[pos : pos + 4])
+        tag = whole[pos + 4 : pos + 8]
+        body = whole[pos + 8 : pos + 8 + ln]
+        chunks.append((tag, body))
+        pos += 12 + ln
+    out = bytearray(png.SIGNATURE)
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            mid = len(body) // 2
+            out += png._chunk(b"IDAT", body[:mid])
+            out += png._chunk(b"IDAT", body[mid:])
+        else:
+            out += png._chunk(tag, body)
+    assert png.decode(bytes(out))["pixels"] == px
+
+
+def test_synth_payload_matches_oracle_arithmetic():
+    """The lane's generation rule must be exactly what the SQL oracle
+    states: dims from id, pixel i = (id*31+i)%256, digest of source pixels
+    survives the encode->decode roundtrip."""
+    for i in (0, 1, 12, 13, 97, 1_000_003):
+        w, h = 4 + i % 13, 3 + i % 7
+        px = bytes((i * 31 + j) % 256 for j in range(w * h))
+        data = png.encode(w, h, px, filters=[(i + y) % 5 for y in range(h)])
+        d = png.decode(data)
+        assert (d["width"], d["height"]) == (w, h)
+        assert sum(d["pixels"]) == sum(px)
+        assert hashlib.md5(d["pixels"]).hexdigest() == hashlib.md5(px).hexdigest()
