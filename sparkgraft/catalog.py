@@ -188,8 +188,43 @@ def read_spec_evolved(spark: SparkSession, path: str, spec: TableSpec) -> DataFr
     return read_evolved(spark, path, spec.schema, history=history)
 
 
+def sweep_stale_staging(
+    spark: SparkSession, table_name: str, horizon_s: float = 3600.0
+) -> list[str]:
+    """Drop orphaned ``temp_<table>_<ns>`` staging tables older than
+    ``horizon_s`` — the recovery for a driver killed between
+    ``load_overwrite``'s staging write and its ``finally`` drop (the
+    reference has the same hole: HiveConnector.scala:37-56 drops staging
+    only on the happy path).
+
+    The creation timestamp is IN the name (``time.time_ns()`` suffix), so
+    age needs no filesystem stat: anything past the horizon is debris —
+    a live load younger than the horizon is never touched, same
+    quiet-window contract as ``sweep_stale_temporary``.  Matching is
+    anchored to this table's exact ``temp_{flat}_<digits>`` shape;
+    another table's staging (or a user table that merely starts with
+    ``temp_``) never matches."""
+    import re
+
+    flat = table_name.replace(".", "_")
+    pat = re.compile(rf"^temp_{re.escape(flat)}_(\d+)$")
+    horizon_ns = int(horizon_s * 1e9)
+    now_ns = time.time_ns()
+    dropped: list[str] = []
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name)
+        if m and now_ns - int(m.group(1)) >= horizon_ns:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            dropped.append(t.name)
+    return dropped
+
+
 def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
-    """Create the partitioned parquet table if it does not exist."""
+    """Create the partitioned parquet table if it does not exist; on the
+    way, collect staging debris a crashed load left behind (the startup
+    sweep — every pipeline passes through here before reading or
+    loading, so orphans never outlive one horizon + one run)."""
+    sweep_stale_staging(spark, spec.name)
     if spark.catalog.tableExists(spec.name):
         return
     empty = spark.createDataFrame([], spec.schema).select(*spec.ordered_columns)

@@ -672,3 +672,59 @@ def test_table_versions_time_travel_and_restore(spark, tmp_path):
     assert catalog.list_table_versions(plain) == []
     with pytest.raises(ValueError, match="not a compaction-managed"):
         catalog.restore_table_version(plain, v1_ns)
+
+
+def test_orphaned_staging_recovery(spark):
+    """A driver killed mid-load leaks its temp_<table>_<ns> staging table
+    (the finally never runs — same hole as the reference's
+    HiveConnector).  The ensure_table startup sweep must collect orphans
+    past the horizon, spare live stagings and similarly-named tables, and
+    the next load must land exactly the intended rows."""
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkgraft import catalog
+
+    spec = catalog.TableSpec(
+        "t_orphan",
+        StructType(
+            [
+                StructField("k", StringType()),
+                StructField("v", LongType()),
+                StructField("d", StringType()),
+            ]
+        ),
+        ("d",),
+    )
+    for t in ("t_orphan",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # pre-seed: one stale orphan (2h old), one live staging (now), and a
+    # lookalike of ANOTHER table that must never match this table's sweep
+    old_ns = time.time_ns() - int(7200e9)
+    orphan = f"temp_t_orphan_{old_ns}"
+    live = f"temp_t_orphan_{time.time_ns()}"
+    other = f"temp_t_orphanzz_{old_ns}"
+    for name in (orphan, live, other):
+        spark.createDataFrame([("junk", 0, "dx")], spec.schema).write.mode(
+            "overwrite"
+        ).saveAsTable(name)
+
+    try:
+        df = spark.createDataFrame([("a", 1, "d1"), ("b", 2, "d2")], spec.schema)
+        catalog.load_overwrite(spark, spec, df)  # ensure_table sweeps first
+
+        assert not spark.catalog.tableExists(orphan), "stale orphan survived"
+        assert spark.catalog.tableExists(live), "live staging was collected"
+        assert spark.catalog.tableExists(other), "sweep crossed table boundary"
+        got = {(r.k, r.v, r.d) for r in spark.table("t_orphan").collect()}
+        assert got == {("a", 1, "d1"), ("b", 2, "d2")}
+
+        # replay after recovery stays idempotent (byte-identical contents)
+        catalog.load_overwrite(spark, spec, df)
+        again = {(r.k, r.v, r.d) for r in spark.table("t_orphan").collect()}
+        assert again == got
+    finally:
+        for name in (live, other, "t_orphan"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
