@@ -5489,89 +5489,88 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 9's window, in three
+# artifact, not an accident of module layout.  Round 10's window, in four
 # tiers:
-#   (1) the 3 queries without a driver HASH row — all registered THIS
-#       round: `salted_join_auto` (the measured join plan-flip the r08
-#       verdict staged, twin of `sessionize_auto`), `dq_gated_value_rollup`
-#       (the gate-then-process consumer of the IEEE-specials DQ gate), and
-#       `graph_triangle_lsh` (the sub-quadratic LSH-pruned triangle lane);
-#   (2) 39 stale-refresh re-proofs, oldest-first — the 19 proofs still
-#       dating from ROUND 4 (streaming batch twins, the text
-#       BM25/fuzzy/RRF/LM/PII tail, `timeseries_gapfill`,
-#       `trade_pagerank`, `unpivot_lineitem_measures`, the `value_*`
-#       tail, `wau_sketch_weekly`, `wau_wow_growth`), then the
-#       alphabetically-first 20 of the 42 round-5 proofs (testdata has
-#       been regenerated every round since); the 22 r05 leftovers head
-#       round 10's rotation;
-#   (3) the 8 canonical sentinels (same set as r04-r08).
-# With (1) drained, cumulative driver-hash coverage stays at 100% of the
-# registry and no query's newest driver row is older than r05.
+#   (1) the 2 queries registered THIS round, needing their FIRST driver
+#       hash row: `embed_index_cache_audit` (per-epoch cached index
+#       artifacts — catalog.cached_index, the r09 verdict's staged item)
+#       and `multimodal_decode_png` (the real pure-stdlib PNG decode lane
+#       that retires the decode stub boundary);
+#   (2) the 11 lanes whose OUTPUT or declared domain changed AFTER their
+#       newest driver proof and therefore hold stale rows (the r09
+#       deferral, enforced by test_registry_parity): the r09 nonfinite
+#       fixes (`dq_constraint_report` grew the `embeddings_finite` row;
+#       `embed_cosine_topk`, `embed_cosine_neardup`, `embed_ivf_topk`,
+#       `embed_lsh_topk`, `embed_semantic_dedup`, `embed_quantized_topk`,
+#       `embed_vector_algebra`, `embedding_stats_by_label`,
+#       `ml_ann_neighbors` declared the finite-embedding domain) plus
+#       `multimodal_decode_stub`, whose width/height columns were renamed
+#       THIS round when the real PNG decoder landed;
+#   (3) stale-refresh re-proofs, oldest-first: the 21 remaining round-5
+#       rows (`ml_ann_neighbors`, the 22nd, is already in tier 2), then
+#       the alphabetically-first 8 of the 41 remaining round-6 rows
+#       (the other 33 head round 11's rotation, then r07 oldest-first);
+#   (4) the 8 canonical sentinels (same set as r04-r09).
+# With this window no registry row's newest proof is older than ROUND 6,
+# and every output-changed lane is re-proven on its changed output.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 10 ROTATION: any query registered after THIS freeze (list them in
-# tests/test_registry_parity.py `added_after_r09_freeze` as you add them)
-# first, then the TEN lanes whose OUTPUT or domain changed after their
-# newest driver proof (the r09 nonfinite fixes: `dq_constraint_report`
-# grew the `embeddings_finite` row, and `embed_cosine_topk`,
-# `embed_cosine_neardup`, `embed_ivf_topk`, `embed_lsh_topk`,
-# `embed_semantic_dedup`, `embed_quantized_topk`, `embed_vector_algebra`,
-# `embedding_stats_by_label`, `ml_ann_neighbors` declared the
-# finite-embedding domain — clean-data results unchanged for all nine,
-# but their standing proofs predate the declaration), then stale-refresh
-# re-proofs (the remaining r05 rows, then r06 oldest-first) and the 8
+# ROUND 11 ROTATION: any query registered after THIS freeze (list it in
+# tests/test_registry_parity.py `added_after_r10_freeze` as you add it)
+# first, then any lane whose output/domain changes after its newest proof,
+# then the 33 remaining r06 rows, then r07 oldest-first, then the 8
 # sentinels.  Keep new registrations few enough to drain in one window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: the 3 round-9 lanes needing their FIRST driver hash row
-    "salted_join_auto",
-    "dq_gated_value_rollup",
-    "graph_triangle_lsh",
-    # tier 2: 39 stale-refresh re-proofs, oldest-first — the 19 remaining
-    # round-4 proofs, then the alphabetically-first 20 of the 42 round-5
-    # proofs (the 22 r05 leftovers head round 10's rotation)
-    "session_window_stats",
-    "streaming_replay_dedup",
-    "streaming_static_enrich",
-    "streaming_stream_join",
-    "streaming_windowed_counts",
-    "text_bm25_search",
-    "text_fuzzy_probe_match",
-    "text_hybrid_rrf",
-    "text_lm_score",
-    "text_pii_scrub",
-    "timeseries_gapfill",
-    "trade_pagerank",
-    "unpivot_lineitem_measures",
-    "value_histogram",
-    "value_quantiles_approx",
-    "value_time_correlation",
-    "value_zscore_outliers",
-    "wau_sketch_weekly",
-    "wau_wow_growth",
-    "bitmap_distinct_rollup",
-    "collation_distinct_audit",
-    "column_profile_lineitem",
-    "corpus_chunk_overlap",
-    "corpus_dup_span_fraction",
-    "corpus_shard_assign",
-    "corpus_source_datacard",
-    "corpus_temperature_mix",
-    "corpus_vocab_growth",
-    "custom_stream_jsonl_counts",
-    "dedup_incremental_minhash",
-    "dedup_keep_canonical",
-    "embed_arrow_norms",
-    "embed_kmeans_clusters",
-    "embed_knn_graph",
-    "embed_pca_projection",
-    "embed_pq_topk",
-    "events_variant_k_stats",
-    "ewma_user_value",
-    "graph_triangle_count",
-    # tier 3: the 8 canonical sentinels (same set as r04-r08)
+    # tier 1: the 2 round-10 lanes needing their FIRST driver hash row
+    "embed_index_cache_audit",
+    "multimodal_decode_png",
+    # tier 2: 11 output/domain-changed lanes re-proven on the new output
+    "dq_constraint_report",
+    "embed_cosine_topk",
+    "embed_cosine_neardup",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_semantic_dedup",
+    "embed_quantized_topk",
+    "embed_vector_algebra",
+    "embedding_stats_by_label",
+    "ml_ann_neighbors",
+    "multimodal_decode_stub",
+    # tier 3a: the 21 remaining round-5 stale rows
+    "ml_minhash_pairs",
+    "orc_roundtrip_events",
+    "recursive_cte_hierarchy",
+    "scd2_point_in_time_lookup",
+    "skew_key_audit",
+    "snapshot_diff_orders",
+    "sql_udf_value_buckets",
+    "streaming_bitmap_distinct",
+    "streaming_session_window",
+    "streaming_state_inspect",
+    "table_fingerprint",
+    "text_bigram_lm_score",
+    "text_gopher_repetition",
+    "text_langid_confusion",
+    "text_quality_classifier",
+    "time_weighted_avg_value",
+    "udtf_split_sentences",
+    "user_value_trend",
+    "value_mad_outliers",
+    "value_median_exact",
+    "zorder_layout_audit",
+    # tier 3b: alphabetically-first 8 of the remaining round-6 rows
+    "anti_join_dormant_customers",
+    "asia_market_share",
+    "asof_last_signup",
+    "bucketed_join_zero_shuffle",
+    "case_when_buckets",
+    "cheapest_shipment_per_part",
+    "cube_event_counts",
+    "dedup_exact",
+    # tier 4: the 8 canonical sentinels (same set as r04-r09)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

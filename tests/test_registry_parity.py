@@ -59,10 +59,10 @@ def test_readme_count_matches_registry():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-9 window:
+    inserts silently evicted driver-proven queries).  Pin the round-10 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-9 rotation — so this test does NOT claim full cumulative
+    the round-11 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -70,18 +70,51 @@ def test_driver_window_composition():
     assert len(set(registry.DRIVER_WINDOW)) == 50
 
 
+#: lanes whose OUTPUT or declared domain changed after their newest driver
+#: proof — the r09 nonfinite deferral (round-9 advice: enforce the deferral
+#: structurally, not in a comment) plus the r10 decode-schema rename.  Every
+#: one of these MUST hold an r10 window slot; deleting a name here without a
+#: fresh driver row is the silent-stale failure mode this list exists to
+#: block.
+OUTPUT_CHANGED_SINCE_PROOF: set[str] = {
+    "dq_constraint_report",
+    "embed_cosine_topk",
+    "embed_cosine_neardup",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_semantic_dedup",
+    "embed_quantized_topk",
+    "embed_vector_algebra",
+    "embedding_stats_by_label",
+    "ml_ann_neighbors",
+    "multimodal_decode_stub",
+}
+
+
+def test_output_changed_lanes_hold_window_slots():
+    """Round-9 advice item: ten lanes changed output/domain after their
+    newest driver proof and the deferral lived only in a comment.  Enforce
+    it: every output-changed lane must sit in the CURRENT window so the
+    next driver run re-proves the changed output."""
+    missing = OUTPUT_CHANGED_SINCE_PROOF - set(registry.DRIVER_WINDOW)
+    assert not missing, (
+        f"output-changed lanes without a window slot (stale driver rows "
+        f"would be silently trusted): {sorted(missing)}"
+    )
+
+
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r09 window freeze must have a driver row
-    in r01..r08 or sit in the r09 window awaiting one — at this freeze the
-    set is EMPTY-gap by construction: r01∪…∪r08 rows cover all 195 prior
-    queries and the 3 round-9 lanes hold window slots.  Queries added
+    """Every query present at the r10 window freeze must have a driver row
+    in r01..r09 or sit in the r10 window awaiting one — at this freeze the
+    set is EMPTY-gap by construction: r01∪…∪r09 rows cover all 198 prior
+    queries and the 2 round-10 lanes hold window slots.  Queries added
     after the freeze are exempt (next round's rotation) but must be listed
     here EXPLICITLY so the exemption is a conscious act, not a silent
     hole."""
     import json
     import pathlib
 
-    added_after_r09_freeze: set[str] = set()
+    added_after_r10_freeze: set[str] = set()
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -92,21 +125,21 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r09_freeze
+        and n not in added_after_r10_freeze
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-9 window audit: (a) every registered query either has a prior
+    """Round-10 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
-    either one of the 8 declared sentinels or a STALE-REFRESH slot whose
-    newest prior row is from round 4 or 5 (the oldest proofs left in the
-    ledger after r08 drained the r03 rows and 24 of the 43 r04 rows;
-    refreshed oldest-first).  `seen`/`latest` are pinned to the rounds
-    BEFORE this window froze (r01-r08): once the driver emits
-    CORRECTNESS_r09 for the window itself, an open glob would reclassify
+    one of the 8 declared sentinels, an OUTPUT_CHANGED_SINCE_PROOF lane
+    (stale row on a changed output), or a STALE-REFRESH slot whose newest
+    prior row is from round 5 or 6 (the oldest proofs left after r09
+    drained the r04 rows; refreshed oldest-first).  `latest` is pinned to
+    the rounds BEFORE this window froze (r01-r09): once the driver emits
+    CORRECTNESS_r10 for the window itself, an open glob would reclassify
     all 50 slots as re-proofs and fail this test for succeeding."""
     import json
     import pathlib
@@ -114,7 +147,7 @@ def test_driver_window_drains_the_backlog():
 
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for f in sorted(root.glob("CORRECTNESS_r0[1-8].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[1-9].json")):
         rnd = int(re.search(r"r0(\d)", f.name).group(1))
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
@@ -131,18 +164,23 @@ def test_driver_window_drains_the_backlog():
     for n in registry.DRIVER_WINDOW:
         if n not in latest:
             continue  # first driver row — always a justified slot
-        assert n in sentinels or latest[n] in (4, 5), (
+        assert (
+            n in sentinels
+            or n in OUTPUT_CHANGED_SINCE_PROOF
+            or latest[n] in (5, 6)
+        ), (
             f"window slot {n!r} re-proves a query last proven in "
-            f"r0{latest[n]} — neither a sentinel nor a stale refresh"
+            f"r0{latest[n]} — not a sentinel, not output-changed, not a "
+            f"stale refresh"
         )
-    # post-freeze additions (the r10 rotation) cannot have a slot in THIS
+    # post-freeze additions (the r11 rotation) cannot have a slot in THIS
     # window by construction — keep in lockstep with
-    # test_driver_rows_cumulative_coverage's added_after_r09_freeze
-    added_after_r09_freeze: set[str] = set()
+    # test_driver_rows_cumulative_coverage's added_after_r10_freeze
+    added_after_r10_freeze: set[str] = set()
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in added_after_r09_freeze
+        if n not in latest and n not in added_after_r10_freeze
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
