@@ -431,6 +431,17 @@ DEEP = {
         "contract": "linear",
         "bar": 1.3,
     },
+    # round-10: the r09 shared-grid creep watch (1.93x for 10x data, the
+    # steepest non-contract lane) gets its own 100x contract point.  The
+    # lane is two exact medians via the two-level rank + broadcast-back
+    # classification — n log n in the chunk sorts, so the linear bar with
+    # the standard slack applies.
+    "value_mad_outliers": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
 }
 
 
