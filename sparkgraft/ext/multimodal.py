@@ -301,6 +301,127 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(_decode, schema)
 
 
+#: decoded-WAV feature schema (decode_wav_features)
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bit_depth int, "
+    "n_frames bigint, n_samples bigint, sample_sum bigint, abs_peak int, "
+    "duration_ms int, pcm_md5 string"
+)
+
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV payloads from ids — the fixture generator for
+    the real audio-decode lane (the PNG generator's audio twin).  Per row:
+    ``n_channels = 1 + (id // 2) % 2``, ``sample_rate = 8000 * (1 + id %
+    3)``, ``bit_depth = 8 + 8 * (id % 2)``, ``n_frames = 16 + id % 33``,
+    and interleaved sample ``j`` is ``(id * 37 + j * 101) % 2^depth``
+    (sign-folded for 16-bit), so half the corpus is unsigned 8-bit and
+    half signed 16-bit, mono and stereo both present.  Every payload also
+    carries a LIST chunk (odd-size bodies included) between fmt and data,
+    so the decoder's skip-unknown-chunk + word-alignment path runs on
+    every row.  Emits (id, payload, source_md5) where source_md5 digests
+    the raw PCM bytes — the decoder must reproduce them exactly.
+
+    As with the PNG twin, the generation rule is pure integer arithmetic
+    on the id, so a SQL oracle predicts the DECODED sample sum / peak /
+    duration without being able to parse RIFF at all."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import wav as _wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                ch = 1 + (i // 2) % 2
+                sr = 8000 * (1 + i % 3)
+                bd = 8 + 8 * (i % 2)
+                nf = 16 + i % 33
+                samples = []
+                for j in range(nf * ch):
+                    raw = (i * 37 + j * 101) % (1 << bd)
+                    if bd == 16 and raw >= 32768:
+                        raw -= 65536
+                    samples.append(raw)
+                pcm = _wav.pack_samples(samples, bd)
+                payload = _wav.encode(
+                    samples,
+                    ch,
+                    sr,
+                    bd,
+                    extra_chunk=(b"LIST", b"INFO" + b"x" * (1 + i % 4)),
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(hashlib.md5(pcm).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def decode_wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real WAV decode + feature extraction (ext/wav: pure-stdlib struct,
+    RIFF chunk walking, strict PCM validation) behind the standard
+    Arrow-batched ``mapInPandas`` boundary.  Emits per-clip features an
+    audio-training pipeline filters on: true sample rate / channel count /
+    depth, frame and sample counts, exact integer sample sum and absolute
+    peak, integer duration_ms, and a PCM digest (dedup key for decoded
+    audio — catches container-level re-wraps byte dedup misses).
+
+    NULL payloads (absent media) emit NULL features, same convention as
+    ``decode_features``/``decode_png_features``.  Extra input columns pass
+    through so a generator stage can ship ground truth (``source_md5``)
+    alongside."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = WAV_FEATURES_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import wav as _wav
+
+        int32 = ("sample_rate", "n_channels", "bit_depth", "abs_peak",
+                 "duration_ms")
+        int64 = ("n_frames", "n_samples", "sample_sum")
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {
+                k: [None] * n for k in (*int32, *int64, "pcm_md5")
+            }
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _wav.decode(bytes(b))
+                s = d["samples"]
+                cols["sample_rate"][row] = d["sample_rate"]
+                cols["n_channels"][row] = d["n_channels"]
+                cols["bit_depth"][row] = d["bit_depth"]
+                cols["n_frames"][row] = d["n_frames"]
+                cols["n_samples"][row] = len(s)
+                cols["sample_sum"][row] = sum(s)
+                cols["abs_peak"][row] = max((abs(v) for v in s), default=0)
+                cols["duration_ms"][row] = (
+                    d["n_frames"] * 1000 // d["sample_rate"]
+                )
+                cols["pcm_md5"][row] = hashlib.md5(d["data"]).hexdigest()
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for k in int32:
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in int64:
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            out["pcm_md5"] = cols["pcm_md5"]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema)
+
+
 def payload_digests(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-payload byte length + content digest — binary-column ops that
     stay fully JVM-side (no decode needed)."""

@@ -1404,6 +1404,82 @@ def q_multimodal_decode_png(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "multimodal_decode_wav",
+    """
+    -- predicts the REAL WAV decoder's output straight through the codec:
+    -- the payload generator builds each clip from pure id arithmetic
+    -- (channels 1+(id//2)%2, rate 8000*(1+id%3), depth 8+8*(id%2), frames
+    -- 16+id%33, interleaved sample j = (id*37+j*101) % 2^depth with 16-bit
+    -- sign fold), so decoded sample sum / peak / duration are
+    -- SQL-stateable even though SQL cannot parse RIFF; pcm_match
+    -- certifies the decoded PCM digest equals the pre-encode source
+    -- digest (roundtrip through chunk framing + sample packing)
+    WITH g AS (
+      SELECT doc_id,
+             1 + (doc_id // 2) % 2 AS ch,
+             8000 * (1 + doc_id % 3) AS sr,
+             8 + 8 * (doc_id % 2) AS bd,
+             16 + doc_id % 33 AS nf
+      FROM documents),
+    s AS (
+      SELECT doc_id, ch, sr, bd, nf,
+             list_transform(range(0, CAST(nf * ch AS BIGINT)),
+               j -> CASE
+                 WHEN bd = 8 THEN (doc_id * 37 + j * 101) % 256
+                 WHEN (doc_id * 37 + j * 101) % 65536 >= 32768
+                   THEN (doc_id * 37 + j * 101) % 65536 - 65536
+                 ELSE (doc_id * 37 + j * 101) % 65536 END) AS vals
+      FROM g)
+    SELECT doc_id,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(bd AS INT) AS bit_depth,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * ch AS BIGINT) AS n_samples,
+           CAST(list_sum(vals) AS BIGINT) AS sample_sum,
+           CAST(list_max(list_transform(vals, v -> abs(v))) AS INT)
+             AS abs_peak,
+           CAST(nf * 1000 // sr AS INT) AS duration_ms,
+           TRUE AS pcm_match
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode, end to end — the PNG lane's audio twin, retiring
+    the last decodable-with-stdlib media class: deterministic PCM WAV
+    payloads are synthesized per doc_id (ext/multimodal.synth_wav_payloads
+    — real RIFF containers mixing 8/16-bit, mono/stereo, three sample
+    rates, each carrying an unknown LIST chunk with odd-size bodies so the
+    chunk walker's pad path runs on every row), then decoded by the strict
+    pure-stdlib reader (ext/wav: RIFF size validation, chunk walking,
+    fmt/data consistency, sign-correct sample unpacking) inside the same
+    Arrow-batched mapInPandas boundary as every other media stage.
+
+    The oracle predicts the decoder's output THROUGH the codec from id
+    arithmetic alone, and pcm_match pins the decoded-PCM md5 against the
+    pre-encode source digest.  Scale posture: both stages are
+    per-row-bounded map work over Arrow batches, no shuffle, no driver
+    traffic.  (Registered post-r10-freeze: first driver proof lands with
+    the r11 rotation; until then correctness is pinned by the pytest
+    roundtrip + oracle-equality tests.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_wav_payloads(docs)
+    feats = multimodal.decode_wav_features(payloads)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bit_depth",
+        "n_frames",
+        "n_samples",
+        "sample_sum",
+        "abs_peak",
+        "duration_ms",
+        (F.col("pcm_md5") == F.col("source_md5")).alias("pcm_match"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions (post-r04 window freeze -> round-5 driver rotation)
 # ---------------------------------------------------------------------------
