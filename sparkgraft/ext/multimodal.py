@@ -12,9 +12,14 @@ batch, never per row).  PNG decodes FOR REAL via the pure-stdlib codec in
 ``decode_features(fake=False)`` and :func:`decode_png_features`); other
 codecs (JPEG/ffmpeg/torchvision) are not in this container, so
 ``decode_features`` also ships a deterministic fake decoder behind
-``fake=True`` for fixtures, and ``frame_sample``/``resize_stub`` keep their
-documented ``NotImplementedError`` boundaries — the Spark-side plumbing
-(schema, batching, partition shape) is real and tested either way.
+``fake=True`` for fixtures, and ``frame_sample`` keeps its documented
+``NotImplementedError`` boundary (real keyframe extraction genuinely
+needs ffmpeg) — the Spark-side plumbing (schema, batching, partition
+shape) is real and tested either way.  Resampling needs no external
+library at all: :func:`resize_png_features` decodes and nearest-neighbor
+resamples REAL pixels (numpy gather over the stdlib-decoded matrix), so
+the former PIL boundary survives only in ``resize_stub``'s
+geometry-only planner.
 """
 
 from __future__ import annotations
@@ -164,16 +169,21 @@ def resize_stub(
     df: DataFrame, target_width: int = 224, fake: bool = False
 ) -> DataFrame:
     """Aspect-preserving resize planner: from (fake) decoded dimensions,
-    compute output dims for a target width. ``fake=False`` raises where a
-    real image library (PIL) would resample pixels; the fake path computes
-    the real geometry arithmetic on the stub dimensions."""
+    compute output dims for a target width. This stage sees only
+    DIMENSIONS (no pixel data in its input relation), so ``fake=False``
+    raises by construction — for real pixel resampling over decoded PNG
+    payloads use :func:`resize_png_features`, which needs no external
+    library. The fake path computes the real geometry arithmetic on the
+    stub dimensions."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "real resampling requires PIL (not in this container); "
-                    "pass fake=True for the geometry-only stub"
+                    "resize_stub's input carries dimensions only, not "
+                    "pixels — use resize_png_features for real "
+                    "resampling, or pass fake=True for the geometry-only "
+                    "planner"
                 )
             # nullable Int32 end to end: decode_features emits NULL dims
             # for absent media (NULL payloads), which arrive here as NaN —
@@ -299,6 +309,124 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, schema)
+
+
+#: decode-and-resample feature schema (resize_png_features)
+RESIZE_PNG_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "out_pixels bigint, out_pixel_sum bigint, pixel_md5 string, "
+    "out_md5 string"
+)
+
+
+def nearest_resample(
+    pixels: bytes, width: int, height: int, out_width: int, out_height: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major 8-bit grayscale matrix,
+    floor mapping: output (x, y) reads source
+    ``((y * height) // out_height, (x * width) // out_width)``.
+
+    The floor rule (rather than PIL's center-of-pixel sampling) is chosen
+    because it is exact INTEGER arithmetic — an SQL oracle can state the
+    resampled pixel values without parsing PNG or resampling anything,
+    the same predict-through-the-codec trick the decode lanes use.
+
+    Vectorized as a numpy double-gather (two index vectors + ``np.ix_``),
+    no per-pixel Python loop; cost is O(out pixels) per image."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or out_width <= 0 or out_height <= 0:
+        raise ValueError(
+            f"nearest_resample: extents must be positive, got "
+            f"{width}x{height} -> {out_width}x{out_height}"
+        )
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"nearest_resample: pixel buffer is {len(pixels)} bytes, "
+            f"expected {width * height} ({width}x{height} grayscale)"
+        )
+    mat = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ys = (np.arange(out_height) * height) // out_height
+    xs = (np.arange(out_width) * width) // out_width
+    return mat[np.ix_(ys, xs)].tobytes()
+
+
+def resize_png_features(
+    df: DataFrame, target_width: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode + REAL resample in one Arrow-batched ``mapInPandas``
+    stage — the canonical vision-pipeline preprocessing step (decode an
+    image, resize it to the model's input width) with no external imaging
+    library: the pure-stdlib PNG codec yields true pixels and
+    :func:`nearest_resample` gathers them to the target geometry.
+
+    Aspect-preserving integer geometry: ``out_width = target_width``,
+    ``out_height = max(1, (height * target_width) // width)`` — floor
+    division so the SQL oracle states it exactly.  Emits the decoded
+    dims, output dims, exact resampled pixel sum, and digests of both
+    the decoded and the resampled matrices (``pixel_md5`` certifies the
+    codec roundtrip against a generator-shipped source digest;
+    ``out_md5`` is the dedup key for resized content).  NULL payloads
+    (absent media) emit NULL features; extra input columns pass through,
+    same conventions as :func:`decode_png_features`.
+
+    Scale posture: per-row-bounded map work over Arrow batches — no
+    shuffle, no driver traffic; output size is images x out-pixels
+    regardless of source resolution, so a mixed-resolution 100 TB corpus
+    normalizes without a skewed stage."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = RESIZE_PNG_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import png as _png
+
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {
+                k: [None] * n
+                for k in (
+                    "width",
+                    "height",
+                    "out_width",
+                    "out_height",
+                    "out_pixels",
+                    "out_pixel_sum",
+                    "pixel_md5",
+                    "out_md5",
+                )
+            }
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _png.decode(bytes(b))
+                w, h, px = d["width"], d["height"], d["pixels"]
+                ow = target_width
+                oh = max(1, (h * target_width) // w)
+                out = nearest_resample(px, w, h, ow, oh)
+                cols["width"][row] = w
+                cols["height"][row] = h
+                cols["out_width"][row] = ow
+                cols["out_height"][row] = oh
+                cols["out_pixels"][row] = ow * oh
+                cols["out_pixel_sum"][row] = sum(out)
+                cols["pixel_md5"][row] = hashlib.md5(px).hexdigest()
+                cols["out_md5"][row] = hashlib.md5(out).hexdigest()
+            res = {"doc_id": pdf[id_col].to_numpy()}
+            for k in ("width", "height", "out_width", "out_height"):
+                res[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in ("out_pixels", "out_pixel_sum"):
+                res[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            res["pixel_md5"] = cols["pixel_md5"]
+            res["out_md5"] = cols["out_md5"]
+            for c in passthrough:
+                res[c] = pdf[c]
+            yield pd.DataFrame(res)
+
+    return df.mapInPandas(_resample, schema)
 
 
 #: decoded-WAV feature schema (decode_wav_features)

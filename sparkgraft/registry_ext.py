@@ -1480,6 +1480,80 @@ def q_multimodal_decode_wav(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "multimodal_resize_real",
+    """
+    -- predicts the REAL decode->resample chain straight through both
+    -- stages: the payload generator builds each image from id arithmetic
+    -- (width 4+id%13, height 3+id%7, pixel i = (id*31+i)%256), the
+    -- resample rule is floor-mapped nearest neighbor (output (x,y) reads
+    -- source ((y*h)//oh, (x*w)//ow)), and the geometry is out_w = 8,
+    -- out_h = max(1, (h*8)//w) -- all exact integer arithmetic, so SQL
+    -- states the resampled pixel sum without parsing PNG or resampling
+    -- anything; pixels_match certifies the decoded-pixel md5 equals the
+    -- pre-encode source digest (the codec roundtrip feeding the gather)
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h
+      FROM documents),
+    d AS (
+      SELECT doc_id, w, h,
+             8 AS ow,
+             GREATEST(1, (h * 8) // w) AS oh
+      FROM g)
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width,
+           CAST(oh AS INT) AS out_height,
+           CAST(ow * oh AS BIGINT) AS out_pixels,
+           CAST(list_sum(flatten(list_transform(
+                range(0, CAST(oh AS BIGINT)), y ->
+                  list_transform(range(0, CAST(ow AS BIGINT)), x ->
+                    (doc_id * 31 + ((y * h) // oh) * w + ((x * w) // ow))
+                    % 256)))) AS BIGINT) AS out_pixel_sum,
+           TRUE AS pixels_match
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL image preprocessing end to end — decode + nearest-neighbor
+    resample over true pixels, retiring the resize boundary the r09
+    verdict listed with the codecs: deterministic PNG payloads
+    (ext/multimodal.synth_png_payloads, filters cycling all five types)
+    are decoded by the pure-stdlib codec and resampled to a fixed target
+    width by a numpy double-gather (ext/multimodal.nearest_resample), in
+    ONE Arrow-batched mapInPandas stage (decode feeds the gather without
+    re-encoding in between).
+
+    The floor-mapped nearest rule is chosen precisely because it is
+    integer-exact: the oracle predicts the RESAMPLED pixel sum through
+    both the codec and the resampler from id arithmetic alone, and
+    pixels_match pins the decoded-pixel md5 against the pre-encode
+    source digest.  Mixed 4..16 x 3..9 sources against out_width 8
+    exercise upscale, downscale, and the out_h floor-clamp on every run.
+
+    Scale posture: per-row-bounded map work, no shuffle, no driver
+    traffic; output volume is rows x out-pixels independent of source
+    resolution.  (Registered post-r10-freeze: first driver proof lands
+    with the r11 rotation; until then correctness is pinned by the
+    pytest numpy-reference + oracle-equality tests.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_png_payloads(docs)
+    feats = multimodal.resize_png_features(payloads, target_width=8)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "out_pixels",
+        "out_pixel_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions (post-r04 window freeze -> round-5 driver rotation)
 # ---------------------------------------------------------------------------

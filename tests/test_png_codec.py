@@ -118,3 +118,103 @@ def test_synth_payload_matches_oracle_arithmetic():
         assert (d["width"], d["height"]) == (w, h)
         assert sum(d["pixels"]) == sum(px)
         assert hashlib.md5(d["pixels"]).hexdigest() == hashlib.md5(px).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# nearest_resample (the real resize path, round 10)
+# ---------------------------------------------------------------------------
+
+
+def _reference_resample(px, w, h, ow, oh):
+    """Per-pixel Python restatement of the floor-mapped nearest rule —
+    the independent check the numpy gather is compared against."""
+    return bytes(
+        px[((y * h) // oh) * w + ((x * w) // ow)]
+        for y in range(oh)
+        for x in range(ow)
+    )
+
+
+def test_nearest_resample_matches_reference():
+    from sparkgraft.ext.multimodal import nearest_resample
+
+    for i in (0, 1, 5, 12, 13, 97, 1_000_003):
+        w, h = 4 + i % 13, 3 + i % 7
+        px = bytes((i * 31 + j) % 256 for j in range(w * h))
+        ow, oh = 8, max(1, (h * 8) // w)
+        got = nearest_resample(px, w, h, ow, oh)
+        assert got == _reference_resample(px, w, h, ow, oh)
+        assert len(got) == ow * oh
+
+
+def test_nearest_resample_upscale_downscale_identity():
+    from sparkgraft.ext.multimodal import nearest_resample
+
+    px = bytes(range(12))  # 4x3
+    # identity geometry is a byte-identical no-op
+    assert nearest_resample(px, 4, 3, 4, 3) == px
+    # upscale 2x: every source pixel appears in a 2x2 block
+    up = nearest_resample(px, 4, 3, 8, 6)
+    assert up == _reference_resample(px, 4, 3, 8, 6)
+    assert up[0] == up[1] == px[0]
+    # downscale to 1x1 keeps the (0,0) source pixel under the floor rule
+    assert nearest_resample(px, 4, 3, 1, 1) == px[:1]
+
+
+def test_nearest_resample_rejects_bad_extents():
+    import pytest
+
+    from sparkgraft.ext.multimodal import nearest_resample
+
+    with pytest.raises(ValueError, match="positive"):
+        nearest_resample(b"", 0, 1, 1, 1)
+    with pytest.raises(ValueError, match="pixel buffer"):
+        nearest_resample(b"\x00" * 5, 4, 3, 2, 2)
+
+
+def test_resize_png_features_end_to_end(spark):
+    """decode+resample over real payloads: dims, exact resampled sum vs
+    the per-pixel reference, digest certificate, NULL passthrough."""
+    import pandas as pd
+
+    from sparkgraft.ext import multimodal
+
+    ids = [0, 1, 12, 13, 97, 103]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    payloads = multimodal.synth_png_payloads(docs)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_png_features(payloads, target_width=8)
+        .collect()
+    }
+    for i in ids:
+        w, h = 4 + i % 13, 3 + i % 7
+        px = bytes((i * 31 + j) % 256 for j in range(w * h))
+        ow, oh = 8, max(1, (h * 8) // w)
+        ref = _reference_resample(px, w, h, ow, oh)
+        r = out[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["out_width"], r["out_height"]) == (ow, oh)
+        assert r["out_pixels"] == ow * oh
+        assert r["out_pixel_sum"] == sum(ref)
+        assert r["out_md5"] == hashlib.md5(ref).hexdigest()
+        assert r["pixel_md5"] == r["source_md5"]  # codec roundtrip held
+
+
+def test_resize_png_features_null_payload(spark):
+    from pyspark.sql import types as T
+
+    from sparkgraft.ext import multimodal
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("source_md5", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(7, None, None)], schema)
+    [r] = multimodal.resize_png_features(df).collect()
+    assert r["doc_id"] == 7
+    for c in ("width", "out_height", "out_pixel_sum", "out_md5"):
+        assert r[c] is None

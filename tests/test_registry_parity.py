@@ -114,7 +114,10 @@ def test_driver_rows_cumulative_coverage():
     import json
     import pathlib
 
-    added_after_r10_freeze: set[str] = {"multimodal_decode_wav"}
+    added_after_r10_freeze: set[str] = {
+        "multimodal_decode_wav",
+        "multimodal_resize_real",
+    }
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -176,7 +179,10 @@ def test_driver_window_drains_the_backlog():
     # post-freeze additions (the r11 rotation) cannot have a slot in THIS
     # window by construction — keep in lockstep with
     # test_driver_rows_cumulative_coverage's added_after_r10_freeze
-    added_after_r10_freeze: set[str] = {"multimodal_decode_wav"}
+    added_after_r10_freeze: set[str] = {
+        "multimodal_decode_wav",
+        "multimodal_resize_real",
+    }
     never = [
         n
         for n in registry.queries()
