@@ -13,9 +13,13 @@ batch, never per row).  PNG decodes FOR REAL via the pure-stdlib codec in
 codecs (JPEG/ffmpeg/torchvision) are not in this container, so
 ``decode_features`` also ships a deterministic fake decoder behind
 ``fake=True`` for fixtures, and ``frame_sample`` keeps its documented
-``NotImplementedError`` boundary (real keyframe extraction genuinely
-needs ffmpeg) — the Spark-side plumbing (schema, batching, partition
-shape) is real and tested either way.  Resampling needs no external
+``NotImplementedError`` boundary for ffmpeg-class video containers —
+the Spark-side plumbing (schema, batching, partition shape) is real and
+tested either way.  ANIMATION needs no external library: real
+multi-frame extraction exists for animated GIF
+(:func:`extract_gif_frames` over the pure-stdlib LZW codec in
+:mod:`sparkgraft.ext.gif`), the true 1:N fan-out shape the byte-window
+stub only imitated.  Resampling needs no external
 library at all: :func:`resize_png_features` decodes and nearest-neighbor
 resamples REAL pixels (numpy gather over the stdlib-decoded matrix), so
 the former PIL boundary survives only in ``resize_stub``'s
@@ -134,7 +138,9 @@ def frame_sample(
 ) -> DataFrame:
     """Frame sampling over binary payloads: keep every ``every_n``-th
     fixed-size byte window as a "frame" (the fake stand-in for a video
-    keyframe extractor; ``fake=False`` raises where ffmpeg would run).
+    keyframe extractor; ``fake=False`` raises where ffmpeg would run —
+    for ANIMATED GIF payloads real frame extraction exists without
+    ffmpeg, see :func:`extract_gif_frames`).
 
     Arrow-batched ``mapInPandas``; emits (doc_id, frame_idx, n_bytes,
     frame_md5) — 1:N row fan-out, the shape a real frame extractor has.
@@ -145,8 +151,10 @@ def frame_sample(
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "real frame extraction requires ffmpeg (not in this "
-                    "container); pass fake=True for the byte-window stub"
+                    "real frame extraction for video containers requires "
+                    "ffmpeg (not in this container); animated GIF decodes "
+                    "for real via extract_gif_frames; pass fake=True for "
+                    "the byte-window stub"
                 )
             out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -548,6 +556,126 @@ def decode_wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, schema)
+
+
+#: extracted-GIF-frame schema (extract_gif_frames) — 1:N fan-out, one row
+#: per decoded frame
+GIF_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, n_frames int, "
+    "pixel_sum bigint, frame_md5 string, anim_md5 string"
+)
+
+
+def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL animated-GIF payloads from ids — the fixture
+    generator for the real frame-extraction lane.  Per row:
+    ``width = 3 + id % 5``, ``height = 2 + id % 3``,
+    ``n_frames = 2 + id % 4``, frame ``f`` pixel
+    ``i = (id * 31 + f * 17 + i) % 256`` — pure integer arithmetic, so a
+    SQL oracle can predict the DECODED per-frame pixel sums without
+    parsing GIF or LZW at all (the decode-lane trick, now across a 1:N
+    frame fan-out).  Emits (id, payload, source_md5) where source_md5
+    digests ALL raw frames concatenated — the extraction stage must
+    reproduce it bit-for-bit through LZW + sub-block framing."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import gif as _gif
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, nf = 3 + i % 5, 2 + i % 3, 2 + i % 4
+                frames = [
+                    bytes((i * 31 + f * 17 + j) % 256 for j in range(w * h))
+                    for f in range(nf)
+                ]
+                out["doc_id"].append(i)
+                out["payload"].append(_gif.encode(w, h, frames))
+                out["source_md5"].append(
+                    hashlib.md5(b"".join(frames)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def extract_gif_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL multi-frame extraction over animated-GIF payloads — the 1:N
+    fan-out ``frame_sample`` only imitated with byte windows, now backed
+    by a true codec (:mod:`sparkgraft.ext.gif`: LZW dictionary
+    reconstruction, sub-block reassembly, strict container walking).
+
+    One output row per decoded frame: geometry, per-frame exact pixel sum
+    and digest (the dedup key for frame-level near-dup mining), plus
+    ``anim_md5`` — the digest of all frames concatenated, constant per
+    doc, so a generator-shipped ground-truth digest certifies the whole
+    animation roundtrip on every row without a regrouping shuffle.
+
+    NULL payloads (absent media) emit ZERO rows, matching
+    ``frame_sample``'s convention (no media, no frames).  Extra input
+    columns are replicated onto each frame row.  Scale posture:
+    per-row-bounded map work over Arrow batches — no shuffle, no driver
+    traffic; the fan-out factor is the frame count, bounded by the
+    container."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = GIF_FRAMES_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import gif as _gif
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "pixel_sum",
+                    "frame_md5",
+                    "anim_md5",
+                    *passthrough,
+                )
+            }
+            for row in pdf.itertuples(index=False):
+                rd = row._asdict()
+                b = rd["payload"]
+                if b is None:
+                    continue
+                d = _gif.decode(bytes(b))
+                anim = hashlib.md5(b"".join(d["frames"])).hexdigest()
+                for f, px in enumerate(d["frames"]):
+                    out["doc_id"].append(rd[id_col])
+                    out["frame_idx"].append(f)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["n_frames"].append(d["n_frames"])
+                    out["pixel_sum"].append(sum(px))
+                    out["frame_md5"].append(hashlib.md5(px).hexdigest())
+                    out["anim_md5"].append(anim)
+                    for c in passthrough:
+                        out[c].append(rd[c])
+            pdf_out = pd.DataFrame(out)
+            for k, t in (
+                ("frame_idx", "Int32"),
+                ("width", "Int32"),
+                ("height", "Int32"),
+                ("n_frames", "Int32"),
+                ("pixel_sum", "Int64"),
+            ):
+                pdf_out[k] = pdf_out[k].astype(t)
+            yield pdf_out
+
+    return df.mapInPandas(_extract, schema)
 
 
 def payload_digests(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

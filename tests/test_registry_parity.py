@@ -117,6 +117,7 @@ def test_driver_rows_cumulative_coverage():
     added_after_r10_freeze: set[str] = {
         "multimodal_decode_wav",
         "multimodal_resize_real",
+        "multimodal_frames_gif",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -182,6 +183,7 @@ def test_driver_window_drains_the_backlog():
     added_after_r10_freeze: set[str] = {
         "multimodal_decode_wav",
         "multimodal_resize_real",
+        "multimodal_frames_gif",
     }
     never = [
         n
