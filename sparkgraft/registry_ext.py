@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkgraft.ext import dedup, multimodal, simsearch, text
+from sparkgraft.ext import bpe, dedup, multimodal, simsearch, text
 from sparkgraft.io.readers import read_table
 from sparkgraft.registry import register
 
@@ -2379,3 +2379,127 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     return dedup.incremental_minhash_pairs(hist, batch, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / encoding (ext/bpe) — the learned-tokenizer
+# upgrade over text.bpe_token_estimate's 4-chars-per-token heuristic
+# ---------------------------------------------------------------------------
+
+#: vocabulary domain shared by both engines: whitespace words WITHOUT
+#: parens (the symbol renderer's framing characters — see ext/bpe module
+#: docstring).  The base corpus is [a-z]+ words, so this excludes nothing
+#: there; it exists so adversarially-perturbed text degrades loudly into
+#: a smaller vocabulary instead of a corrupt rendering.
+_BPE_WORD_OK = "NOT regexp_matches(word, '[()]')"
+
+
+def _bpe_cte_chain(n_merges: int = 4) -> str:
+    """DuckDB twin of ext/bpe.learn_merges: the word-frequency pass, the
+    parens rendering, and ``n_merges`` unrolled rounds of (pair count ->
+    argmax with count-desc/pair-asc tie-break -> literal replace).  Each
+    round's merge is injected as a scalar subquery; ``coalesce(..,
+    chr(1))`` keeps the replace a no-op when a round learned nothing
+    (empty corpus), mirroring the Spark loop's early break."""
+    rep = (
+        "substr(concat('(', regexp_replace(word, '(.)', '\\1)(', 'g')), "
+        "1, 3 * length(word))"
+    )
+    ctes = [
+        f"words AS (SELECT unnest({_TOK}) AS word FROM documents)",
+        "wf AS (SELECT word, count(*) AS wc FROM words "
+        f"WHERE {_BPE_WORD_OK} GROUP BY word)",
+        f"s0 AS (SELECT word, {rep} AS seq, wc FROM wf)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS (SELECT unnest(list_transform(range(1, len(t)), "
+            f"i -> '(' || t[i] || ')(' || t[i+1] || ')')) AS pair, wc "
+            f"FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), "
+            f"')(') AS t, wc FROM s{k-1}))"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt "
+            f"FROM p{k} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT word, replace(seq, "
+            f"coalesce((SELECT pair FROM b{k}), chr(1)), "
+            f"coalesce((SELECT replace(pair, ')(', '') FROM b{k}), '')) "
+            f"AS seq, wc FROM s{k-1})"
+        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_merges_oracle(n_merges: int = 4) -> str:
+    steps = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, pair, "
+        f"replace(pair, ')(', '') AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_cte_chain(n_merges) + f"\nSELECT * FROM ({steps}) ORDER BY step"
+
+
+@register("text_bpe_merges", _bpe_merges_oracle())
+def q_text_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich-style): one
+    corpus-scale word-frequency pass, then 4 rounds of
+    weighted-adjacent-pair count -> argmax -> merge over the
+    DISTINCT-WORD table only (ext/bpe.learn_merges).  Emits the learned
+    merge table (step, pair, merged, pair_count) — on the base corpus
+    rounds 2+ genuinely feed on earlier merges' output symbols.
+
+    Oracle: the identical trainer unrolled as 4 CTE rounds, with each
+    round's argmax injected as a scalar subquery and the merge applied by
+    the same literal `(a)(b) -> (ab)` replace (the parens rendering makes
+    plain string replace EXACTLY canonical greedy BPE — see ext/bpe).
+
+    Scale posture: the corpus is scanned once (map-side-combined word
+    count); each round shuffles vocabulary-sized pair statistics and
+    ships ONE row to the driver; merges apply as JVM-side literal
+    replaces.  This is the textbook distributed-BPE shape — pair
+    statistics weighted by word frequency, never recomputed per
+    occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(docs).filter(~F.col("word").rlike("[()]"))
+    merges, _ = bpe.learn_merges(wf, 4)
+    return bpe.merges_df(spark, merges).orderBy("step")
+
+
+def _bpe_encode_oracle(n_merges: int = 4) -> str:
+    return (
+        _bpe_cte_chain(n_merges)
+        + f""",
+    docw AS (SELECT doc_id, unnest({_TOK}) AS word FROM documents),
+    encj AS (SELECT doc_id, count(*) AS n_words,
+                    sum(length(word)) AS n_chars_tok,
+                    sum(len(string_split(substr(seq, 2, length(seq) - 2),
+                        ')('))) AS n_tokens_bpe
+             FROM docw JOIN s{n_merges} USING (word) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(n_chars_tok, 0) AS BIGINT) AS n_chars_tok,
+           CAST(coalesce(n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents d LEFT JOIN encj USING (doc_id) ORDER BY doc_id"""
+    )
+
+
+@register("text_bpe_encode", _bpe_encode_oracle())
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE ENCODING under the merges just learned from the same corpus:
+    per-document word count, character mass, and the post-merge BPE token
+    count — the real learned-tokenizer statistic the
+    4-chars-per-token heuristic (`text_token_stats`) approximates.
+
+    The encode path never re-walks documents with the merge table: the
+    final word -> n_symbols table (vocabulary-sized) is joined against
+    the corpus words and summed per document (ext/bpe.encode_token_counts
+    — broadcast-sized build side), with zero-word documents reporting
+    zeros.  Note the vocabulary-domain filter excludes paren-bearing
+    words from the TRAINER only; encode counts every word's tokens, with
+    out-of-vocabulary words (none on the base corpus) simply absent from
+    the join — the oracle applies the identical inner-join semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(docs).filter(~F.col("word").rlike("[()]"))
+    _, final_seqs = bpe.learn_merges(wf, 4)
+    return bpe.encode_token_counts(docs, final_seqs).orderBy("doc_id")

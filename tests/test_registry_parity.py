@@ -118,6 +118,8 @@ def test_driver_rows_cumulative_coverage():
         "multimodal_decode_wav",
         "multimodal_resize_real",
         "multimodal_frames_gif",
+        "text_bpe_merges",
+        "text_bpe_encode",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -184,6 +186,8 @@ def test_driver_window_drains_the_backlog():
         "multimodal_decode_wav",
         "multimodal_resize_real",
         "multimodal_frames_gif",
+        "text_bpe_merges",
+        "text_bpe_encode",
     }
     never = [
         n
