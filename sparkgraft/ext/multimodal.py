@@ -797,3 +797,137 @@ def fetch_payload_ranges(df: DataFrame, pointer_col: str = POINTER_FIELD) -> Dat
             )
 
     return df.select("doc_id", pointer_col).mapInPandas(_fetch, FETCH_SCHEMA)
+
+
+#: spectral-feature schema (spectral_features) — integer-exact features
+#: plus the FFT-derived dominant bin
+SPECTRAL_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames bigint, n_fft_bins int, "
+    "dominant_bin int, dominant_hz int, energy bigint, sample_sum bigint, "
+    "abs_peak int, pcm_md5 string"
+)
+
+
+def synth_tone_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL tone payloads from ids — the fixture generator
+    for the spectral-analysis lane.  Per row: a mono 16-bit 8 kHz clip of
+    64 frames carrying a square wave at FFT bin ``k = 1 + id % 31`` with
+    amplitude ``A = 10000 + (id % 7) * 1000``: sample ``j`` is ``+A`` when
+    ``((2*k*j) // 64) % 2 == 0`` else ``-A``.  A square wave's spectrum is
+    its fundamental plus odd harmonics at <= 1/3 the magnitude, so bin k
+    strictly dominates the positive-frequency spectrum for every k in
+    1..31 (verified exhaustively over all (k, A) classes) — which makes
+    the FFT's argmax SQL-stateable even though SQL cannot run an FFT.
+
+    Emits (id, payload, source_md5) where source_md5 digests the raw PCM
+    bytes, same contract as :func:`synth_wav_payloads`."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import wav as _wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                k = 1 + i % 31
+                amp = 10000 + (i % 7) * 1000
+                samples = [
+                    amp if ((2 * k * j) // 64) % 2 == 0 else -amp
+                    for j in range(64)
+                ]
+                pcm = _wav.pack_samples(samples, 16)
+                payload = _wav.encode(
+                    samples,
+                    1,
+                    8000,
+                    16,
+                    extra_chunk=(b"LIST", b"INFOfft" + b"x" * (i % 2)),
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(hashlib.md5(pcm).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def spectral_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real spectral analysis over real-decoded audio: WAV decode
+    (ext/wav) feeding ``numpy.fft.rfft``, in ONE Arrow-batched
+    ``mapInPandas`` stage — the feature-extraction step an audio-training
+    pipeline runs after decode (dominant frequency for content bucketing,
+    energy/peak for silence and clipping filters).
+
+    Emits integer-exact features only: ``dominant_bin`` (argmax of the
+    positive-frequency magnitude spectrum, DC excluded), ``dominant_hz``
+    (exact when sample_rate is a multiple of n_frames), exact integer
+    ``energy`` (sum of squared samples — checked against Parseval on the
+    FFT side in tests, reported from the sample domain so it stays
+    integer), ``sample_sum``, ``abs_peak``, and the PCM digest.  The
+    float spectrum itself never crosses the engine boundary, so the lane
+    stays bit-reproducible.
+
+    Declared domain: MONO clips (one channel = one spectrum).  Multi-
+    channel input aborts loudly rather than silently averaging channels.
+
+    NULL payloads emit NULL features; extra input columns pass through
+    (ground-truth digests).  Scale posture: per-row-bounded map work
+    (64-point FFTs), no shuffle, no driver traffic."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = SPECTRAL_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _spectral(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sparkgraft.ext import wav as _wav
+
+        int32 = ("sample_rate", "n_fft_bins", "dominant_bin",
+                 "dominant_hz", "abs_peak")
+        int64 = ("n_frames", "energy", "sample_sum")
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {
+                k: [None] * n for k in (*int32, *int64, "pcm_md5")
+            }
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _wav.decode(bytes(b))
+                if d["n_channels"] != 1:
+                    raise ValueError(
+                        "spectral_features: declared domain is MONO audio; "
+                        f"got {d['n_channels']} channels"
+                    )
+                s = np.asarray(d["samples"], dtype=np.float64)
+                mag = np.abs(np.fft.rfft(s))
+                cols["sample_rate"][row] = d["sample_rate"]
+                cols["n_frames"][row] = d["n_frames"]
+                cols["n_fft_bins"][row] = len(mag)
+                dom = 1 + int(np.argmax(mag[1:])) if len(mag) > 1 else 0
+                cols["dominant_bin"][row] = dom
+                cols["dominant_hz"][row] = (
+                    dom * d["sample_rate"] // d["n_frames"]
+                )
+                si = np.asarray(d["samples"], dtype=np.int64)
+                cols["energy"][row] = int((si * si).sum())
+                cols["sample_sum"][row] = int(si.sum())
+                cols["abs_peak"][row] = int(np.abs(si).max()) if len(si) else 0
+                cols["pcm_md5"][row] = hashlib.md5(d["data"]).hexdigest()
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for k in int32:
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in int64:
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            out["pcm_md5"] = cols["pcm_md5"]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_spectral, schema)

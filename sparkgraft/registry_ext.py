@@ -2503,3 +2503,78 @@ def q_text_bpe_encode(spark, sf_dir):
     wf = bpe.word_freqs(docs).filter(~F.col("word").rlike("[()]"))
     _, final_seqs = bpe.learn_merges(wf, 4)
     return bpe.encode_token_counts(docs, final_seqs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_fft",
+    """
+    -- predicts REAL spectral analysis straight through decode + FFT: the
+    -- tone generator builds a mono 16-bit 8kHz square wave at FFT bin
+    -- k = 1 + id % 31 with amplitude A = 10000 + (id % 7) * 1000 over 64
+    -- frames (sample j = +A when ((2kj) // 64) % 2 = 0 else -A); a square
+    -- wave's odd harmonics sit at <= 1/3 the fundamental, so rfft's
+    -- argmax over positive bins is k for EVERY (k, A) class (verified
+    -- exhaustively) -- which makes the FFT's output SQL-stateable even
+    -- though SQL cannot run an FFT; energy/sample_sum/abs_peak are exact
+    -- integer sample-domain identities and pcm_match pins the decoded
+    -- PCM digest
+    WITH g AS (
+      SELECT doc_id,
+             1 + doc_id % 31 AS k,
+             10000 + (doc_id % 7) * 1000 AS amp
+      FROM documents),
+    s AS (
+      SELECT doc_id, k, amp,
+             list_transform(range(0, 64),
+               j -> CASE WHEN ((2 * k * j) // 64) % 2 = 0
+                         THEN amp ELSE -amp END) AS vals
+      FROM g)
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_frames,
+           CAST(33 AS INT) AS n_fft_bins,
+           CAST(k AS INT) AS dominant_bin,
+           CAST(k * 125 AS INT) AS dominant_hz,
+           CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT)
+             AS energy,
+           CAST(list_sum(vals) AS BIGINT) AS sample_sum,
+           CAST(amp AS INT) AS abs_peak,
+           TRUE AS pcm_match
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_fft(spark, sf_dir):
+    """REAL spectral feature extraction over real-decoded audio — the
+    analysis stage after the WAV codec lane: deterministic square-wave
+    tone payloads (ext/multimodal.synth_tone_wav_payloads) are decoded by
+    the strict pure-stdlib reader (ext/wav) and fed to numpy's rfft in
+    the SAME Arrow-batched mapInPandas stage
+    (ext/multimodal.spectral_features).
+
+    The lane reports only integer-exact features (dominant FFT bin and
+    its exact Hz, sample-domain energy / sum / peak, PCM digest), so the
+    float spectrum never crosses the engine boundary and the driver hash
+    stays bit-reproducible; the oracle predicts the FFT's argmax through
+    the codec from id arithmetic alone because the square-wave fixture
+    makes the dominant bin a closed-form fact.  Tests additionally pin
+    full spectra against closed forms and Parseval's identity.
+
+    Scale posture: per-row-bounded map work (64-point FFTs over Arrow
+    batches), no shuffle, no driver traffic.  (Registered post-r10-freeze:
+    first driver proof lands with the r11 rotation; until then
+    correctness is pinned by the pytest parity + property tests.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_tone_wav_payloads(docs)
+    feats = multimodal.spectral_features(payloads)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        "n_fft_bins",
+        "dominant_bin",
+        "dominant_hz",
+        "energy",
+        "sample_sum",
+        "abs_peak",
+        (F.col("pcm_md5") == F.col("source_md5")).alias("pcm_match"),
+    ).orderBy("doc_id")

@@ -120,6 +120,7 @@ def test_driver_rows_cumulative_coverage():
         "multimodal_frames_gif",
         "text_bpe_merges",
         "text_bpe_encode",
+        "multimodal_audio_fft",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -188,6 +189,7 @@ def test_driver_window_drains_the_backlog():
         "multimodal_frames_gif",
         "text_bpe_merges",
         "text_bpe_encode",
+        "multimodal_audio_fft",
     }
     never = [
         n
