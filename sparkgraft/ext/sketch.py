@@ -1,0 +1,161 @@
+"""Count-min sketch: one-pass mergeable frequency estimates, plus the
+exactness audit that proves the guarantee on real data.
+
+The count-min sketch (Cormode & Muthukrishnan 2005) is the workhorse for
+frequency estimation over streams too large to hold per-key counters: a
+``d x w`` grid of counters; every arrival increments one counter per row
+(the row's hash of the key); a key's estimate is the MIN over its d
+counters.  Two properties make it cluster-friendly:
+
+- **mergeable**: the grid is a sum — partial grids built per partition
+  add cell-wise, so the build is one scan with map-side combine and a
+  shuffle of at most ``d * w`` cells per partition (768 here), regardless
+  of key cardinality;
+- **one-sided**: collisions only ADD, so ``estimate >= true count``
+  always, with overshoot bounded by colliding mass.
+
+Hashing is the engine-portable md5-derived hash64 (same construction as
+:mod:`sparkgraft.ext.dedup`), with the row index baked into the hashed
+string (``'cm<r>:' || key``) so the d rows are independent functions —
+and the oracle can rebuild the EXACT same grid in SQL.  Everything about
+the sketch is deterministic and partitioning-independent (sums commute),
+so the audit lane is driver-hashable: estimates depend only on the data,
+never on the plan.
+
+Scale posture: the build scans events once, combines map-side to ``d *
+w`` cells per partition, and reduces to a 768-cell grid that broadcasts
+anywhere; per-key estimation is d broadcast hash joins against that
+grid.  The AUDIT additionally computes exact per-key counts (that is the
+point of an audit — measure the sketch's error on this corpus); a
+production consumer would skip that shuffle and use the grid alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: grid shape: 3 independent hash rows, 256 buckets each.  With w = 256,
+#: expected overshoot per row is total_mass / 256 spread over colliding
+#: keys; min-of-3 makes a key's estimate exact unless it collides with
+#: heavy keys in ALL THREE rows.
+CM_DEPTH = 3
+CM_WIDTH = 256
+
+#: engine-portable 60-bit hash (dedup.HASH64_SQL twin) of the row-tagged
+#: key string; always non-negative, so plain % is a valid bucket map.
+_BUCKET_SQL = (
+    "CAST(conv(substr(md5(concat('cm{r}:', CAST({key} AS STRING))), 1, 15), "
+    "16, 10) AS BIGINT) % {w}"
+)
+
+
+def bucket_col(key_col: str, row: int, width: int = CM_WIDTH):
+    return F.expr(_BUCKET_SQL.format(r=row, key=key_col, w=width))
+
+
+def cm_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(r, bucket, mass): the count-min grid, built the production way —
+    ONE pass over the raw rows, each row contributing to ``depth``
+    cells, aggregated with map-side combine.  The exploded row count is
+    ``depth * |df|`` but never shuffles: partial sums collapse each
+    partition to at most ``depth * width`` cells before the exchange."""
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket_col(key_col, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return tagged.groupBy("cell.r", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("mass")
+    )
+
+
+def cm_estimate_audit(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Per-key audit relation: (key, exact_cnt, cm_est, err, tight).
+
+    ``cm_est`` is the count-min estimate from the one-pass grid;
+    ``exact_cnt`` the true count; ``err = cm_est - exact_cnt`` (>= 0 by
+    the one-sided guarantee — the audit lane's oracle re-derives the
+    identical grid, so a violation would fail the driver hash, and the
+    property test asserts it directly); ``tight`` marks collision-free
+    keys.  The grid side of every join is ``depth * width`` cells —
+    broadcast-sized by construction at ANY data scale."""
+    cells = cm_cells(df, key_col, depth, width)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = exact
+    for r in range(depth):
+        row_cells = (
+            cells.where(F.col("r") == r)
+            .select(F.col("bucket"), F.col("mass").alias(f"m{r}"))
+        )
+        est = est.join(
+            F.broadcast(row_cells),
+            bucket_col(key_col, r, width) == F.col("bucket"),
+        ).drop("bucket")
+    cm_est = F.least(*[F.col(f"m{r}") for r in range(depth)])
+    return est.select(
+        F.col(key_col),
+        F.col("exact_cnt"),
+        cm_est.alias("cm_est"),
+        (cm_est - F.col("exact_cnt")).alias("err"),
+        (cm_est == F.col("exact_cnt")).alias("tight"),
+    )
+
+
+def cm_oracle_sql(
+    table: str,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    """DuckDB twin: the grid rebuilt from exact per-key counts (cell mass
+    is additive, so summing per-key counts into buckets is identical to
+    the one-pass event build — the equivalence the mergeability property
+    rests on, asserted as such in tests)."""
+    bucket = (
+        "CAST('0x' || substr(md5('cm{r}:' || CAST({key} AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % {w}"
+    )
+    bcols = ", ".join(
+        bucket.format(r=r, key=key_col, w=width) + f" AS b{r}"
+        for r in range(depth)
+    )
+    cell_ctes = ",\n    ".join(
+        f"cells{r} AS (SELECT b{r} AS bucket, CAST(sum(exact_cnt) AS BIGINT)"
+        f" AS m{r} FROM k GROUP BY 1)"
+        for r in range(depth)
+    )
+    joins = "\n    ".join(
+        f"JOIN cells{r} ON k.b{r} = cells{r}.bucket" for r in range(depth)
+    )
+    least = "least(" + ", ".join(f"m{r}" for r in range(depth)) + ")"
+    return f"""
+    WITH exact AS (
+      SELECT {key_col}, count(*) AS exact_cnt FROM {table} GROUP BY {key_col}),
+    k AS (SELECT {key_col}, exact_cnt, {bcols} FROM exact),
+    {cell_ctes}
+    SELECT k.{key_col}, exact_cnt,
+           {least} AS cm_est,
+           {least} - exact_cnt AS err,
+           {least} = exact_cnt AS tight
+    FROM k
+    {joins}
+    ORDER BY k.{key_col}
+    """

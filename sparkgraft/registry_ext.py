@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkgraft.ext import bpe, dedup, multimodal, simsearch, text
+from sparkgraft.ext import bpe, dedup, multimodal, simsearch, sketch, text
 from sparkgraft.io.readers import read_table
 from sparkgraft.registry import register
 
@@ -2578,3 +2578,31 @@ def q_multimodal_audio_fft(spark, sf_dir):
         "abs_peak",
         (F.col("pcm_md5") == F.col("source_md5")).alias("pcm_match"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sketch_count_min_audit",
+    sketch.cm_oracle_sql("events", "user_id"),
+)
+def q_sketch_count_min_audit(spark, sf_dir):
+    """Count-min sketch frequency estimates AUDITED against exact counts:
+    the 3x256 grid is built the production way — one pass over events,
+    map-side-combined to at most 768 cells per partition, reduced to a
+    broadcast-sized grid — and every user's min-of-3-rows estimate is
+    joined against its true count (ext/sketch.cm_estimate_audit).
+
+    The relation reports (exact_cnt, cm_est, err, tight) per key; the
+    one-sided guarantee (err >= 0, every key) and the mergeability
+    identity (event-built grid == counts-built grid) are asserted in
+    tests, and the oracle rebuilds the identical grid in SQL from the
+    engine-portable row-tagged hash64, so the driver hash certifies the
+    estimates bit-for-bit.  Deterministic by construction: cell masses
+    are sums, so the grid is partitioning-independent.
+
+    Scale posture: the sketch path is scan + map-side combine + a
+    768-cell broadcast — no per-key shuffle; the exact side (the thing
+    being audited) is the only key-cardinality shuffle, and a production
+    consumer drops it.  (Registered post-r10-freeze: first driver proof
+    lands with the r11 rotation.)"""
+    events = _t(spark, sf_dir, "events")
+    return sketch.cm_estimate_audit(events, "user_id").orderBy("user_id")

@@ -121,6 +121,7 @@ def test_driver_rows_cumulative_coverage():
         "text_bpe_merges",
         "text_bpe_encode",
         "multimodal_audio_fft",
+        "sketch_count_min_audit",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -190,6 +191,7 @@ def test_driver_window_drains_the_backlog():
         "text_bpe_merges",
         "text_bpe_encode",
         "multimodal_audio_fft",
+        "sketch_count_min_audit",
     }
     never = [
         n
