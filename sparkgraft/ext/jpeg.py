@@ -1,0 +1,498 @@
+"""Pure-stdlib baseline JPEG codec (grayscale) — the DCT decode boundary.
+
+PNG (round 10) covered the lossless-filter class of image codecs; this
+module retires the transform-coding class: a REAL baseline JPEG decoder —
+marker parsing, canonical Huffman entropy decode with DC prediction and
+AC run-length semantics, dequantization, dezigzag, and a genuine 8x8
+inverse DCT — plus the matching deterministic encoder the fixtures use.
+Nothing beyond ``struct``/``math`` (numpy accelerates the 8x8 IDCT matrix
+product, as it already does for resampling in ext/multimodal).
+
+Scope is declared, not hedged (the ext/png + ext/wav posture): GRAYSCALE
+baseline sequential only.  Color scans (any multi-component SOF),
+progressive (SOF2) and every other SOF family, arithmetic coding, 12-bit
+precision, restart intervals, and DNL all raise ``ValueError`` naming the
+unsupported feature — they are unsupported INPUTS to a working decoder.
+Single-component baseline is the complete entropy + transform pipeline;
+color adds chroma subsampling bookkeeping and a float color transform
+whose rounding is implementation-defined (the reason the lane's exact
+oracle stays in the gray domain).
+
+Huffman tables are the spec's Annex K luminance tables (ITU-T T.81
+Tables K.3/K.5), built canonically from (BITS, HUFFVAL); the zigzag
+order is GENERATED from the diagonal-walk definition rather than
+transcribed.  Encoder and decoder share none of the hot code paths: the
+encoder emits bits MSB-first with 0xFF byte stuffing, the decoder
+re-derives codes from the DHT segment it parses out of the byte stream —
+so a roundtrip genuinely exercises both directions.
+
+Exactness contract the driver lane leans on: an image whose 8x8 blocks
+are each CONSTANT with even values quantizes losslessly under the flat
+q=16 table (DC = (v - 128) * 8 is divisible by 16; every AC is zero), so
+decode(encode(img)) reproduces the source bytes EXACTLY — a SQL-stateable
+roundtrip through FDCT -> quantize -> Huffman -> parse -> dequantize ->
+IDCT.  Non-constant blocks roundtrip within quantization error like any
+real JPEG; tests pin that path against an independent pure-``math.cos``
+IDCT reference.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+#: ITU-T T.81 Annex K, Table K.3 — luminance DC: code counts by length
+#: (1..16) and the symbol values in code order.
+DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_VALS = tuple(range(12))
+
+#: ITU-T T.81 Annex K, Table K.5 — luminance AC.
+AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: flat quantization table the fixtures use — q=16 everywhere makes
+#: even-valued constant blocks quantize losslessly (see module docstring)
+FLAT_Q16 = (16,) * 64
+
+#: SOF markers we refuse BY NAME (everything is a working decoder's
+#: unsupported input, not a missing decoder)
+_SOF_NAMES = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def zigzag_order() -> list[int]:
+    """The 64 zigzag positions as row-major indices, generated from the
+    diagonal walk: diagonal d runs up-right when d is even, down-left
+    when odd (T.81 Figure 5)."""
+    out = []
+    for d in range(15):
+        cells = [(r, d - r) for r in range(8) if 0 <= d - r < 8]
+        if d % 2 == 0:
+            cells.reverse()  # up-right: row decreasing
+        out.extend(r * 8 + c for r, c in cells)
+    return out
+
+
+ZIGZAG = tuple(zigzag_order())
+
+#: DCT-II basis A[u][x] = c(u)/2 * cos((2x+1) u pi / 16); spatial = A^T F A
+_BASIS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _canonical_codes(bits, vals):
+    """(value -> (code, length)) canonical Huffman assignment per T.81
+    Annex C: codes of each length count up from (prev + 1) << 1."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing inside entropy data
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    a bare marker inside the scan is a hard error (we refuse restarts)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "jpeg: restart markers (RSTn) unsupported — encoder "
+                    "declared DRI=0"
+                )
+            else:
+                raise ValueError(
+                    f"jpeg: marker 0xFF{nxt:02X} inside entropy-coded data"
+                )
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if not self._n:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_huffman(reader: _BitReader, decode_map: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        hit = decode_map.get((length, code))
+        if hit is not None:
+            return hit
+    raise ValueError("jpeg: invalid Huffman code in scan")
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the `size`-bit magnitude payload to its
+    signed value."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+def _fdct(block: list[int]) -> list[float]:
+    """A @ f @ A^T over the level-shifted 8x8 block (row-major list)."""
+    shifted = [[block[y * 8 + x] - 128 for x in range(8)] for y in range(8)]
+    tmp = [
+        [sum(_BASIS[u][y] * shifted[y][x] for y in range(8)) for x in range(8)]
+        for u in range(8)
+    ]
+    return [
+        sum(tmp[u][x] * _BASIS[v][x] for x in range(8))
+        for u in range(8)
+        for v in range(8)
+    ]
+
+
+def _idct(coefs) -> list[int]:
+    """A^T @ F @ A, +128 level shift, round, clamp — numpy matmul when
+    available (it is, in this container), pure-math fallback kept honest
+    by tests."""
+    try:
+        import numpy as np
+
+        a = np.asarray(_BASIS)
+        f = np.asarray(coefs, dtype=np.float64).reshape(8, 8)
+        px = a.T @ f @ a + 128.0
+        return [int(v) for v in np.clip(np.rint(px), 0, 255).astype(int).ravel()]
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        f = [[coefs[u * 8 + v] for v in range(8)] for u in range(8)]
+        tmp = [
+            [sum(_BASIS[u][y] * f[u][v] for u in range(8)) for v in range(8)]
+            for y in range(8)
+        ]
+        out = []
+        for y in range(8):
+            for x in range(8):
+                v = sum(tmp[y][v2] * _BASIS[v2][x] for v2 in range(8)) + 128.0
+                out.append(max(0, min(255, int(round(v)))))
+        return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, payload bits) for a signed coefficient (T.81 F.1.2.1)."""
+    size = abs(v).bit_length()
+    if v < 0:
+        v += (1 << size) - 1
+    return size, v
+
+
+def encode_gray(
+    width: int, height: int, pixels: bytes, qtable=FLAT_Q16
+) -> bytes:
+    """Write a real baseline grayscale JPEG: FDCT, quantization under
+    ``qtable`` (zigzag-ordered in the DQT segment, as the spec requires),
+    differential DC, run-length AC, Annex K Huffman coding, byte
+    stuffing.  Edge blocks of non-multiple-of-8 images are padded by edge
+    replication (the standard convention); the decoder crops back."""
+    if len(pixels) != width * height:
+        raise ValueError("jpeg: pixels must be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    w = _BitWriter()
+    pred = 0
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = []
+            for y in range(8):
+                sy = min(by * 8 + y, height - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, width - 1)
+                    block.append(pixels[sy * width + sx])
+            coefs = _fdct(block)
+            quant = [
+                int(math.floor(coefs[ZIGZAG[i]] / qtable[i] + 0.5))
+                if coefs[ZIGZAG[i]] >= 0
+                else -int(math.floor(-coefs[ZIGZAG[i]] / qtable[i] + 0.5))
+                for i in range(64)
+            ]
+            diff = quant[0] - pred
+            pred = quant[0]
+            size, payload = _magnitude(diff)
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                w.write(payload, size)
+            run = 0
+            last_nz = max(
+                (i for i in range(1, 64) if quant[i]), default=0
+            )
+            for i in range(1, 64):
+                if i > last_nz:
+                    code, length = ac_codes[0x00]  # EOB
+                    w.write(code, length)
+                    break
+                v = quant[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size, payload = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(payload, size)
+                run = 0
+    w.flush()
+
+    def table_seg(cls: int, bits, vals) -> bytes:
+        return _seg(
+            0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        )
+
+    return b"".join(
+        [
+            SOI,
+            _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            _seg(0xDB, b"\x00" + bytes(qtable)),
+            _seg(
+                0xC0,
+                struct.pack(">BHHB", 8, height, width, 1)
+                + bytes([1, 0x11, 0]),
+            ),
+            table_seg(0, DC_BITS, DC_VALS),
+            table_seg(1, AC_BITS, AC_VALS),
+            _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+            bytes(w.out),
+            EOI,
+        ]
+    )
+
+
+def decode(payload: bytes) -> dict:
+    """Strict baseline grayscale JPEG decoder.
+
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` the
+    row-major 8-bit gray bytes (edge padding cropped).  Refuses, BY NAME:
+    every non-baseline SOF family, multi-component (color) images, 12-bit
+    precision, restart intervals, and scans referencing undefined
+    tables."""
+    if payload[:2] != SOI:
+        raise ValueError("jpeg: missing SOI marker")
+    pos = 2
+    qtables: dict[int, tuple[int, ...]] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    width = height = None
+    comp_q = comp_id = None
+    scan_at = None
+    scan_dc = scan_ac = None
+
+    def decode_map(bits, vals):
+        m = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                m[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return m
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: EOI before scan data")
+        if marker in _SOF_NAMES:
+            raise ValueError(f"jpeg: {_SOF_NAMES[marker]} unsupported")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                qtables[tq] = tuple(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                (dc_maps if tc == 0 else ac_maps)[th] = decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", body, 0
+            )
+            if precision != 8:
+                raise ValueError(
+                    f"jpeg: {precision}-bit precision unsupported"
+                )
+            if n_comp != 1:
+                raise ValueError(
+                    f"jpeg: {n_comp}-component (color) images unsupported — "
+                    "grayscale baseline only"
+                )
+            comp_id, sampling, comp_q = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("jpeg: subsampling meaningless for gray")
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", body, 0)
+            if interval:
+                raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1 or body[1] != comp_id:
+                raise ValueError("jpeg: scan does not match the frame")
+            scan_dc, scan_ac = body[2] >> 4, body[2] & 0x0F
+            if body[3] != 0 or body[4] != 63 or body[5] != 0:
+                raise ValueError("jpeg: non-sequential scan parameters")
+            scan_at = pos
+            break
+        # APPn / COM / others: skipped
+
+    if width is None or scan_at is None:
+        raise ValueError("jpeg: missing SOF0 or SOS")
+    if comp_q not in qtables:
+        raise ValueError("jpeg: scan references undefined quant table")
+    if scan_dc not in dc_maps or scan_ac not in ac_maps:
+        raise ValueError("jpeg: scan references undefined Huffman table")
+    q = qtables[comp_q]
+    dcm, acm = dc_maps[scan_dc], ac_maps[scan_ac]
+
+    reader = _BitReader(payload, scan_at)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = bytearray(width * height)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = [0.0] * 64
+            size = _decode_huffman(reader, dcm)
+            pred += _extend(reader.bits(size), size)
+            coefs[0] = pred * q[0]
+            i = 1
+            while i < 64:
+                rs = _decode_huffman(reader, acm)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        i += 16
+                        continue
+                    break  # EOB
+                i += run
+                if i > 63:
+                    raise ValueError("jpeg: AC run past end of block")
+                coefs[ZIGZAG[i]] = _extend(reader.bits(size), size) * q[i]
+                i += 1
+            px = _idct(coefs)
+            for y in range(8):
+                sy = by * 8 + y
+                if sy >= height:
+                    break
+                row0 = sy * width
+                for x in range(8):
+                    sx = bx * 8 + x
+                    if sx < width:
+                        out[row0 + sx] = px[y * 8 + x]
+    return {"width": width, "height": height, "pixels": bytes(out)}

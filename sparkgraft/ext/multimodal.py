@@ -931,3 +931,98 @@ def spectral_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_spectral, schema)
+
+
+#: decoded-JPEG feature schema (decode_jpeg_features)
+JPEG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "pixel_sum bigint, pixel_md5 string"
+)
+
+
+def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads from ids — the fixture
+    generator for the DCT decode lane.  Per row: a grayscale image of
+    ``8*(1 + id % 3) x 8*(1 + id % 2)`` whose 8x8 block (bx, by) is the
+    CONSTANT even value ``64 + 2 * ((id*7 + bx*3 + by*5) % 64)`` —
+    exactly the class the flat q=16 table quantizes losslessly (ext/jpeg
+    module docstring), so the encode -> Huffman -> IDCT roundtrip is
+    bit-exact and the decoded pixel sum is pure id arithmetic.  Blocks
+    DIFFER within an image, so the differential-DC predictor path is
+    genuinely exercised on every multi-block row.
+
+    Emits (id, payload, source_md5) with source_md5 digesting the
+    pre-encode pixel bytes — the decoder must reproduce them exactly."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                w, h = 8 * wb, 8 * hb
+                px = bytearray(w * h)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = 64 + 2 * ((i * 7 + bx * 3 + by * 5) % 64)
+                        for y in range(8):
+                            row0 = (by * 8 + y) * w + bx * 8
+                            for x in range(8):
+                                px[row0 + x] = v
+                out["doc_id"].append(i)
+                out["payload"].append(_jpeg.encode_gray(w, h, bytes(px)))
+                out["source_md5"].append(hashlib.md5(bytes(px)).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real baseline-JPEG decode + feature extraction (ext/jpeg: marker
+    parse, canonical Huffman, differential DC, dequantize, true 8x8 IDCT)
+    behind the standard Arrow-batched ``mapInPandas`` boundary — the DCT
+    sibling of ``decode_png_features``.  NULL payloads emit NULL
+    features; extra input columns pass through."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = JPEG_FEATURES_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {
+                k: [None] * n
+                for k in ("width", "height", "n_pixels", "pixel_sum",
+                          "pixel_md5")
+            }
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _jpeg.decode(bytes(b))
+                px = d["pixels"]
+                cols["width"][row] = d["width"]
+                cols["height"][row] = d["height"]
+                cols["n_pixels"][row] = len(px)
+                cols["pixel_sum"][row] = sum(px)
+                cols["pixel_md5"][row] = hashlib.md5(px).hexdigest()
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for k in ("width", "height"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in ("n_pixels", "pixel_sum"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            out["pixel_md5"] = cols["pixel_md5"]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema)

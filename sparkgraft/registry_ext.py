@@ -2606,3 +2606,70 @@ def q_sketch_count_min_audit(spark, sf_dir):
     lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
     return sketch.cm_estimate_audit(events, "user_id").orderBy("user_id")
+
+
+@register(
+    "multimodal_decode_jpeg",
+    """
+    -- predicts the REAL baseline-JPEG decoder's output straight through
+    -- the codec: the generator builds 8*(1+id%3) x 8*(1+id%2) grayscale
+    -- images whose 8x8 block (bx, by) is the constant EVEN value
+    -- 64 + 2*((id*7 + bx*3 + by*5) % 64) -- the class the flat q=16
+    -- table quantizes losslessly (DC = (v-128)*8 divisible by 16, all AC
+    -- zero), so decode(encode(img)) is bit-exact and the pixel sum is
+    -- id arithmetic; pixels_match pins the decoded-pixel md5 against the
+    -- pre-encode source digest (roundtrip through FDCT -> quantize ->
+    -- Huffman -> parse -> dequantize -> IDCT)
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents),
+    s AS (
+      SELECT doc_id, wb, hb,
+             list_sum(flatten(list_transform(range(0, hb), by ->
+               list_transform(range(0, wb), bx ->
+                 64 + 2 * ((doc_id * 7 + bx * 3 + by * 5) % 64)))))
+               AS block_sum
+      FROM g)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width,
+           CAST(hb * 8 AS INT) AS height,
+           CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+           CAST(64 * block_sum AS BIGINT) AS pixel_sum,
+           TRUE AS pixels_match
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL transform-coding decode, end to end — the codec-retirement
+    arc's DCT chapter (PNG covered lossless filters, WAV/GIF containers
+    and LZW): deterministic baseline grayscale JPEGs are synthesized per
+    doc_id (ext/multimodal.synth_jpeg_payloads — real FDCT, quantization,
+    differential-DC + run-length AC Huffman coding with Annex K tables
+    and byte stuffing), then decoded by the strict pure-stdlib decoder
+    (ext/jpeg: marker walk, canonical Huffman from the parsed DHT,
+    dequantize, dezigzag, true 8x8 IDCT) inside the same Arrow-batched
+    mapInPandas boundary as every other media stage.
+
+    The fixtures are constant-per-block EVEN images — the class the flat
+    q=16 table quantizes LOSSLESSLY — so the oracle predicts the decoded
+    pixel sum through the entire lossy pipeline from id arithmetic alone,
+    and pixels_match pins the decoded-pixel md5 against the pre-encode
+    source digest.  Multi-block images make the differential-DC predictor
+    real work, not a degenerate single-step.  Non-fixture inputs decode
+    like any real JPEG (within quantization error, pinned in pytest
+    against an independent pure-math IDCT reference).
+
+    Scale posture: per-row-bounded map work over Arrow batches, no
+    shuffle, no driver traffic.  (Registered post-r10-freeze: first
+    driver proof lands with the r11 rotation.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_jpeg_payloads(docs)
+    feats = multimodal.decode_jpeg_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "pixel_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")

@@ -1,0 +1,222 @@
+"""Baseline-JPEG codec (ext/jpeg): roundtrips, the lossless-class claim,
+an independent IDCT reference, Huffman/zigzag structure, and the declared
+refusals.
+
+The driver lane proves the DC-only exact path through the oracle; these
+tests cover what the lane can't — the AC run-length path (including ZRL),
+quantization-error bounds on arbitrary images, edge-replication crop, and
+every refusal branch by name."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from sparkgraft.ext import jpeg, multimodal
+
+
+# ---------------------------------------------------------------------------
+# structural invariants
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_is_a_permutation_with_spec_prefix():
+    assert sorted(jpeg.ZIGZAG) == list(range(64))
+    # T.81 Figure 5's first and last entries
+    assert jpeg.ZIGZAG[:10] == (0, 1, 8, 16, 9, 2, 3, 10, 17, 24)
+    assert jpeg.ZIGZAG[-4:] == (47, 55, 62, 63)
+
+
+def test_annex_k_tables_are_full_and_prefix_free():
+    for bits, vals in ((jpeg.DC_BITS, jpeg.DC_VALS), (jpeg.AC_BITS, jpeg.AC_VALS)):
+        assert sum(bits) == len(vals)
+        codes = jpeg._canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        # prefix-free: no code is a prefix of a longer one
+        as_bits = {
+            format(c, f"0{ln}b") for c, ln in codes.values()
+        }
+        for a in as_bits:
+            for b in as_bits:
+                assert a == b or not b.startswith(a), (a, b)
+    assert len(jpeg.AC_VALS) == 162  # the spec's table size
+
+
+def test_extend_matches_spec_examples():
+    # size-3 payloads: 0..3 -> -7..-4, 4..7 -> 4..7
+    assert [jpeg._extend(v, 3) for v in range(8)] == [-7, -6, -5, -4, 4, 5, 6, 7]
+    assert jpeg._extend(0, 0) == 0
+    assert jpeg._extend(0, 1) == -1 and jpeg._extend(1, 1) == 1
+
+
+# ---------------------------------------------------------------------------
+# transform correctness
+# ---------------------------------------------------------------------------
+
+
+def _reference_idct(coefs):
+    """Independent direct-form IDCT (pure math.cos, no shared code with
+    the decoder's numpy matmul path)."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                cu = math.sqrt(0.5) if u == 0 else 1.0
+                for v in range(8):
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4.0
+                        * coefs[u * 8 + v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            out.append(max(0, min(255, int(round(acc + 128.0)))))
+    return out
+
+
+def test_idct_matches_independent_reference():
+    random.seed(11)
+    for _ in range(10):
+        coefs = [random.randint(-400, 400) for _ in range(64)]
+        got = jpeg._idct(coefs)
+        ref = _reference_idct(coefs)
+        assert max(abs(a - b) for a, b in zip(got, ref)) <= 1
+
+
+def test_fdct_idct_are_inverses_without_quantization():
+    random.seed(13)
+    block = [random.randrange(256) for _ in range(64)]
+    coefs = jpeg._fdct(block)
+    assert jpeg._idct(coefs) == block
+
+
+# ---------------------------------------------------------------------------
+# roundtrips
+# ---------------------------------------------------------------------------
+
+
+def _blocky(i: int):
+    wb, hb = 1 + i % 3, 1 + i % 2
+    w, h = 8 * wb, 8 * hb
+    px = bytearray(w * h)
+    for by in range(hb):
+        for bx in range(wb):
+            v = 64 + 2 * ((i * 7 + bx * 3 + by * 5) % 64)
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * w + bx * 8 + x] = v
+    return w, h, bytes(px)
+
+
+def test_dc_only_class_roundtrips_exactly():
+    """The lossless-quantization claim the driver oracle rests on, over
+    every (wb, hb, value-pattern) class the generator emits."""
+    for i in range(0, 384):
+        w, h, px = _blocky(i)
+        d = jpeg.decode(jpeg.encode_gray(w, h, px))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == px, f"id {i} not bit-exact"
+
+
+def test_arbitrary_image_roundtrips_within_quantization_error():
+    """Noise exercises the full AC path (runs, ZRL, EOB); flat q=16 bounds
+    per-coefficient error by q/2, so pixel error stays small but nonzero —
+    a REAL lossy codec, not a pass-through."""
+    random.seed(7)
+    px = bytes(random.randrange(256) for _ in range(32 * 16))
+    d = jpeg.decode(jpeg.encode_gray(32, 16, px))
+    diffs = [abs(a - b) for a, b in zip(px, d["pixels"])]
+    assert max(diffs) <= 40 and sum(diffs) / len(diffs) < 8
+    assert any(diffs), "noise should not roundtrip losslessly at q=16"
+
+
+def test_gradient_exercises_zrl_and_long_runs():
+    px = bytes(min(255, x * 2 + y) for y in range(16) for x in range(24))
+    d = jpeg.decode(jpeg.encode_gray(24, 16, px))
+    diffs = [abs(a - b) for a, b in zip(px, d["pixels"])]
+    assert max(diffs) <= 16
+
+
+def test_non_multiple_of_8_crops_back():
+    px = bytes((i * 17) % 256 for i in range(13 * 9))
+    d = jpeg.decode(jpeg.encode_gray(13, 9, px))
+    assert (d["width"], d["height"], len(d["pixels"])) == (13, 9, 13 * 9)
+
+
+def test_byte_stuffing_roundtrip():
+    """A bright constant image drives large DC payloads that can emit
+    0xFF entropy bytes; whatever the content, stuffing must be invisible."""
+    for v in (254, 130, 64):
+        px = bytes([v]) * 64
+        d = jpeg.decode(jpeg.encode_gray(8, 8, px))
+        assert d["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# refusals, by name
+# ---------------------------------------------------------------------------
+
+
+def _mutate_marker(payload: bytes, old: int, new: int) -> bytes:
+    i = payload.index(bytes([0xFF, old]))
+    return payload[:i + 1] + bytes([new]) + payload[i + 2:]
+
+
+def test_refuses_progressive_by_name():
+    enc = jpeg.encode_gray(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode(_mutate_marker(enc, 0xC0, 0xC2))
+
+
+def test_refuses_arithmetic_by_name():
+    enc = jpeg.encode_gray(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg.decode(_mutate_marker(enc, 0xC0, 0xC9))
+
+
+def test_refuses_color_by_name():
+    enc = bytearray(jpeg.encode_gray(8, 8, bytes(64)))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    enc[i + 9] = 3  # n_components
+    with pytest.raises(ValueError, match="color"):
+        jpeg.decode(bytes(enc))
+
+
+def test_refuses_missing_soi():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode(b"\x00\x01\x02\x03")
+
+
+def test_refuses_restart_interval():
+    enc = jpeg.encode_gray(8, 8, bytes(64))
+    i = enc.index(bytes([0xFF, 0xDA]))
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08])
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode(enc[:i] + dri + enc[i:])
+
+
+# ---------------------------------------------------------------------------
+# spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_decode_jpeg_features_end_to_end(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 5, 11)], "doc_id long")
+    feats = multimodal.decode_jpeg_features(
+        multimodal.synth_jpeg_payloads(docs)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    for i, r in rows.items():
+        w, h, px = _blocky(i)
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["pixel_sum"] == sum(px)
+        assert r["pixel_md5"] == r["source_md5"]
+
+
+def test_decode_jpeg_features_null_payload(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    row = multimodal.decode_jpeg_features(df).collect()[0]
+    assert row["width"] is None and row["pixel_sum"] is None

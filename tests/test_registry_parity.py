@@ -122,6 +122,7 @@ def test_driver_rows_cumulative_coverage():
         "text_bpe_encode",
         "multimodal_audio_fft",
         "sketch_count_min_audit",
+        "multimodal_decode_jpeg",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -192,6 +193,7 @@ def test_driver_window_drains_the_backlog():
         "text_bpe_encode",
         "multimodal_audio_fft",
         "sketch_count_min_audit",
+        "multimodal_decode_jpeg",
     }
     never = [
         n
