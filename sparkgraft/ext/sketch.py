@@ -95,22 +95,30 @@ def cm_estimate_audit(
     the one-sided guarantee — the audit lane's oracle re-derives the
     identical grid, so a violation would fail the driver hash, and the
     property test asserts it directly); ``tight`` marks collision-free
-    keys.  The grid side of every join is ``depth * width`` cells —
-    broadcast-sized by construction at ANY data scale."""
-    cells = cm_cells(df, key_col, depth, width)
+    keys.
+
+    Plan shape (the part that matters at 100 TB): the grid is collected
+    ONCE — ``depth * width`` cells of driver traffic, O(1) in the data —
+    and injected back as per-row ARRAY LITERALS indexed by the bucket
+    hash (the broadcast-as-literal posture the cached-index lanes use),
+    so the whole audit is TWO scans of the corpus (grid build + exact
+    counts) and zero joins; a first draft used three per-row broadcast
+    joins whose unshared subtrees re-scanned the corpus once per hash
+    row."""
+    grid = [[0] * width for _ in range(depth)]
+    for row in cm_cells(df, key_col, depth, width).collect():
+        grid[row["r"]][row["bucket"]] = row["mass"]
+    row_lits = [
+        F.array(*[F.lit(m).cast("long") for m in grid[r]])
+        for r in range(depth)
+    ]
+    ests = [
+        F.element_at(row_lits[r], (bucket_col(key_col, r, width) + 1).cast("int"))
+        for r in range(depth)
+    ]
+    cm_est = F.least(*ests)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
-    est = exact
-    for r in range(depth):
-        row_cells = (
-            cells.where(F.col("r") == r)
-            .select(F.col("bucket"), F.col("mass").alias(f"m{r}"))
-        )
-        est = est.join(
-            F.broadcast(row_cells),
-            bucket_col(key_col, r, width) == F.col("bucket"),
-        ).drop("bucket")
-    cm_est = F.least(*[F.col(f"m{r}") for r in range(depth)])
-    return est.select(
+    return exact.select(
         F.col(key_col),
         F.col("exact_cnt"),
         cm_est.alias("cm_est"),
