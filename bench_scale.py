@@ -442,6 +442,26 @@ DEEP = {
         "contract": "linear",
         "bar": 1.3,
     },
+    # round-10 session 2: the BPE trainer's cost model is one linear
+    # corpus pass + vocabulary-sized rounds; replication multiplies word
+    # COUNTS but adds no new words, so the whole lane must track the scan
+    # — the exact regime a 100 TB corpus presents (vocabulary plateaus
+    # while bytes grow).  The count-min audit is two linear scans (grid
+    # build + exact counts); its key cardinality DOES grow with the
+    # key-shifted replication, making the exact-side shuffle the honest
+    # linear term.
+    "text_bpe_merges": {
+        "table": "documents",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "sketch_count_min_audit": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
 }
 
 

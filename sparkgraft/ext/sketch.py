@@ -167,3 +167,108 @@ def cm_oracle_sql(
     {joins}
     ORDER BY k.{key_col}
     """
+
+
+def cm_join_size_estimate(
+    dfa: DataFrame,
+    key_a: str,
+    dfb: DataFrame,
+    key_b: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Join-cardinality estimation from two count-min grids — the
+    optimizer-statistics use of the sketch (Cormode & Muthukrishnan's
+    inner-product estimator): ``|A JOIN B|  =  sum_k cntA(k) * cntB(k)``
+    and row r's estimate is the grids' bucket-wise inner product
+    ``sum_b gridA[r][b] * gridB[r][b]`` — every true join pair lands in
+    the same bucket (same key, same hash), so collisions only ADD and
+    ``min`` over rows keeps the one-sided >= guarantee.
+
+    Emits ONE row: (exact_join_rows, cm_est, err, overestimate_ok) — the
+    audit pairs the estimate with the true join count the way
+    ``cm_estimate_audit`` pairs per-key counts.  A production planner
+    computes cm_est WITHOUT executing the join: two one-pass grids and a
+    768-cell inner product, which is the entire point — the exact side
+    here is the measurement harness.
+
+    Plan shape: two grid builds (scan + map-side combine each), a
+    grid-vs-grid join on (r, bucket) — at most ``depth * width`` rows a
+    side — with missing rows restored as zero-product rows (a hash row
+    with NO shared buckets estimates zero, which is exactly right), and
+    the exact join count.  Nothing driver-side but the final row."""
+    ga = cm_cells(dfa, key_a, depth, width)
+    gb = cm_cells(dfb, key_b, depth, width).withColumnRenamed("mass", "mass_b")
+    prod = (
+        ga.join(gb, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("mass") * F.col("mass_b")).alias("est"))
+    )
+    rows = dfa.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("r")
+    )
+    per_row = rows.join(prod, "r", "left").select(
+        F.coalesce("est", F.lit(0).cast("long")).alias("est")
+    )
+    cm = per_row.agg(F.min("est").alias("cm_est"))
+    exact = (
+        dfa.select(F.col(key_a).alias("k"))
+        .join(dfb.select(F.col(key_b).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    return exact.crossJoin(cm).select(
+        "exact_join_rows",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_join_rows")).alias("err"),
+        (F.col("cm_est") >= F.col("exact_join_rows")).alias("overestimate_ok"),
+    )
+
+
+def cm_join_oracle_sql(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cm_join_size_estimate` — both grids rebuilt
+    from per-key counts (mergeability), inner products per hash row with
+    absent rows coalesced to zero, min over rows, exact join count."""
+    bucket = (
+        "CAST('0x' || substr(md5('cm{r}:' || CAST(k AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % {w}"
+    )
+    ctes = [
+        f"ca AS (SELECT {key_a} AS k, count(*) AS c FROM {table_a} GROUP BY 1)",
+        f"cb AS (SELECT {key_b} AS k, count(*) AS c FROM {table_b} GROUP BY 1)",
+    ]
+    for r in range(depth):
+        b = bucket.format(r=r, w=width)
+        ctes.append(
+            f"ga{r} AS (SELECT {b} AS b, CAST(sum(c) AS BIGINT) AS m "
+            f"FROM ca GROUP BY 1)"
+        )
+        ctes.append(
+            f"gb{r} AS (SELECT {b} AS b, CAST(sum(c) AS BIGINT) AS m "
+            f"FROM cb GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT CAST(coalesce(sum(ga{r}.m * gb{r}.m), 0) "
+            f"AS BIGINT) AS est FROM ga{r} JOIN gb{r} USING (b))"
+        )
+    ctes.append(
+        "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows "
+        f"FROM {table_a} JOIN {table_b} ON {table_a}.{key_a} = {table_b}.{key_b})"
+    )
+    least = "least(" + ", ".join(f"(SELECT est FROM p{r})" for r in range(depth)) + ")"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT exact_join_rows,
+           {least} AS cm_est,
+           {least} - exact_join_rows AS err,
+           {least} >= exact_join_rows AS overestimate_ok
+    FROM ex"""
+    )

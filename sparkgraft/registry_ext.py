@@ -2673,3 +2673,33 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sketch_join_size_estimate",
+    sketch.cm_join_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
+)
+def q_sketch_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from two count-min grids — the sketch
+    family's optimizer-statistics composition: |orders JOIN customer| is
+    estimated as the min over hash rows of the grids' bucket-wise inner
+    product (every true pair shares a bucket, so collisions only ADD —
+    the one-sided guarantee survives composition), then AUDITED against
+    the exact join count (ext/sketch.cm_join_size_estimate).
+
+    A planner computes the estimate WITHOUT executing the join: two
+    one-pass, map-side-combined grid builds and a 768-cell-per-side
+    inner product; the exact join here is the measurement harness, same
+    posture as the per-key audit lane.  The oracle rebuilds both grids
+    in SQL from the engine-portable hashes, so the estimate itself — not
+    just the bound — is certified bit-exact by the driver hash.
+
+    Scale posture: grid builds are scan + combine (O(d*w) per-partition
+    state); the grid-vs-grid join touches <= d*w rows a side at ANY
+    corpus size.  (Registered post-r10-freeze: first driver proof lands
+    with the r11 rotation.)"""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return sketch.cm_join_size_estimate(
+        orders, "o_custkey", customer, "c_custkey"
+    )

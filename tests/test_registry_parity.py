@@ -123,6 +123,7 @@ def test_driver_rows_cumulative_coverage():
         "multimodal_audio_fft",
         "sketch_count_min_audit",
         "multimodal_decode_jpeg",
+        "sketch_join_size_estimate",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -194,6 +195,7 @@ def test_driver_window_drains_the_backlog():
         "multimodal_audio_fft",
         "sketch_count_min_audit",
         "multimodal_decode_jpeg",
+        "sketch_join_size_estimate",
     }
     never = [
         n

@@ -106,3 +106,52 @@ def test_wide_grid_is_tight_on_small_keyspace(spark, sf_dir):
     audit = sketch.cm_estimate_audit(events, "user_id").collect()
     if len(audit) <= 32:  # only claim this at the tiny scale
         assert all(r["tight"] for r in audit)
+
+
+def test_join_size_estimate_one_sided_and_shaped(spark, sf_dir):
+    from sparkgraft.io.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    rows = sketch.cm_join_size_estimate(
+        orders, "o_custkey", customer, "c_custkey"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(customer.select(F.col("c_custkey").alias("k")), "k")
+        .count()
+    )
+    assert r["exact_join_rows"] == exact
+    assert r["cm_est"] >= exact and r["overestimate_ok"]
+    assert r["err"] == r["cm_est"] - exact
+
+
+def test_join_size_estimate_disjoint_keys_is_zero(spark):
+    """No shared keys: the true join is empty, and with w=1 every bucket
+    collides so the estimate is massA * massB — the worst-case collision
+    bound; with the default width the estimate may be anything >= 0 but
+    the exact side must read 0."""
+    a = spark.createDataFrame([("x1",), ("x2",)], "k string")
+    b = spark.createDataFrame([("y1",), ("y2",), ("y3",)], "k string")
+    r = sketch.cm_join_size_estimate(a, "k", b, "k", width=1).collect()[0]
+    assert r["exact_join_rows"] == 0
+    assert r["cm_est"] == 2 * 3  # single shared cell: 2 * 3
+
+
+def test_join_size_estimate_exact_on_identity_join(spark):
+    """Each key once per side, wide grid: the inner product should
+    recover the exact join size (no triple-row collisions on 3 keys)."""
+    a = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    r = sketch.cm_join_size_estimate(a, "k", a, "k").collect()[0]
+    assert r["exact_join_rows"] == 3
+    assert r["cm_est"] == 3 and r["err"] == 0
+
+
+def test_join_size_estimate_empty_side_yields_zero_row(spark):
+    a = spark.createDataFrame([], "k string")
+    b = spark.createDataFrame([("x",)], "k string")
+    r = sketch.cm_join_size_estimate(a, "k", b, "k").collect()[0]
+    assert (r["exact_join_rows"], r["cm_est"], r["err"]) == (0, 0, 0)
+    assert r["overestimate_ok"]
