@@ -108,6 +108,19 @@ def cm_estimate_audit(
     grid = [[0] * width for _ in range(depth)]
     for row in cm_cells(df, key_col, depth, width).collect():
         grid[row["r"]][row["bucket"]] = row["mass"]
+    return audit_against_grid(df, key_col, grid, width)
+
+
+def audit_against_grid(
+    df: DataFrame,
+    key_col: str,
+    grid: list[list[int]],
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """The estimate+audit half of :func:`cm_estimate_audit`, split out so
+    a grid assembled some other way — e.g. sum-merged from per-micro-batch
+    streaming partials — feeds the identical literal-array plan."""
+    depth = len(grid)
     row_lits = [
         F.array(*[F.lit(m).cast("long") for m in grid[r]])
         for r in range(depth)

@@ -2703,3 +2703,78 @@ def q_sketch_join_size_estimate(spark, sf_dir):
     return sketch.cm_join_size_estimate(
         orders, "o_custkey", customer, "c_custkey"
     )
+
+
+@register(
+    "streaming_count_min",
+    sketch.cm_oracle_sql("events", "user_id"),
+)
+def q_streaming_count_min(spark, sf_dir):
+    """Count-min as STREAMING state — the sketch family's streaming
+    member, leaning on the same mergeability the bitmap-distinct lane
+    proved for exact bitmaps: the stream arrives in three micro-batches
+    (maxFilesPerTrigger=1 over three files); foreachBatch reduces each
+    batch to its PARTIAL grid (ext/sketch.cm_cells over the batch alone)
+    and lands it under an idempotent per-batch-id path (replayed batch
+    overwrites its own slot — exactly-once state from at-least-once
+    delivery).  The final read SUM-merges all batches' cells into the
+    full grid — count-min cells are additive, so the stream-merged grid
+    is BIT-IDENTICAL to the one-pass batch grid — and feeds the same
+    literal-array estimate plan as `sketch_count_min_audit`; the driver
+    hash against the batch-built SQL oracle is therefore a proof that
+    keys split ACROSS micro-batches were merged, not double-counted.
+
+    At 100 TB the per-batch work is one partial-agg'd groupBy of the
+    BATCH (never the history) and the state is <= d*w cells per batch —
+    the sketch is the answer to 'maintain frequency stats over an
+    unbounded stream in bounded state'.  (Registered post-r10-freeze:
+    first driver proof lands with the r11 rotation.)"""
+    import tempfile
+
+    from sparkgraft.registry import _stream_state_partitions
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_scm_")
+    src, state = f"{work}/src", f"{work}/state"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(3):
+        (
+            ev.where(F.expr(f"pmod(event_id, 3) = {i}"))
+            .coalesce(1)
+            .write.parquet(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def fold_batch(batch_df, batch_id):
+        (
+            sketch.cm_cells(batch_df, "user_id")
+            .write.mode("overwrite")
+            .parquet(f"{state}/batch={batch_id}")
+        )
+
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("count-min stream did not finish in 300s")
+
+    grid = [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("r", "bucket")
+        .agg(F.sum("mass").alias("mass"))
+        .collect()
+    )
+    for row in merged:
+        grid[row["r"]][row["bucket"]] = int(row["mass"])
+    return sketch.audit_against_grid(
+        _t(spark, sf_dir, "events"), "user_id", grid
+    ).orderBy("user_id")

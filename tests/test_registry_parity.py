@@ -124,6 +124,7 @@ def test_driver_rows_cumulative_coverage():
         "sketch_count_min_audit",
         "multimodal_decode_jpeg",
         "sketch_join_size_estimate",
+        "streaming_count_min",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -196,6 +197,7 @@ def test_driver_window_drains_the_backlog():
         "sketch_count_min_audit",
         "multimodal_decode_jpeg",
         "sketch_join_size_estimate",
+        "streaming_count_min",
     }
     never = [
         n

@@ -155,3 +155,22 @@ def test_join_size_estimate_empty_side_yields_zero_row(spark):
     r = sketch.cm_join_size_estimate(a, "k", b, "k").collect()[0]
     assert (r["exact_join_rows"], r["cm_est"], r["err"]) == (0, 0, 0)
     assert r["overestimate_ok"]
+
+
+def test_streaming_partials_merge_to_batch_grid(spark, sf_dir):
+    """The streaming lane's whole claim: per-micro-batch partial grids
+    SUM-merge to exactly the one-pass batch grid (cells are additive).
+    Simulated here without the harness: split events three ways, build
+    per-split grids, merge, compare to the batch build."""
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        (r["r"], r["bucket"]): r["mass"]
+        for r in sketch.cm_cells(events, "user_id").collect()
+    }
+    merged: dict[tuple[int, int], int] = {}
+    for i in range(3):
+        part = events.where(F.expr(f"pmod(event_id, 3) = {i}"))
+        for r in sketch.cm_cells(part, "user_id").collect():
+            cell = (r["r"], r["bucket"])
+            merged[cell] = merged.get(cell, 0) + r["mass"]
+    assert merged == batch
