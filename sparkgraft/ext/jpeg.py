@@ -163,55 +163,111 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
-    a bare marker inside the scan is a hard error (we refuse restarts)."""
+    a bare marker inside the scan is a hard error (we refuse restarts).
+
+    The reader is chunked, not per-bit: symbols decode via a 16-bit PEEK
+    against a flat lookup table (:func:`_huffman_lut`) and magnitude
+    payloads read in one shift — the canonical-decoder fast path.  At the
+    very end of the scan ``peek16`` pads with 1-bits past the terminating
+    marker (the spec's own pad value), tracking the pad so only REAL bits
+    can ever be consumed."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self._acc = 0
         self._n = 0
+        self._ended = False
 
-    def _fill(self) -> None:
+    def _fill_byte(self) -> bool:
+        """Buffer one entropy byte; False once the next bytes are a marker
+        (end of scan data)."""
+        if self._ended or self.pos >= len(self.data):
+            self._ended = True
+            return False
         b = self.data[self.pos]
-        self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos]
+            nxt = self.data[self.pos + 1]
             if nxt == 0x00:
-                self.pos += 1
+                self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
                 raise ValueError(
                     "jpeg: restart markers (RSTn) unsupported — encoder "
                     "declared DRI=0"
                 )
-            else:
-                raise ValueError(
-                    f"jpeg: marker 0xFF{nxt:02X} inside entropy-coded data"
-                )
+            else:  # EOI (or any segment marker): scan data is over
+                self._ended = True
+                return False
+        else:
+            self.pos += 1
         self._acc = (self._acc << 8) | b
         self._n += 8
+        return True
 
-    def bit(self) -> int:
-        if not self._n:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    def peek16(self) -> int:
+        while self._n < 16:
+            if not self._fill_byte():
+                # pad with 1-bits (F.1.2.3); consume() still bounds on _n
+                pad = 16 - self._n
+                return ((self._acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self._n:
+            raise ValueError("jpeg: truncated entropy-coded data")
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self._n < n:
+            if not self._fill_byte():
+                raise ValueError("jpeg: truncated entropy-coded data")
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
 
-def _decode_huffman(reader: _BitReader, decode_map: dict) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        hit = decode_map.get((length, code))
-        if hit is not None:
-            return hit
-    raise ValueError("jpeg: invalid Huffman code in scan")
+def _huffman_lut(bits: tuple, vals: tuple) -> list:
+    """Flat 65536-entry decode table: index by the next 16 bits, get
+    ``(symbol, code_length)`` (None for the reserved all-ones / undefined
+    codes).  Built once per DISTINCT table — callers cache by (bits,
+    vals), so the ~64k fill cost amortizes across every image sharing the
+    table (all of them, for Annex K streams)."""
+    table: list = [None] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            entry = (vals[k], length)
+            for i in range(start, start + (1 << (16 - length))):
+                table[i] = entry
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+#: (bits, vals) -> flat decode table; every Annex-K stream shares one DC
+#: and one AC table, so the cache makes the 64k fill a once-per-process
+#: cost instead of once-per-image
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _cached_lut(bits: tuple, vals: tuple) -> list:
+    key = (bits, vals)
+    t = _LUT_CACHE.get(key)
+    if t is None:
+        t = _LUT_CACHE[key] = _huffman_lut(bits, vals)
+    return t
+
+
+def _decode_huffman(reader: _BitReader, lut: list) -> int:
+    hit = lut[reader.peek16()]
+    if hit is None:
+        raise ValueError("jpeg: invalid Huffman code in scan")
+    reader.consume(hit[1])
+    return hit[0]
 
 
 def _extend(bits_val: int, size: int) -> int:
@@ -225,17 +281,25 @@ def _extend(bits_val: int, size: int) -> int:
 
 
 def _fdct(block: list[int]) -> list[float]:
-    """A @ f @ A^T over the level-shifted 8x8 block (row-major list)."""
-    shifted = [[block[y * 8 + x] - 128 for x in range(8)] for y in range(8)]
-    tmp = [
-        [sum(_BASIS[u][y] * shifted[y][x] for y in range(8)) for x in range(8)]
-        for u in range(8)
-    ]
-    return [
-        sum(tmp[u][x] * _BASIS[v][x] for x in range(8))
-        for u in range(8)
-        for v in range(8)
-    ]
+    """A @ f @ A^T over the level-shifted 8x8 block (row-major list) —
+    numpy matmul when available (same posture as :func:`_idct`)."""
+    try:
+        import numpy as np
+
+        a = np.asarray(_BASIS)
+        f = np.asarray(block, dtype=np.float64).reshape(8, 8) - 128.0
+        return list((a @ f @ a.T).ravel())
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        shifted = [[block[y * 8 + x] - 128 for x in range(8)] for y in range(8)]
+        tmp = [
+            [sum(_BASIS[u][y] * shifted[y][x] for y in range(8)) for x in range(8)]
+            for u in range(8)
+        ]
+        return [
+            sum(tmp[u][x] * _BASIS[v][x] for x in range(8))
+            for u in range(8)
+            for v in range(8)
+        ]
 
 
 def _idct(coefs) -> list[int]:
@@ -376,23 +440,12 @@ def decode(payload: bytes) -> dict:
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
     qtables: dict[int, tuple[int, ...]] = {}
-    dc_maps: dict[int, dict] = {}
-    ac_maps: dict[int, dict] = {}
+    dc_maps: dict[int, list] = {}
+    ac_maps: dict[int, list] = {}
     width = height = None
     comp_q = comp_id = None
     scan_at = None
     scan_dc = scan_ac = None
-
-    def decode_map(bits, vals):
-        m = {}
-        code, k = 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                m[(length, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
-        return m
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -420,7 +473,7 @@ def decode(payload: bytes) -> dict:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                (dc_maps if tc == 0 else ac_maps)[th] = decode_map(bits, vals)
+                (dc_maps if tc == 0 else ac_maps)[th] = _cached_lut(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, n_comp = struct.unpack_from(

@@ -1603,12 +1603,20 @@ def q_multimodal_frames_gif(spark, sf_dir):
     alone, and frames_match pins the concatenated decoded-frame md5
     against the pre-encode source digest on every row.
 
-    Scale posture: per-row-bounded map work, no shuffle, no driver
-    traffic; the fan-out factor is the container's frame count.
-    (Registered post-r10-freeze: first driver proof lands with the r11
-    rotation; until then correctness is pinned by the pytest roundtrip +
-    oracle-equality tests.)"""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    Scale posture: per-row-bounded map work, no driver traffic; the
+    row fan-out factor is the container's frame count.  One deliberate
+    exchange (the JPEG lane's rationale): LZW coding is pure-Python work
+    and the local single-file corpus scan is ONE input partition, so the
+    bare doc_id column repartitions to the session's parallelism before
+    synth — noise at cluster scale, a ~3x wall win here (6.6 s -> 2.3 s
+    at sf0.1).  (Registered post-r10-freeze: first driver proof lands
+    with the r11 rotation; until then correctness is pinned by the
+    pytest roundtrip + oracle-equality tests.)"""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     payloads = multimodal.synth_gif_payloads(docs)
     frames = multimodal.extract_gif_frames(payloads)
     return frames.select(
@@ -2660,9 +2668,20 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     against an independent pure-math IDCT reference).
 
     Scale posture: per-row-bounded map work over Arrow batches, no
-    shuffle, no driver traffic.  (Registered post-r10-freeze: first
-    driver proof lands with the r11 rotation.)"""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    driver traffic.  One deliberate exchange: the Python stages are the
+    cost here (pure-Python Huffman coding), and the local corpus is a
+    single parquet file = ONE input partition, so the lane fans the bare
+    doc_id column out to the session's parallelism before synth — at
+    cluster scale the input arrives already partitioned and the
+    repartition of an id column is noise, while here it buys the full
+    32-way Arrow-batch parallelism (measured: 4.8 s -> ~1 s at sf0.1).
+    (Registered post-r10-freeze: first driver proof lands with the r11
+    rotation.)"""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     payloads = multimodal.synth_jpeg_payloads(docs)
     feats = multimodal.decode_jpeg_features(payloads)
     return feats.select(
