@@ -285,3 +285,134 @@ def cm_join_oracle_sql(
            {least} >= exact_join_rows AS overestimate_ok
     FROM ex"""
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog from first principles (the estimator itself, not the builtin)
+# ---------------------------------------------------------------------------
+
+#: HLL precision: p = 8 -> m = 256 registers; standard error 1.04/sqrt(m)
+#: ~ 6.5%.  The hash64 is 15 hex digits = 60 bits; 8 go to the register
+#: index, leaving a 52-BIT value field — rho caps at 52 (the v = 0 row,
+#: probability 2^-52 per key, would read 53; both engines apply the
+#: identical cap so the relation stays bit-stable and the sum-scaling
+#: below tops out at 256 * 2^52 = 2^60, far inside BIGINT).  Getting
+#: this width right matters: a first draft assumed 54 bits, which padded
+#: every rank by two phantom leading zeros and inflated the estimate 4x
+#: — the reference-file pytest caught it.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+
+_HLL_RHO_SQL = (
+    "CASE WHEN {v} = 0 THEN 52 ELSE 53 - length(bin({v})) END"
+)
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(reg, m): the HLL register file — max leading-zero rank per
+    register, from the engine-portable hash64.  Mergeable the same way
+    the count-min grid is (max commutes), so partial register files from
+    partitions/streams combine losslessly; one scan, map-side combined
+    to <= m rows per partition.
+
+    ``bin()`` (identical no-leading-zero semantics in Spark and DuckDB)
+    turns leading-zero counting into exact string-length arithmetic —
+    no float log2 anywhere."""
+    h = (
+        "CAST(conv(substr(md5(concat('hll:', CAST({key} AS STRING))), 1, 15), "
+        "16, 10) AS BIGINT)"
+    ).format(key=key_col)
+    reg = f"({h}) % {HLL_M}"
+    v = f"({h}) div {HLL_M}"
+    rho = _HLL_RHO_SQL.format(v=v)
+    return (
+        df.select(
+            F.expr(reg).alias("reg"), F.expr(rho).cast("int").alias("rho")
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """ONE row: (n_exact, registers_used, sum_scaled, hll_estimate) — the
+    raw Flajolet et al. estimator computed from first principles and
+    audited against the exact distinct count.
+
+    Bit-stability across engines is engineered, not hoped for: the
+    harmonic-mean denominator ``sum_j 2^-M_j`` is kept in EXACT integer
+    arithmetic by scaling with 2^52 (``sum_scaled = sum_j 2^(52-M_j)``,
+    empty registers contributing 2^52; max 2^60, no overflow), and the
+    estimate is a FIXED arithmetic expression over that one integer —
+    literals, *, / only, each IEEE-exact-rounded identically on both
+    engines.  No float aggregation, no ln/exp (whose libm rounding
+    differs across engines).
+
+    Scope declared: this is the RAW estimator — the small-cardinality
+    linear-counting branch (needs ln) is out of scope here and served by
+    the builtin-HLL audit lane (`wau_sketch_weekly`); the zero-register
+    (empty-input) case is explicitly defined as estimate 0.  Keys are
+    chosen by callers so n >= 2.5m puts the raw estimator in its
+    accurate regime at every test scale.
+
+    Scale posture: the register file is one scan + map-side-combined max
+    (<= m rows per partition); everything after is O(m)."""
+    regs = hll_registers(df, key_col)
+    folded = regs.agg(
+        (
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")), F.lit(0)
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 52).cast("long")
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).cast("int").alias("registers_used"),
+    )
+    alpha_num = 0.7213
+    est = (
+        F.lit(alpha_num)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << 52))
+        / F.col("sum_scaled").cast("double")
+    )
+    exact = df.agg(
+        F.countDistinct(F.col(key_col)).alias("n_exact")
+    )
+    return exact.crossJoin(folded).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "registers_used",
+        "sum_scaled",
+        F.when(F.col("registers_used") == 0, F.lit(0.0))
+        .otherwise(est)
+        .alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(table: str, key_col: str) -> str:
+    """DuckDB twin of :func:`hll_estimate_audit` — same hash, same bin()
+    rank, same exact-integer scaling, same literal estimate expression."""
+    h = (
+        f"CAST('0x' || substr(md5('hll:' || CAST({key_col} AS VARCHAR)), 1, 15) "
+        "AS BIGINT)"
+    )
+    rho = _HLL_RHO_SQL.format(v="v")
+    return f"""
+    WITH k AS (
+      SELECT ({h}) % {HLL_M} AS reg, ({h}) // {HLL_M} AS v FROM {table}),
+    r AS (
+      SELECT reg, max({rho}) AS m FROM k GROUP BY reg),
+    folded AS (
+      SELECT CAST(coalesce(sum(1::BIGINT << (52 - m)), 0)
+                  + ({HLL_M} - count(*)) * (1::BIGINT << 52) AS BIGINT)
+               AS sum_scaled,
+             CAST(count(*) AS INT) AS registers_used
+      FROM r),
+    ex AS (SELECT CAST(count(DISTINCT {key_col}) AS BIGINT) AS n_exact
+           FROM {table})
+    SELECT n_exact, registers_used, sum_scaled,
+           CASE WHEN registers_used = 0 THEN 0.0
+                ELSE 0.7213 / (1.0 + 1.079 / {float(HLL_M)})
+                     * {float(HLL_M * HLL_M)} * {float(1 << 52)}
+                     / CAST(sum_scaled AS DOUBLE) END AS hll_estimate
+    FROM ex, folded"""

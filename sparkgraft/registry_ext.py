@@ -2797,3 +2797,31 @@ def q_streaming_count_min(spark, sf_dir):
     return sketch.audit_against_grid(
         _t(spark, sf_dir, "events"), "user_id", grid
     ).orderBy("user_id")
+
+
+@register(
+    "sketch_hll_scratch_audit",
+    sketch.hll_oracle_sql("events", "event_id"),
+)
+def q_sketch_hll_scratch_audit(spark, sf_dir):
+    """HyperLogLog built from FIRST PRINCIPLES and audited against the
+    exact distinct count — the estimator itself, not the builtin (the
+    builtin is separately audited by `wau_sketch_weekly`): portable-hash
+    register file (max leading-zero rank per register, mergeable like
+    the count-min grid), harmonic-mean denominator kept in EXACT integer
+    arithmetic (sum_j 2^(54-M_j), empty registers at 2^54), and the raw
+    Flajolet estimate as a fixed literal */-only expression over that
+    one integer — so a float ESTIMATOR is still bit-stable under the
+    driver hash on both engines (ext/sketch.hll_estimate_audit; the
+    leading-zero rank is exact string-length arithmetic over bin(),
+    identical in Spark and DuckDB — no float log2, no libm ln anywhere).
+
+    Keyed on event_id (n >= 2.5m at every test scale, the raw
+    estimator's accurate regime — 1000/10k/100k distinct vs m = 256);
+    the audit relation records the estimate NEXT TO the exact count, so
+    the driver hash freezes the estimator's measured bias on this
+    corpus.  Scale posture: one scan, map-side-combined max into <= 256
+    rows per partition, O(m) after.  (Registered post-r10-freeze: first
+    driver proof lands with the r11 rotation.)"""
+    events = _t(spark, sf_dir, "events")
+    return sketch.hll_estimate_audit(events, "event_id")

@@ -125,6 +125,7 @@ def test_driver_rows_cumulative_coverage():
         "multimodal_decode_jpeg",
         "sketch_join_size_estimate",
         "streaming_count_min",
+        "sketch_hll_scratch_audit",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -198,6 +199,7 @@ def test_driver_window_drains_the_backlog():
         "multimodal_decode_jpeg",
         "sketch_join_size_estimate",
         "streaming_count_min",
+        "sketch_hll_scratch_audit",
     }
     never = [
         n

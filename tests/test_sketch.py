@@ -174,3 +174,79 @@ def test_streaming_partials_merge_to_batch_grid(spark, sf_dir):
             cell = (r["r"], r["bucket"])
             merged[cell] = merged.get(cell, 0) + r["mass"]
     assert merged == batch
+
+
+# ---------------------------------------------------------------------------
+# from-scratch HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _py_hll_registers(keys) -> dict[int, int]:
+    """Independent reference register file (pure Python md5)."""
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16)
+        reg, v = h % sketch.HLL_M, h // sketch.HLL_M
+        rho = 52 if v == 0 else 53 - v.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_register_file_matches_reference(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    got = {
+        r["reg"]: r["m"]
+        for r in sketch.hll_registers(events, "event_id").collect()
+    }
+    keys = [r["event_id"] for r in events.select("event_id").collect()]
+    assert got == _py_hll_registers(keys)
+
+
+def test_hll_rho_is_exact_leading_zero_rank(spark):
+    """bin()-length rank == bit_length rank on the field boundaries."""
+    rows = spark.sql(
+        "SELECT v, " + sketch._HLL_RHO_SQL.format(v="v") + " AS rho "
+        "FROM VALUES (0L), (1L), (2L), (3L), (4L), "
+        f"({(1 << 52) - 1}L) AS t(v)"
+    ).collect()
+    expect = {0: 52, 1: 52, 2: 51, 3: 51, 4: 50, (1 << 52) - 1: 1}
+    assert {r["v"]: r["rho"] for r in rows} == expect
+
+
+def test_hll_registers_merge_losslessly(spark, sf_dir):
+    """max commutes: per-split register files fold to the whole-corpus
+    file — the mergeability the streaming/partition story rests on."""
+    events = read_table(spark, sf_dir, "events")
+    whole = {
+        r["reg"]: r["m"]
+        for r in sketch.hll_registers(events, "event_id").collect()
+    }
+    merged: dict[int, int] = {}
+    for i in range(3):
+        part = events.where(F.expr(f"pmod(event_id, 3) = {i}"))
+        for r in sketch.hll_registers(part, "event_id").collect():
+            merged[r["reg"]] = max(merged.get(r["reg"], 0), r["m"])
+    assert merged == whole
+
+
+def test_hll_estimate_within_three_sigma(spark, sf_dir):
+    """1.04/sqrt(256) ~ 6.5% standard error; assert 3 sigma on real data
+    (n >= 2.5m at every provided scale for event_id)."""
+    events = read_table(spark, sf_dir, "events")
+    row = sketch.hll_estimate_audit(events, "event_id").collect()[0]
+    n, est = row["n_exact"], row["hll_estimate"]
+    assert n >= 2.5 * sketch.HLL_M
+    assert abs(est - n) / n < 3 * 1.04 / (sketch.HLL_M ** 0.5), (n, est)
+
+
+def test_hll_empty_input_is_defined_zero(spark):
+    df = spark.createDataFrame([], "event_id long")
+    row = sketch.hll_estimate_audit(df, "event_id").collect()[0]
+    assert (row["n_exact"], row["registers_used"], row["hll_estimate"]) == (
+        0,
+        0,
+        0.0,
+    )
+    assert row["sum_scaled"] == sketch.HLL_M * (1 << 52)
