@@ -5521,13 +5521,11 @@ def q_snapshot_restore_read(spark, sf_dir):
 # first, then any lane whose output/domain changes after its newest proof,
 # then the 33 remaining r06 rows, then r07 oldest-first, then the 8
 # sentinels.  Keep new registrations few enough to drain in one window.
-# As of the round-10 close: 10 post-freeze lanes (multimodal_decode_wav,
-# multimodal_resize_real, multimodal_frames_gif, text_bpe_merges,
-# text_bpe_encode, multimodal_audio_fft, sketch_count_min_audit,
-# multimodal_decode_jpeg, sketch_join_size_estimate, streaming_count_min)
-# + 8 sentinels leave 32 slots — the alphabetically-first 32 of the 33
-# r06 rows rotate in r11 and the last r06 row heads r12 with the r07
-# drain.  Any FURTHER registration before the r11 freeze displaces one
+# The authoritative post-freeze list is tests/test_registry_parity.py
+# `added_after_r10_freeze` (structurally enforced there).  r11 window
+# arithmetic: |post-freeze| + 8 sentinels + as many of the 33 remaining
+# r06 rows (alphabetical) as fit in the 50; r06 rows that don't fit head
+# r12 with the r07 drain.  Every post-freeze registration displaces one
 # more r06 row, oldest-first.
 # ---------------------------------------------------------------------------
 
