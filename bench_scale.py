@@ -84,6 +84,11 @@ FLAGSHIPS = [
     # scoring, so its contract is LINEAR where graph_triangle_count's is
     # declared quadratic
     "graph_triangle_lsh",
+    # round-10 session 2: the two new measured lanes join the grid so
+    # their DEEP contract points have in-grid 10x baselines (the deep
+    # runner reads results[name] at the 10x label)
+    "text_bpe_merges",
+    "sketch_count_min_audit",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;
