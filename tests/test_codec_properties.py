@@ -1,0 +1,108 @@
+"""Property-based codec checks (hypothesis, no Spark): the pure-stdlib
+codecs must hold their contracts on ARBITRARY generated media, not just
+the fixture classes the driver lanes use.
+
+- WAV: PCM roundtrip is EXACT for every depth/channel/rate combination.
+- PNG: filtered encode -> decode reproduces pixels EXACTLY for every
+  filter assignment.
+- JPEG: decode(encode(img)) stays within the flat-q16 quantization error
+  bound on arbitrary images, and is EXACT on the even-constant-block
+  class whatever the block layout.
+- BPE rendering: literal replace == greedy reference merge on arbitrary
+  symbol sequences (the exhaustive small-alphabet test's randomized
+  big-alphabet sibling).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from sparkgraft.ext import jpeg, png, wav
+from tests.test_bpe import ref_merge, render
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 2),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([8, 16, 24, 32]),
+    st.data(),
+)
+def test_wav_roundtrip_exact(ch, rate, depth, data):
+    n_frames = data.draw(st.integers(1, 40))
+    lo, hi = (0, 255) if depth == 8 else (-(1 << (depth - 1)), (1 << (depth - 1)) - 1)
+    samples = data.draw(
+        st.lists(
+            st.integers(lo, hi),
+            min_size=n_frames * ch,
+            max_size=n_frames * ch,
+        )
+    )
+    payload = wav.encode(samples, ch, rate, depth)
+    d = wav.decode(payload)
+    assert d["samples"] == samples
+    assert (d["n_channels"], d["sample_rate"], d["bit_depth"]) == (ch, rate, depth)
+    assert d["n_frames"] == n_frames
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.data())
+def test_png_roundtrip_exact_under_every_filter(w, h, data):
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    d = png.decode(png.encode(w, h, pixels, color_type=0, filters=filters))
+    assert d["pixels"] == pixels
+    assert (d["width"], d["height"]) == (w, h)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.data())
+def test_jpeg_arbitrary_image_error_bound(bw, bh, data):
+    w, h = 8 * bw, 8 * bh
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    d = jpeg.decode(jpeg.encode_gray(w, h, pixels))
+    assert (d["width"], d["height"]) == (w, h)
+    diffs = [abs(a - b) for a, b in zip(pixels, d["pixels"])]
+    # flat q=16: per-coefficient error <= 8; worst-case pixel error is
+    # bounded well under 64 (sum of coefficient errors spread by the IDCT)
+    assert max(diffs) <= 64
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 3), st.data())
+def test_jpeg_even_constant_blocks_exact(bw, bh, data):
+    w, h = 8 * bw, 8 * bh
+    values = data.draw(
+        st.lists(
+            st.integers(0, 127).map(lambda v: 2 * v),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    px = bytearray(w * h)
+    for by in range(bh):
+        for bx in range(bw):
+            v = values[by * bw + bx]
+            for y in range(8):
+                row0 = (by * 8 + y) * w + bx * 8
+                for x in range(8):
+                    px[row0 + x] = v
+    d = jpeg.decode(jpeg.encode_gray(w, h, bytes(px)))
+    assert d["pixels"] == bytes(px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=12),
+    st.text(alphabet="ab", min_size=1, max_size=3),
+    st.text(alphabet="ab", min_size=1, max_size=3),
+)
+def test_bpe_replace_equals_greedy_merge(symbols, a, b):
+    got = render(symbols).replace(f"({a})({b})", f"({a}{b})")
+    assert got == render(ref_merge(symbols, a, b))
