@@ -89,6 +89,7 @@ FLAGSHIPS = [
     # runner reads results[name] at the 10x label)
     "text_bpe_merges",
     "sketch_count_min_audit",
+    "sketch_hll_scratch_audit",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;
@@ -462,6 +463,16 @@ DEEP = {
         "bar": 1.3,
     },
     "sketch_count_min_audit": {
+        "table": "events",
+        "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    # the from-scratch HLL: one scan max-combined into <= 256 register
+    # rows per partition, O(m) after — the purest linear shape in the
+    # registry; key cardinality grows with the key-shifted replication so
+    # the register file genuinely saturates
+    "sketch_hll_scratch_audit": {
         "table": "events",
         "repl": 100,
         "contract": "linear",
