@@ -145,11 +145,13 @@ def cm_oracle_sql(
     key_col: str,
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
+    extra_cols: str = "",
 ) -> str:
     """DuckDB twin: the grid rebuilt from exact per-key counts (cell mass
     is additive, so summing per-key counts into buckets is identical to
     the one-pass event build — the equivalence the mergeability property
-    rests on, asserted as such in tests)."""
+    rests on, asserted as such in tests).  ``extra_cols`` appends pinned
+    literal columns (the cache-audit lane's TRUE flags)."""
     bucket = (
         "CAST('0x' || substr(md5('cm{r}:' || CAST({key} AS VARCHAR)), 1, 15) "
         "AS BIGINT) % {w}"
@@ -175,7 +177,7 @@ def cm_oracle_sql(
     SELECT k.{key_col}, exact_cnt,
            {least} AS cm_est,
            {least} - exact_cnt AS err,
-           {least} = exact_cnt AS tight
+           {least} = exact_cnt AS tight{extra_cols}
     FROM k
     {joins}
     ORDER BY k.{key_col}

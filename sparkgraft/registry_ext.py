@@ -2825,3 +2825,120 @@ def q_sketch_hll_scratch_audit(spark, sf_dir):
     driver proof lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
     return sketch.hll_estimate_audit(events, "event_id")
+
+
+_SKETCH_CACHE_FLAGS = (
+    "cm_trained_on_miss",
+    "cm_second_read_hit",
+    "cm_cached_eq_fresh",
+    "hll_trained_on_miss",
+    "hll_second_read_hit",
+    "hll_cached_eq_fresh",
+)
+
+
+@register(
+    "sketch_stats_cache_audit",
+    sketch.cm_oracle_sql(
+        "events",
+        "user_id",
+        extra_cols="".join(
+            f",\n           TRUE AS {f}" for f in _SKETCH_CACHE_FLAGS
+        ),
+    ),
+)
+def q_sketch_stats_cache_audit(spark, sf_dir):
+    """Sketches as PERSISTED planner statistics — the third member of the
+    per-epoch artifact family (scalar key-hotness -> trained ANN indexes
+    -> now sketch state): the count-min grid and the HLL register file
+    are built ONCE through catalog.cached_index's miss path, persisted to
+    the epoch-stamped stats sidecar, and read back through the hit path
+    (a poison trainer proves no rebuild happens); the final per-key audit
+    relation is computed FROM THE CACHED GRID.
+
+    The oracle is the count-min audit oracle plus six pinned-TRUE flags,
+    so the driver hash itself certifies: miss built, hit served from
+    disk, and cached artifact == freshly-built artifact exactly (pure-int
+    grids and register files make the JSON round-trip lossless).  At
+    100 TB this is the optimizer-statistics contract: one sketch-build
+    scan per ingest epoch, and every consumer — per-key estimates, the
+    inner-product join-size estimator, hot-key planning — reads the
+    sidecar instead of the corpus.  (Registered post-r10-freeze: first
+    driver proof lands with the r11 rotation.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft import catalog
+
+    events = _t(spark, sf_dir, "events")
+    table = os.path.join(sf_dir, "events.parquet")
+    # external stats store: the testdata lake is read-only (the store
+    # parameter's reason to exist); fresh per invocation so miss-then-hit
+    # is deterministic every run
+    store = tempfile.mkdtemp(prefix="sparkgraft_sketch_store_")
+
+    def _poison():
+        raise AssertionError(
+            "cached_index invoked the trainer on a cache HIT — the "
+            "build-once contract is broken"
+        )
+
+    def _build_grid():
+        grid = [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
+        for row in sketch.cm_cells(events, "user_id").collect():
+            grid[row["r"]][row["bucket"]] = row["mass"]
+        return grid
+
+    def _build_registers():
+        # sorted [reg, m] pairs: JSON-lossless (int keys would come back
+        # as strings from a dict)
+        return sorted(
+            [row["reg"], row["m"]]
+            for row in sketch.hll_registers(events, "event_id").collect()
+        )
+
+    try:
+        cm_fresh, cm_hit1 = catalog.cached_index(
+            table,
+            "cm_grid",
+            {"d": sketch.CM_DEPTH, "w": sketch.CM_WIDTH, "key": "user_id"},
+            _build_grid,
+            store=store,
+        )
+        cm_cached, cm_hit2 = catalog.cached_index(
+            table,
+            "cm_grid",
+            {"d": sketch.CM_DEPTH, "w": sketch.CM_WIDTH, "key": "user_id"},
+            _poison,
+            store=store,
+        )
+        hll_fresh, hll_hit1 = catalog.cached_index(
+            table,
+            "hll_registers",
+            {"p": sketch.HLL_P, "key": "event_id"},
+            _build_registers,
+            store=store,
+        )
+        hll_cached, hll_hit2 = catalog.cached_index(
+            table,
+            "hll_registers",
+            {"p": sketch.HLL_P, "key": "event_id"},
+            _poison,
+            store=store,
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    flags = {
+        "cm_trained_on_miss": not cm_hit1,
+        "cm_second_read_hit": cm_hit2,
+        "cm_cached_eq_fresh": cm_cached == cm_fresh,
+        "hll_trained_on_miss": not hll_hit1,
+        "hll_second_read_hit": hll_hit2,
+        "hll_cached_eq_fresh": hll_cached == hll_fresh,
+    }
+    out = sketch.audit_against_grid(events, "user_id", cm_cached)
+    for name in _SKETCH_CACHE_FLAGS:
+        out = out.withColumn(name, F.lit(bool(flags[name])))
+    return out.orderBy("user_id")

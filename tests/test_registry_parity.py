@@ -126,6 +126,7 @@ def test_driver_rows_cumulative_coverage():
         "sketch_join_size_estimate",
         "streaming_count_min",
         "sketch_hll_scratch_audit",
+        "sketch_stats_cache_audit",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -200,6 +201,7 @@ def test_driver_window_drains_the_backlog():
         "sketch_join_size_estimate",
         "streaming_count_min",
         "sketch_hll_scratch_audit",
+        "sketch_stats_cache_audit",
     }
     never = [
         n

@@ -250,3 +250,48 @@ def test_hll_empty_input_is_defined_zero(spark):
         0.0,
     )
     assert row["sum_scaled"] == sketch.HLL_M * (1 << 52)
+
+
+def test_sketch_artifacts_json_roundtrip_via_stats_sidecar(spark, sf_dir, tmp_path):
+    """The cache lane's load-bearing assumption: a CM grid (list of int
+    lists) and an HLL register file (sorted [reg, m] int pairs) survive
+    the catalog stats sidecar's JSON round-trip EXACTLY — so cached ==
+    fresh is equality of values, not approximately-equal floats."""
+    from sparkgraft import catalog
+
+    events = read_table(spark, sf_dir, "events")
+    table = f"{sf_dir}/events.parquet"
+    store = str(tmp_path / "store")
+
+    grid = [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
+    for row in sketch.cm_cells(events, "user_id").collect():
+        grid[row["r"]][row["bucket"]] = row["mass"]
+    regs = sorted(
+        [r["reg"], r["m"]]
+        for r in sketch.hll_registers(events, "event_id").collect()
+    )
+
+    g1, hit1 = catalog.cached_index(
+        table, "cm_grid", {"d": 3, "w": 256}, lambda: grid, store=store
+    )
+    g2, hit2 = catalog.cached_index(
+        table, "cm_grid", {"d": 3, "w": 256},
+        lambda: (_ for _ in ()).throw(AssertionError("rebuilt")),
+        store=store,
+    )
+    assert (hit1, hit2) == (False, True)
+    assert g1 == grid and g2 == grid  # lossless through JSON
+
+    r1, _ = catalog.cached_index(
+        table, "hll_registers", {"p": 8}, lambda: regs, store=store
+    )
+    r2, hit = catalog.cached_index(
+        table, "hll_registers", {"p": 8},
+        lambda: (_ for _ in ()).throw(AssertionError("rebuilt")),
+        store=store,
+    )
+    assert hit and r1 == regs and r2 == regs
+    # and the cached grid drives the identical audit relation
+    a = sorted(map(tuple, sketch.audit_against_grid(events, "user_id", g2).collect()))
+    b = sorted(map(tuple, sketch.cm_estimate_audit(events, "user_id").collect()))
+    assert a == b
