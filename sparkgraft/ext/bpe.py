@@ -111,7 +111,6 @@ def pair_counts(seqs: DataFrame) -> DataFrame:
     The shuffle here is over the DISTINCT-WORD table's exploded pairs —
     vocabulary-sized.  Partial aggregation (map-side combine) applies
     because it is a plain groupBy-sum."""
-    syms = F.expr(_SYMBOLS_SQL.format(seq="seq"))
     pairs = F.expr(_PAIRS_SQL.format(s=_SYMBOLS_SQL.format(seq="seq")))
     return (
         seqs.select(F.explode(pairs).alias("pair"), "wc")

@@ -187,6 +187,8 @@ class _BitReader:
             return False
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("jpeg: truncated entropy-coded data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -450,9 +452,19 @@ def decode(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("jpeg: truncated marker segment")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("jpeg: EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length field
+            raise ValueError(
+                f"jpeg: standalone marker 0x{marker:02X} before scan data"
+            )
         if marker in _SOF_NAMES:
             raise ValueError(f"jpeg: {_SOF_NAMES[marker]} unsupported")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)

@@ -2809,7 +2809,8 @@ def q_sketch_hll_scratch_audit(spark, sf_dir):
     builtin is separately audited by `wau_sketch_weekly`): portable-hash
     register file (max leading-zero rank per register, mergeable like
     the count-min grid), harmonic-mean denominator kept in EXACT integer
-    arithmetic (sum_j 2^(54-M_j), empty registers at 2^54), and the raw
+    arithmetic (sum_j 2^(52-M_j), empty registers at 2^52 — the hash64
+    is 60 bits, 8 register bits leave a 52-bit value field), and the raw
     Flajolet estimate as a fixed literal */-only expression over that
     one integer — so a float ESTIMATOR is still bit-stable under the
     driver hash on both engines (ext/sketch.hll_estimate_audit; the

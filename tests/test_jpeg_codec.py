@@ -198,6 +198,33 @@ def test_refuses_restart_interval():
         jpeg.decode(enc[:i] + dri + enc[i:])
 
 
+def test_fill_bytes_before_marker_are_skipped():
+    """B.1.1.2: any run of 0xFF fill bytes may precede a marker byte."""
+    enc = jpeg.encode_gray(8, 8, bytes(range(0, 128, 2)))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert jpeg.decode(padded)["pixels"] == jpeg.decode(enc)["pixels"]
+
+
+def test_refuses_standalone_marker_by_name():
+    """TEM (0x01) carries no length field — named refusal, not a
+    misparse of arbitrary bytes as a segment length."""
+    enc = jpeg.encode_gray(8, 8, bytes(64))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    with pytest.raises(ValueError, match="standalone"):
+        jpeg.decode(enc[:i] + b"\xff\x01" + enc[i:])
+
+
+def test_truncated_after_lone_trailing_ff_fails_loud():
+    """Entropy data cut immediately after a 0xFF must raise the module's
+    ValueError contract, not IndexError."""
+    enc = jpeg.encode_gray(8, 8, bytes([200]) * 64)
+    i = enc.index(bytes([0xFF, 0xDA]))
+    scan_start = i + 2 + 8  # SOS header is 8 bytes for 1 component
+    with pytest.raises(ValueError, match="jpeg:"):
+        jpeg.decode(enc[:scan_start] + b"\x12\xff")
+
+
 # ---------------------------------------------------------------------------
 # spark plumbing
 # ---------------------------------------------------------------------------
