@@ -8,15 +8,17 @@ inverse DCT — plus the matching deterministic encoder the fixtures use.
 Nothing beyond ``struct``/``math`` (numpy accelerates the 8x8 IDCT matrix
 product, as it already does for resampling in ext/multimodal).
 
-Scope is declared, not hedged (the ext/png + ext/wav posture): GRAYSCALE
-baseline sequential only.  Color scans (any multi-component SOF),
+Scope is declared, not hedged (the ext/png + ext/wav posture): baseline
+sequential, grayscale (1 component) and YCbCr 4:4:4 color (3 components,
+all sampling factors 1x1).  Chroma SUBSAMPLING (4:2:0 / 4:2:2),
 progressive (SOF2) and every other SOF family, arithmetic coding, 12-bit
 precision, restart intervals, and DNL all raise ``ValueError`` naming the
 unsupported feature — they are unsupported INPUTS to a working decoder.
-Single-component baseline is the complete entropy + transform pipeline;
-color adds chroma subsampling bookkeeping and a float color transform
-whose rounding is implementation-defined (the reason the lane's exact
-oracle stays in the gray domain).
+The color transform is FIXED-POINT integer arithmetic (16-bit scaled
+JFIF coefficients, the libjpeg convention: ``(c*v + 32768) >> 16`` with
+arithmetic shift = floor), NOT float — so decode output is bit-stable
+and an ANSI-SQL oracle can reproduce it with FLOOR((c*v + 32768)/65536)
+exactly (every intermediate fits float64's 2^53 integer range).
 
 Huffman tables are the spec's Annex K luminance tables (ITU-T T.81
 Tables K.3/K.5), built canonically from (BITS, HUFFVAL); the zigzag
@@ -72,6 +74,36 @@ AC_VALS = (
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: ITU-T T.81 Annex K, Table K.4 — chrominance DC.
+DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROMA_VALS = tuple(range(12))
+
+#: ITU-T T.81 Annex K, Table K.6 — chrominance AC.
+AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
 
@@ -329,6 +361,49 @@ def _idct(coefs) -> list[int]:
         return out
 
 
+# ---------------------------------------------------------------------------
+# fixed-point JFIF color transform (bit-stable: integer in, integer out)
+# ---------------------------------------------------------------------------
+# Coefficients are round(c * 65536) of the JFIF/CCIR 601 full-range
+# constants; each row of the forward matrix sums to exactly 65536 so a
+# gray pixel (r=g=b=v) maps to y=v losslessly.
+
+_FIX_Y = (19595, 38470, 7471)  # 0.299, 0.587, 0.114
+_FIX_CB = (-11059, -21709, 32768)  # -0.168736, -0.331264, 0.5
+_FIX_CR = (32768, -27439, -5330)  # 0.5, -0.418688, -0.081312
+_FIX_R_CR = 91881  # 1.402
+_FIX_G_CB = -22554  # -0.344136
+_FIX_G_CR = -46802  # -0.714136
+_FIX_B_CB = 116131  # 1.772
+
+
+def _fix(v: int) -> int:
+    """Scale a 16-bit fixed-point product back to pixel units, rounding
+    half-up: ``(v + 32768) >> 16``.  Python's ``>>`` on negatives is an
+    arithmetic shift (floor), matching SQL ``FLOOR((v + 32768)/65536.0)``."""
+    return (v + 32768) >> 16
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """Forward JFIF transform, fixed-point (see module docstring)."""
+    y = _fix(_FIX_Y[0] * r + _FIX_Y[1] * g + _FIX_Y[2] * b)
+    cb = 128 + _fix(_FIX_CB[0] * r + _FIX_CB[1] * g + _FIX_CB[2] * b)
+    cr = 128 + _fix(_FIX_CR[0] * r + _FIX_CR[1] * g + _FIX_CR[2] * b)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Inverse JFIF transform, fixed-point (see module docstring)."""
+    r = y + _fix(_FIX_R_CR * (cr - 128))
+    g = y + _fix(_FIX_G_CB * (cb - 128) + _FIX_G_CR * (cr - 128))
+    b = y + _fix(_FIX_B_CB * (cb - 128))
+    return _clamp8(r), _clamp8(g), _clamp8(b)
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -339,6 +414,65 @@ def _magnitude(v: int) -> tuple[int, int]:
     if v < 0:
         v += (1 << size) - 1
     return size, v
+
+
+def _extract_block(
+    plane: bytes, width: int, height: int, bx: int, by: int
+) -> list[int]:
+    """The 8x8 block at (bx, by), edge-replicated past the image bounds
+    (the standard padding convention; the decoder crops back)."""
+    block = []
+    for y in range(8):
+        sy = min(by * 8 + y, height - 1)
+        for x in range(8):
+            sx = min(bx * 8 + x, width - 1)
+            block.append(plane[sy * width + sx])
+    return block
+
+
+def _encode_block(
+    w: _BitWriter, block: list[int], pred: int, dc_codes, ac_codes, qtable
+) -> int:
+    """FDCT, quantize, differential-DC + run-length-AC Huffman code ONE
+    8x8 block; returns the new DC predictor."""
+    coefs = _fdct(block)
+    quant = [
+        int(math.floor(coefs[ZIGZAG[i]] / qtable[i] + 0.5))
+        if coefs[ZIGZAG[i]] >= 0
+        else -int(math.floor(-coefs[ZIGZAG[i]] / qtable[i] + 0.5))
+        for i in range(64)
+    ]
+    diff = quant[0] - pred
+    size, payload = _magnitude(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(payload, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if quant[i]), default=0)
+    for i in range(1, 64):
+        if i > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+            break
+        v = quant[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, payload = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(payload, size)
+        run = 0
+    return quant[0]
+
+
+def _table_seg(cls: int, slot: int, bits, vals) -> bytes:
+    return _seg(0xC4, bytes([(cls << 4) | slot]) + bytes(bits) + bytes(vals))
 
 
 def encode_gray(
@@ -362,54 +496,9 @@ def encode_gray(
     bh = (height + 7) // 8
     for by in range(bh):
         for bx in range(bw):
-            block = []
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block.append(pixels[sy * width + sx])
-            coefs = _fdct(block)
-            quant = [
-                int(math.floor(coefs[ZIGZAG[i]] / qtable[i] + 0.5))
-                if coefs[ZIGZAG[i]] >= 0
-                else -int(math.floor(-coefs[ZIGZAG[i]] / qtable[i] + 0.5))
-                for i in range(64)
-            ]
-            diff = quant[0] - pred
-            pred = quant[0]
-            size, payload = _magnitude(diff)
-            code, length = dc_codes[size]
-            w.write(code, length)
-            if size:
-                w.write(payload, size)
-            run = 0
-            last_nz = max(
-                (i for i in range(1, 64) if quant[i]), default=0
-            )
-            for i in range(1, 64):
-                if i > last_nz:
-                    code, length = ac_codes[0x00]  # EOB
-                    w.write(code, length)
-                    break
-                v = quant[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size, payload = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                w.write(code, length)
-                w.write(payload, size)
-                run = 0
+            block = _extract_block(pixels, width, height, bx, by)
+            pred = _encode_block(w, block, pred, dc_codes, ac_codes, qtable)
     w.flush()
-
-    def table_seg(cls: int, bits, vals) -> bytes:
-        return _seg(
-            0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals)
-        )
 
     return b"".join(
         [
@@ -421,8 +510,8 @@ def encode_gray(
                 struct.pack(">BHHB", 8, height, width, 1)
                 + bytes([1, 0x11, 0]),
             ),
-            table_seg(0, DC_BITS, DC_VALS),
-            table_seg(1, AC_BITS, AC_VALS),
+            _table_seg(0, 0, DC_BITS, DC_VALS),
+            _table_seg(1, 0, AC_BITS, AC_VALS),
             _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
             bytes(w.out),
             EOI,
@@ -430,14 +519,130 @@ def encode_gray(
     )
 
 
-def decode(payload: bytes) -> dict:
-    """Strict baseline grayscale JPEG decoder.
+def encode_ycbcr(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    qtable=FLAT_Q16,
+    chroma_qtable=FLAT_Q16,
+) -> bytes:
+    """Write a baseline YCbCr 4:4:4 color JPEG from the three planes:
+    interleaved MCUs (one 8x8 block per component, Y then Cb then Cr),
+    per-component differential-DC predictors, Annex K LUMINANCE tables
+    (K.3/K.5) for Y and CHROMINANCE tables (K.4/K.6) for Cb/Cr, quant
+    slot 0 for Y and slot 1 for chroma.  Taking planes directly (rather
+    than RGB — :func:`encode_color` layers the fixed-point forward
+    transform on top) keeps the lossless fixture class reachable: an
+    even-valued constant block in ANY plane quantizes losslessly under
+    the flat q=16 table, exactly as in the grayscale contract."""
+    n = width * height
+    if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
+        raise ValueError("jpeg: planes must each be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    luma_dc = _canonical_codes(DC_BITS, DC_VALS)
+    luma_ac = _canonical_codes(AC_BITS, AC_VALS)
+    chroma_dc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    chroma_ac = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    comps = (
+        (y_plane, luma_dc, luma_ac, qtable),
+        (cb_plane, chroma_dc, chroma_ac, chroma_qtable),
+        (cr_plane, chroma_dc, chroma_ac, chroma_qtable),
+    )
 
-    Returns ``{"width", "height", "pixels"}`` with ``pixels`` the
-    row-major 8-bit gray bytes (edge padding cropped).  Refuses, BY NAME:
-    every non-baseline SOF family, multi-component (color) images, 12-bit
-    precision, restart intervals, and scans referencing undefined
-    tables."""
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (plane, dc_codes, ac_codes, q) in enumerate(comps):
+                block = _extract_block(plane, width, height, bx, by)
+                preds[ci] = _encode_block(
+                    w, block, preds[ci], dc_codes, ac_codes, q
+                )
+    w.flush()
+
+    return b"".join(
+        [
+            SOI,
+            _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            _seg(0xDB, b"\x00" + bytes(qtable)),
+            _seg(0xDB, b"\x01" + bytes(chroma_qtable)),
+            _seg(
+                0xC0,
+                struct.pack(">BHHB", 8, height, width, 3)
+                # component id, sampling 1x1, quant slot
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            ),
+            _table_seg(0, 0, DC_BITS, DC_VALS),
+            _table_seg(1, 0, AC_BITS, AC_VALS),
+            _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _table_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            # per-component (DC table << 4) | AC table selectors
+            _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
+            bytes(w.out),
+            EOI,
+        ]
+    )
+
+
+def encode_color(
+    width: int, height: int, rgb: bytes, qtable=FLAT_Q16
+) -> bytes:
+    """Baseline YCbCr 4:4:4 JPEG from interleaved RGB bytes: the
+    fixed-point forward transform (:func:`rgb_to_ycbcr`) then
+    :func:`encode_ycbcr`."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("jpeg: rgb must be 3*width*height bytes")
+    n = width * height
+    yp, cbp, crp = bytearray(n), bytearray(n), bytearray(n)
+    for i in range(n):
+        yp[i], cbp[i], crp[i] = rgb_to_ycbcr(
+            rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        )
+    return encode_ycbcr(width, height, bytes(yp), bytes(cbp), bytes(crp),
+                        qtable, qtable)
+
+
+def _decode_block(reader: _BitReader, dcm, acm, q, pred: int):
+    """Entropy-decode, dequantize, dezigzag, and IDCT one 8x8 block;
+    returns ``(pixels, new_pred)``."""
+    coefs = [0.0] * 64
+    size = _decode_huffman(reader, dcm)
+    pred += _extend(reader.bits(size), size)
+    coefs[0] = pred * q[0]
+    i = 1
+    while i < 64:
+        rs = _decode_huffman(reader, acm)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                i += 16
+                continue
+            break  # EOB
+        i += run
+        if i > 63:
+            raise ValueError("jpeg: AC run past end of block")
+        coefs[ZIGZAG[i]] = _extend(reader.bits(size), size) * q[i]
+        i += 1
+    return _idct(coefs), pred
+
+
+def decode(payload: bytes) -> dict:
+    """Strict baseline JPEG decoder: grayscale and YCbCr 4:4:4 color.
+
+    Grayscale returns ``{"width", "height", "n_components": 1,
+    "pixels"}`` with ``pixels`` the row-major 8-bit gray bytes (edge
+    padding cropped).  Color returns ``{"width", "height",
+    "n_components": 3, "y", "cb", "cr", "rgb"}`` — the three decoded
+    planes plus interleaved RGB from the FIXED-POINT inverse transform
+    (:func:`ycbcr_to_rgb`).  Refuses, BY NAME: every non-baseline SOF
+    family, chroma subsampling (any sampling factor other than 1x1),
+    component counts other than 1 or 3, 12-bit precision, restart
+    intervals, and scans referencing undefined tables."""
     if payload[:2] != SOI:
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
@@ -445,9 +650,9 @@ def decode(payload: bytes) -> dict:
     dc_maps: dict[int, list] = {}
     ac_maps: dict[int, list] = {}
     width = height = None
-    comp_q = comp_id = None
+    frame_comps: list[tuple[int, int]] | None = None  # (comp_id, tq)
     scan_at = None
-    scan_dc = scan_ac = None
+    scan_sel: list[tuple[int, int]] | None = None  # (dc, ac) per comp
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -495,23 +700,43 @@ def decode(payload: bytes) -> dict:
                 raise ValueError(
                     f"jpeg: {precision}-bit precision unsupported"
                 )
-            if n_comp != 1:
+            if n_comp not in (1, 3):
                 raise ValueError(
-                    f"jpeg: {n_comp}-component (color) images unsupported — "
-                    "grayscale baseline only"
+                    f"jpeg: {n_comp}-component images unsupported — "
+                    "grayscale (1) or YCbCr (3) only"
                 )
-            comp_id, sampling, comp_q = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("jpeg: subsampling meaningless for gray")
+            if len(body) < 6 + 3 * n_comp:
+                raise ValueError("jpeg: truncated SOF0 segment")
+            frame_comps = []
+            for c in range(n_comp):
+                cid, sampling, tq = body[6 + 3 * c: 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma subsampling (sampling factor "
+                        f"0x{sampling:02X}) unsupported — 4:4:4 only"
+                    )
+                frame_comps.append((cid, tq))
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack_from(">H", body, 0)
             if interval:
                 raise ValueError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1 or body[1] != comp_id:
+            if frame_comps is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame_comps) or any(
+                body[1 + 2 * c] != frame_comps[c][0] for c in range(ns)
+            ):
                 raise ValueError("jpeg: scan does not match the frame")
-            scan_dc, scan_ac = body[2] >> 4, body[2] & 0x0F
-            if body[3] != 0 or body[4] != 63 or body[5] != 0:
+            scan_sel = [
+                (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            if (
+                body[1 + 2 * ns] != 0
+                or body[2 + 2 * ns] != 63
+                or body[3 + 2 * ns] != 0
+            ):
                 raise ValueError("jpeg: non-sequential scan parameters")
             scan_at = pos
             break
@@ -519,45 +744,51 @@ def decode(payload: bytes) -> dict:
 
     if width is None or scan_at is None:
         raise ValueError("jpeg: missing SOF0 or SOS")
-    if comp_q not in qtables:
-        raise ValueError("jpeg: scan references undefined quant table")
-    if scan_dc not in dc_maps or scan_ac not in ac_maps:
-        raise ValueError("jpeg: scan references undefined Huffman table")
-    q = qtables[comp_q]
-    dcm, acm = dc_maps[scan_dc], ac_maps[scan_ac]
+    tables = []  # (dcm, acm, q) per component, scan order
+    for (cid, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
+        if tq not in qtables:
+            raise ValueError("jpeg: scan references undefined quant table")
+        if dc_sel not in dc_maps or ac_sel not in ac_maps:
+            raise ValueError("jpeg: scan references undefined Huffman table")
+        tables.append((dc_maps[dc_sel], ac_maps[ac_sel], qtables[tq]))
 
     reader = _BitReader(payload, scan_at)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = bytearray(width * height)
-    pred = 0
+    planes = [bytearray(width * height) for _ in tables]
+    preds = [0] * len(tables)
     for by in range(bh):
         for bx in range(bw):
-            coefs = [0.0] * 64
-            size = _decode_huffman(reader, dcm)
-            pred += _extend(reader.bits(size), size)
-            coefs[0] = pred * q[0]
-            i = 1
-            while i < 64:
-                rs = _decode_huffman(reader, acm)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        i += 16
-                        continue
-                    break  # EOB
-                i += run
-                if i > 63:
-                    raise ValueError("jpeg: AC run past end of block")
-                coefs[ZIGZAG[i]] = _extend(reader.bits(size), size) * q[i]
-                i += 1
-            px = _idct(coefs)
-            for y in range(8):
-                sy = by * 8 + y
-                if sy >= height:
-                    break
-                row0 = sy * width
-                for x in range(8):
-                    sx = bx * 8 + x
-                    if sx < width:
-                        out[row0 + sx] = px[y * 8 + x]
-    return {"width": width, "height": height, "pixels": bytes(out)}
+            for ci, (dcm, acm, q) in enumerate(tables):
+                px, preds[ci] = _decode_block(reader, dcm, acm, q, preds[ci])
+                out = planes[ci]
+                for y in range(8):
+                    sy = by * 8 + y
+                    if sy >= height:
+                        break
+                    row0 = sy * width
+                    for x in range(8):
+                        sx = bx * 8 + x
+                        if sx < width:
+                            out[row0 + sx] = px[y * 8 + x]
+    if len(planes) == 1:
+        return {
+            "width": width,
+            "height": height,
+            "n_components": 1,
+            "pixels": bytes(planes[0]),
+        }
+    yp, cbp, crp = planes
+    rgb = bytearray(3 * width * height)
+    for i in range(width * height):
+        rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = ycbcr_to_rgb(
+            yp[i], cbp[i], crp[i]
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_components": 3,
+        "y": bytes(yp),
+        "cb": bytes(cbp),
+        "cr": bytes(crp),
+        "rgb": bytes(rgb),
+    }

@@ -1026,3 +1026,119 @@ def decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, schema)
+
+
+#: decoded-color-JPEG feature schema (decode_jpeg_color_features)
+JPEG_COLOR_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "y_sum bigint, cb_sum bigint, cr_sum bigint, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, pixel_md5 string"
+)
+
+
+def synth_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline YCbCr 4:4:4 JPEG payloads from ids —
+    the color sibling of :func:`synth_jpeg_payloads`.  Per row: an
+    ``8*(1 + id % 3) x 8*(1 + id % 2)`` image whose 8x8 block (bx, by)
+    holds the CONSTANT EVEN plane values::
+
+        y  =  64 + 2 * ((id*7  + bx*3 + by*5)  % 64)
+        cb =  96 + 2 * ((id*11 + bx*5 + by*7)  % 32)
+        cr =  96 + 2 * ((id*13 + bx*7 + by*11) % 32)
+
+    — the class the flat q=16 table quantizes losslessly in EVERY plane,
+    so the three decoded planes are bit-exact and the derived RGB is the
+    fixed-point inverse transform of pure id arithmetic (SQL-stateable;
+    ext/jpeg module docstring).  Emits (id, payload, source_md5) with
+    source_md5 digesting the concatenated y||cb||cr source planes."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                w, h = 8 * wb, 8 * hb
+                yp = bytearray(w * h)
+                cbp = bytearray(w * h)
+                crp = bytearray(w * h)
+                for by in range(hb):
+                    for bx in range(wb):
+                        yv = 64 + 2 * ((i * 7 + bx * 3 + by * 5) % 64)
+                        cbv = 96 + 2 * ((i * 11 + bx * 5 + by * 7) % 32)
+                        crv = 96 + 2 * ((i * 13 + bx * 7 + by * 11) % 32)
+                        for y in range(8):
+                            row0 = (by * 8 + y) * w + bx * 8
+                            for x in range(8):
+                                yp[row0 + x] = yv
+                                cbp[row0 + x] = cbv
+                                crp[row0 + x] = crv
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _jpeg.encode_ycbcr(w, h, bytes(yp), bytes(cbp), bytes(crp))
+                )
+                out["source_md5"].append(
+                    hashlib.md5(bytes(yp) + bytes(cbp) + bytes(crp)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def decode_jpeg_color_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Color-JPEG decode + feature extraction: per-plane sums, RGB sums
+    from the fixed-point inverse transform, and the md5 of the decoded
+    y||cb||cr planes — same Arrow-batched ``mapInPandas`` boundary as
+    every other media stage.  NULL payloads emit NULL features; extra
+    input columns pass through."""
+    import hashlib
+
+    passthrough = [c for c in df.columns if c not in (id_col, "payload")]
+    schema = JPEG_COLOR_FEATURES_SCHEMA + "".join(
+        f", {c} {t}" for c, t in df.dtypes if c in passthrough
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        keys = ("width", "height", "n_pixels", "y_sum", "cb_sum",
+                "cr_sum", "r_sum", "g_sum", "b_sum", "pixel_md5")
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {k: [None] * n for k in keys}
+            for row, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                d = _jpeg.decode(bytes(b))
+                if d["n_components"] != 3:
+                    raise ValueError("jpeg: expected a color scan")
+                rgb = d["rgb"]
+                cols["width"][row] = d["width"]
+                cols["height"][row] = d["height"]
+                cols["n_pixels"][row] = d["width"] * d["height"]
+                cols["y_sum"][row] = sum(d["y"])
+                cols["cb_sum"][row] = sum(d["cb"])
+                cols["cr_sum"][row] = sum(d["cr"])
+                cols["r_sum"][row] = sum(rgb[0::3])
+                cols["g_sum"][row] = sum(rgb[1::3])
+                cols["b_sum"][row] = sum(rgb[2::3])
+                cols["pixel_md5"][row] = hashlib.md5(
+                    d["y"] + d["cb"] + d["cr"]
+                ).hexdigest()
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for k in ("width", "height"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
+            for k in ("n_pixels", "y_sum", "cb_sum", "cr_sum",
+                      "r_sum", "g_sum", "b_sum"):
+                out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
+            out["pixel_md5"] = cols["pixel_md5"]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema)

@@ -2695,6 +2695,102 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg_color",
+    """
+    -- predicts the COLOR decoder's output straight through the codec:
+    -- the generator builds YCbCr 4:4:4 baseline JPEGs whose 8x8 block
+    -- (bx, by) holds constant EVEN plane values (see the lane docstring)
+    -- -- lossless under the flat q=16 table in every plane -- so the
+    -- decoded plane sums are id arithmetic, and the RGB sums replicate
+    -- the decoder's FIXED-POINT inverse transform exactly:
+    -- (c*v + 32768) >> 16 == FLOOR((c*v + 32768)/65536.0), every
+    -- intermediate exact in float64
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents),
+    blk AS (
+      SELECT doc_id, wb, hb, bxs.i AS bx, bys.i AS by
+      FROM g, range(0, 3) bxs(i), range(0, 2) bys(i)
+      WHERE bxs.i < wb AND bys.i < hb),
+    v AS (
+      SELECT doc_id, wb, hb,
+             64 + 2 * ((doc_id * 7 + bx * 3 + by * 5) % 64) AS y,
+             96 + 2 * ((doc_id * 11 + bx * 5 + by * 7) % 32) AS cb,
+             96 + 2 * ((doc_id * 13 + bx * 7 + by * 11) % 32) AS cr
+      FROM blk),
+    px AS (
+      SELECT doc_id, wb, hb, y, cb, cr,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+               / 65536.0) AS BIGINT))) AS grn,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (116131 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM v)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width,
+           CAST(hb * 8 AS INT) AS height,
+           CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+           CAST(64 * SUM(y) AS BIGINT) AS y_sum,
+           CAST(64 * SUM(cb) AS BIGINT) AS cb_sum,
+           CAST(64 * SUM(cr) AS BIGINT) AS cr_sum,
+           CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+           CAST(64 * SUM(grn) AS BIGINT) AS g_sum,
+           CAST(64 * SUM(b) AS BIGINT) AS b_sum,
+           TRUE AS pixels_match
+    FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg_color(spark, sf_dir):
+    """COLOR baseline-JPEG decode, end to end — closes the r10 verdict's
+    staged boundary (item #3: "color JPEG or declare it permanent") the
+    strong way: deterministic YCbCr 4:4:4 JPEGs are synthesized per
+    doc_id (ext/multimodal.synth_jpeg_color_payloads — interleaved MCUs,
+    Annex K luminance tables for Y and CHROMINANCE tables K.4/K.6 for
+    Cb/Cr, separate quant slots), then decoded by the strict pure-stdlib
+    decoder (ext/jpeg: per-component DC predictors, 3 blocks per MCU,
+    true 8x8 IDCT per plane) and converted to RGB with a FIXED-POINT
+    integer inverse transform — `(c*v + 32768) >> 16` with 16-bit scaled
+    JFIF coefficients — so the exactness contract survives color: no
+    float color math anywhere, and the oracle reproduces the transform
+    with FLOOR((c*v + 32768)/65536.0) bit-for-bit.
+
+    The fixtures hold constant EVEN values per 8x8 block in EVERY plane
+    (the flat-q=16 lossless class, now three planes deep), so the oracle
+    predicts y/cb/cr plane sums from id arithmetic and the r/g/b sums
+    through the published fixed-point formula; pixels_match pins the
+    decoded y||cb||cr md5 against the pre-encode source digest.
+
+    Scale posture: identical to the gray lane — per-row-bounded Arrow
+    map work, no driver traffic, with the same deliberate doc_id fan-out
+    repartition (single-file local scans = 1 input partition; at cluster
+    scale the input arrives already partitioned).  Color triples the
+    per-row block count — still O(bytes) per row.  (Registered
+    post-r11-freeze: first driver proof lands with the r11 rotation.)"""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = multimodal.synth_jpeg_color_payloads(docs)
+    feats = multimodal.decode_jpeg_color_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "y_sum",
+        "cb_sum",
+        "cr_sum",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sketch_join_size_estimate",
     sketch.cm_join_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
 )

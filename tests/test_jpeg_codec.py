@@ -30,7 +30,12 @@ def test_zigzag_is_a_permutation_with_spec_prefix():
 
 
 def test_annex_k_tables_are_full_and_prefix_free():
-    for bits, vals in ((jpeg.DC_BITS, jpeg.DC_VALS), (jpeg.AC_BITS, jpeg.AC_VALS)):
+    for bits, vals in (
+        (jpeg.DC_BITS, jpeg.DC_VALS),
+        (jpeg.AC_BITS, jpeg.AC_VALS),
+        (jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS),
+        (jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS),
+    ):
         assert sum(bits) == len(vals)
         codes = jpeg._canonical_codes(bits, vals)
         assert len(codes) == len(vals)
@@ -42,6 +47,7 @@ def test_annex_k_tables_are_full_and_prefix_free():
             for b in as_bits:
                 assert a == b or not b.startswith(a), (a, b)
     assert len(jpeg.AC_VALS) == 162  # the spec's table size
+    assert len(jpeg.AC_CHROMA_VALS) == 162
 
 
 def test_extend_matches_spec_examples():
@@ -156,6 +162,80 @@ def test_byte_stuffing_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# color path: fixed-point transform + interleaved 4:4:4 scan
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_point_transform_matches_sql_floor_formula():
+    """The decoder's `(c*v + 32768) >> 16` must equal the oracle's
+    FLOOR((c*v + 32768)/65536.0) for every Cb/Cr value — the arithmetic
+    shift IS floor division, including on negatives."""
+    for v in range(-128, 128):
+        for c in (91881, -22554, -46802, 116131):
+            assert (c * v + 32768) >> 16 == math.floor(
+                (c * v + 32768) / 65536.0
+            )
+
+
+def test_gray_pixel_is_lossless_through_forward_transform():
+    for v in range(256):
+        assert jpeg.rgb_to_ycbcr(v, v, v) == (v, 128, 128)
+
+
+def test_inverse_transform_clamps():
+    # r and b hit the 255/0 rails; g stays interior — pinned values
+    assert jpeg.ycbcr_to_rgb(255, 255, 255) == (255, 121, 255)
+    assert jpeg.ycbcr_to_rgb(0, 0, 0) == (0, 135, 0)
+    assert jpeg.ycbcr_to_rgb(128, 128, 255) == (255, 37, 128)
+
+
+def test_ycbcr_constant_even_blocks_roundtrip_exactly():
+    """The color sibling of the grayscale exactness contract: constant
+    EVEN blocks in all three planes survive encode->decode bit-exactly,
+    across multiple blocks (per-component DC predictors do real work)."""
+    w, h = 24, 16
+    yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+    for by in range(2):
+        for bx in range(3):
+            yv = 64 + 2 * ((bx * 3 + by * 5) % 64)
+            cbv = 96 + 2 * ((bx * 5 + by * 7) % 32)
+            crv = 96 + 2 * ((bx * 7 + by * 11) % 32)
+            for y in range(8):
+                for x in range(8):
+                    i = (by * 8 + y) * w + bx * 8 + x
+                    yp[i], cbp[i], crp[i] = yv, cbv, crv
+    d = jpeg.decode(jpeg.encode_ycbcr(w, h, bytes(yp), bytes(cbp), bytes(crp)))
+    assert d["n_components"] == 3
+    assert d["y"] == bytes(yp) and d["cb"] == bytes(cbp) and d["cr"] == bytes(crp)
+    # rgb is exactly the fixed-point inverse of the decoded planes
+    exp = bytearray()
+    for i in range(w * h):
+        exp.extend(jpeg.ycbcr_to_rgb(yp[i], cbp[i], crp[i]))
+    assert d["rgb"] == bytes(exp)
+
+
+def test_encode_color_roundtrips_within_quantization_error():
+    random.seed(19)
+    w, h = 16, 8
+    rgb = bytes(random.randrange(256) for _ in range(3 * w * h))
+    d = jpeg.decode(jpeg.encode_color(w, h, rgb))
+    assert d["width"] == w and d["height"] == h
+    assert len(d["rgb"]) == 3 * w * h
+    # flat q=16 bounds each plane's error; the inverse transform scales
+    # chroma error by at most 1.772 — generous envelope, not a tautology
+    for a, b in zip(d["rgb"], rgb):
+        assert abs(a - b) <= 60, (a, b)
+
+
+def test_color_crops_non_multiple_of_8():
+    w, h = 11, 9
+    rgb = bytes((i * 13) % 256 for i in range(3 * w * h))
+    d = jpeg.decode(jpeg.encode_color(w, h, rgb))
+    assert d["width"] == 11 and d["height"] == 9
+    assert len(d["y"]) == w * h and len(d["rgb"]) == 3 * w * h
+
+
+# ---------------------------------------------------------------------------
 # refusals, by name
 # ---------------------------------------------------------------------------
 
@@ -177,11 +257,19 @@ def test_refuses_arithmetic_by_name():
         jpeg.decode(_mutate_marker(enc, 0xC0, 0xC9))
 
 
-def test_refuses_color_by_name():
-    enc = bytearray(jpeg.encode_gray(8, 8, bytes(64)))
+def test_refuses_two_component_by_name():
+    enc = bytearray(jpeg.encode_color(8, 8, bytes(range(192))))
     i = enc.index(bytes([0xFF, 0xC0]))
-    enc[i + 9] = 3  # n_components
-    with pytest.raises(ValueError, match="color"):
+    enc[i + 9] = 2  # n_components: neither gray nor YCbCr
+    with pytest.raises(ValueError, match="grayscale .1. or YCbCr"):
+        jpeg.decode(bytes(enc))
+
+
+def test_refuses_chroma_subsampling_by_name():
+    enc = bytearray(jpeg.encode_color(8, 8, bytes(range(192))))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    enc[i + 11] = 0x22  # Y sampling factor 2x2
+    with pytest.raises(ValueError, match="subsampling"):
         jpeg.decode(bytes(enc))
 
 
@@ -247,3 +335,38 @@ def test_decode_jpeg_features_null_payload(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
     row = multimodal.decode_jpeg_features(df).collect()[0]
     assert row["width"] is None and row["pixel_sum"] is None
+
+
+def test_decode_jpeg_color_features_end_to_end(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 5, 11)], "doc_id long")
+    feats = multimodal.decode_jpeg_color_features(
+        multimodal.synth_jpeg_color_payloads(docs)
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    for i, r in rows.items():
+        wb, hb = 1 + i % 3, 1 + i % 2
+        assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
+        assert r["n_pixels"] == 64 * wb * hb
+        # plane sums from the fixture's id arithmetic
+        exp_y = exp_cb = exp_cr = exp_r = exp_g = exp_b = 0
+        for by in range(hb):
+            for bx in range(wb):
+                yv = 64 + 2 * ((i * 7 + bx * 3 + by * 5) % 64)
+                cbv = 96 + 2 * ((i * 11 + bx * 5 + by * 7) % 32)
+                crv = 96 + 2 * ((i * 13 + bx * 7 + by * 11) % 32)
+                rr, gg, bb = jpeg.ycbcr_to_rgb(yv, cbv, crv)
+                exp_y += 64 * yv
+                exp_cb += 64 * cbv
+                exp_cr += 64 * crv
+                exp_r += 64 * rr
+                exp_g += 64 * gg
+                exp_b += 64 * bb
+        assert (r["y_sum"], r["cb_sum"], r["cr_sum"]) == (exp_y, exp_cb, exp_cr)
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == (exp_r, exp_g, exp_b)
+        assert r["pixel_md5"] == r["source_md5"]
+
+
+def test_decode_jpeg_color_features_null_payload(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    row = multimodal.decode_jpeg_color_features(df).collect()[0]
+    assert row["width"] is None and row["r_sum"] is None

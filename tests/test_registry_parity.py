@@ -127,6 +127,7 @@ def test_driver_rows_cumulative_coverage():
         "streaming_count_min",
         "sketch_hll_scratch_audit",
         "sketch_stats_cache_audit",
+        "multimodal_decode_jpeg_color",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -202,6 +203,7 @@ def test_driver_window_drains_the_backlog():
         "streaming_count_min",
         "sketch_hll_scratch_audit",
         "sketch_stats_cache_audit",
+        "multimodal_decode_jpeg_color",
     }
     never = [
         n
