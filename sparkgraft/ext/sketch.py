@@ -32,6 +32,8 @@ production consumer would skip that shuffle and use the grid alone.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 #: grid shape: 3 independent hash rows, 256 buckets each.  With w = 256,
@@ -389,6 +391,177 @@ def hll_estimate_audit(df: DataFrame, key_col: str) -> DataFrame:
         .otherwise(est)
         .alias("hll_estimate"),
     )
+
+
+#: m * ln(m / V) for V = 1..m — the linear-counting estimate for every
+#: possible count of EMPTY registers.  With m = 256 the small-cardinality
+#: branch has only 256 reachable outputs, so the table is generated ONCE
+#: here (the only math.log in the module) and embedded into BOTH engines'
+#: plans as shortest-roundtrip double literals: at query time the branch
+#: is a lookup, not a libm call, so cross-engine ln rounding can never
+#: break the driver hash.  V = m (empty input) maps to ln(1) = 0.0,
+#: consistent with the estimate-0 empty contract.
+HLL_LC_TABLE = tuple(
+    float(HLL_M) * math.log(HLL_M / v) for v in range(1, HLL_M + 1)
+)
+
+#: the Flajolet small-range threshold: use linear counting when the raw
+#: estimate is below 2.5m and at least one register is empty.
+HLL_LC_THRESHOLD = 2.5 * HLL_M
+
+
+def hll_lc_estimate_audit(
+    df: DataFrame, key_expr: str, label: str
+) -> DataFrame:
+    """ONE labeled row: the FULL HyperLogLog estimator — raw harmonic
+    branch plus the small-cardinality LINEAR-COUNTING branch — audited
+    against the exact distinct count of ``key_expr``.
+
+    Closes the scope note in :func:`hll_estimate_audit`: linear counting
+    is ``m * ln(m / V)`` (V = empty registers), and ``ln`` is not
+    bit-stable across engines — so the branch is served from
+    :data:`HLL_LC_TABLE`, a 256-entry literal lookup generated once at
+    import (V has only m reachable values).  Branch selection
+    (``raw <= 2.5m AND V > 0``) compares doubles that are themselves
+    bit-identical cross-engine (the raw estimate's literal */-only
+    expression over the exact-integer ``sum_scaled``), so the predicate
+    decides identically on both sides.
+
+    Scale posture: identical to the raw audit — one scan, map-side
+    combined max into <= m rows per partition, O(m) after; the lookup
+    array is a 256-literal broadcast-free expression."""
+    regs = hll_registers(df, f"({key_expr})")
+    folded = regs.agg(
+        (
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")), F.lit(0)
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 52).cast("long")
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).cast("int").alias("registers_used"),
+    )
+    exact = df.agg(F.countDistinct(F.expr(key_expr)).alias("n_exact"))
+    return _hll_lc_select(exact.crossJoin(folded), label)
+
+
+def hll_lc_audit_against_registers(
+    df: DataFrame, key_expr: str, label: str, registers
+) -> DataFrame:
+    """The :func:`hll_lc_estimate_audit` relation computed FROM a GIVEN
+    register file (``registers``: iterable of ``(reg, m)`` pairs — e.g.
+    the max-merged partial files a stream accumulated) instead of a
+    fresh scan.  ``sum_scaled`` folds in exact Python integers (the
+    same value the Spark agg would produce); the float estimator then
+    runs through the identical literal expressions, so a stream whose
+    merged register file equals the batch file hash-matches the batch
+    oracle bit-for-bit."""
+    used = 0
+    sum_scaled = 0
+    seen = set()
+    for reg, m in registers:
+        if reg in seen:
+            raise ValueError(f"hll: duplicate register {reg} in file")
+        seen.add(reg)
+        used += 1
+        sum_scaled += 1 << (52 - m)
+    sum_scaled += (HLL_M - used) * (1 << 52)
+    exact = df.agg(F.countDistinct(F.expr(key_expr)).alias("n_exact"))
+    folded = exact.select(
+        "n_exact",
+        F.lit(sum_scaled).cast("long").alias("sum_scaled"),
+        F.lit(used).cast("int").alias("registers_used"),
+    )
+    return _hll_lc_select(folded, label)
+
+
+def _hll_lc_select(folded: DataFrame, label: str) -> DataFrame:
+    """The shared estimator tail: branch selection + both estimates over
+    a (n_exact, sum_scaled, registers_used) relation."""
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << 52))
+        / F.col("sum_scaled").cast("double")
+    )
+    empty = F.lit(HLL_M) - F.col("registers_used")
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in HLL_LC_TABLE]),
+        F.greatest(empty, F.lit(1)).cast("int"),
+    )
+    return folded.select(
+        F.lit(label).alias("probe"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "registers_used",
+        empty.cast("int").alias("empty_registers"),
+        F.when(F.col("registers_used") == 0, F.lit(0.0))
+        .otherwise(raw)
+        .alias("raw_estimate"),
+        F.when(empty > 0, lc).alias("linear_estimate"),
+        F.when(F.col("registers_used") == 0, F.lit(0.0))
+        .when((raw <= F.lit(HLL_LC_THRESHOLD)) & (empty > 0), lc)
+        .otherwise(raw)
+        .alias("hll_estimate"),
+        (
+            (F.col("registers_used") > 0)
+            & (raw <= F.lit(HLL_LC_THRESHOLD))
+            & (empty > 0)
+        ).alias("used_linear"),
+    )
+
+
+def hll_lc_oracle_sql(table: str, key_expr: str, label: str) -> str:
+    """DuckDB twin of :func:`hll_lc_estimate_audit` — same register file,
+    same literal raw expression, same 256-literal lookup (repr() keeps
+    the shortest-roundtrip text, which parses back to the identical
+    IEEE double), same branch predicate."""
+    h = (
+        f"CAST('0x' || substr(md5('hll:' || CAST(({key_expr}) AS VARCHAR)), "
+        "1, 15) AS BIGINT)"
+    )
+    rho = _HLL_RHO_SQL.format(v="v")
+    # e-notation forces DuckDB to type each literal DOUBLE (a bare
+    # decimal literal is DECIMAL, whose later cast rounds differently by
+    # 1 ULP); repr() text is shortest-roundtrip so the parsed double is
+    # bit-identical to the F.lit() the Spark plan carries
+    lut = "[" + ", ".join(
+        r if ("e" in r or "E" in r) else r + "e0"
+        for r in (repr(v) for v in HLL_LC_TABLE)
+    ) + "]"
+    raw = (
+        f"0.7213 / (1.0 + 1.079 / {float(HLL_M)}) * {float(HLL_M * HLL_M)}"
+        f" * {float(1 << 52)} / CAST(sum_scaled AS DOUBLE)"
+    )
+    return f"""
+    WITH k AS (
+      SELECT ({h}) % {HLL_M} AS reg, ({h}) // {HLL_M} AS v FROM {table}),
+    r AS (
+      SELECT reg, max({rho}) AS m FROM k GROUP BY reg),
+    folded AS (
+      SELECT CAST(coalesce(sum(1::BIGINT << (52 - m)), 0)
+                  + ({HLL_M} - count(*)) * (1::BIGINT << 52) AS BIGINT)
+               AS sum_scaled,
+             CAST(count(*) AS INT) AS registers_used
+      FROM r),
+    ex AS (SELECT CAST(count(DISTINCT ({key_expr})) AS BIGINT) AS n_exact
+           FROM {table}),
+    lut AS (SELECT {lut} AS t)
+    SELECT '{label}' AS probe, n_exact, registers_used,
+           CAST({HLL_M} - registers_used AS INT) AS empty_registers,
+           CASE WHEN registers_used = 0 THEN 0.0 ELSE {raw} END
+             AS raw_estimate,
+           CASE WHEN registers_used < {HLL_M}
+                THEN t[GREATEST({HLL_M} - registers_used, 1)] END
+             AS linear_estimate,
+           CASE WHEN registers_used = 0 THEN 0.0
+                WHEN {raw} <= {HLL_LC_THRESHOLD}
+                     AND registers_used < {HLL_M}
+                THEN t[GREATEST({HLL_M} - registers_used, 1)]
+                ELSE {raw} END AS hll_estimate,
+           registers_used > 0 AND {raw} <= {HLL_LC_THRESHOLD}
+             AND registers_used < {HLL_M} AS used_linear
+    FROM ex, folded, lut"""
 
 
 def hll_oracle_sql(table: str, key_col: str) -> str:

@@ -2896,6 +2896,85 @@ def q_streaming_count_min(spark, sf_dir):
 
 
 @register(
+    "streaming_hll_distinct",
+    sketch.hll_lc_oracle_sql("events", "user_id", "stream_user_id"),
+)
+def q_streaming_hll_distinct(spark, sf_dir):
+    """HyperLogLog as STREAMING state — the HLL sibling of
+    `streaming_count_min` (the r10 verdict's item #5), on the same
+    mergeability argument with max in place of sum: the stream arrives
+    in three micro-batches (maxFilesPerTrigger=1 over three files);
+    foreachBatch reduces each batch to its PARTIAL register file
+    (ext/sketch.hll_registers over the batch alone) and lands it under
+    an idempotent per-batch-id path (a replayed batch overwrites its own
+    slot — exactly-once state from at-least-once delivery).  The final
+    read MAX-merges all batches' registers into the full file — register
+    maxima commute, so the stream-merged file is BIT-IDENTICAL to the
+    one-pass batch file — and feeds the FULL estimator (raw + pinned
+    linear-counting branch, ext/sketch.hll_lc_audit_against_registers):
+    the driver hash against the batch-built SQL oracle therefore proves
+    keys split ACROSS micro-batches maxed into the same registers, AND
+    that the estimator selects the same branch over the merged state.
+
+    Keyed on user_id (15/150/1500 distinct by scale) so the
+    linear-counting branch genuinely serves the streaming path at the
+    smaller scales.  At 100 TB the per-batch work is one map-side
+    combined groupBy of the BATCH (never the history) and the state is
+    <= m = 256 register rows per batch — distinct-count over an
+    unbounded stream in bounded state.  (Registered post-r11-freeze:
+    first driver proof lands with the r11 rotation.)"""
+    import tempfile
+
+    from sparkgraft.registry import _stream_state_partitions
+
+    work = tempfile.mkdtemp(prefix="sparkgraft_shll_")
+    src, state = f"{work}/src", f"{work}/state"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(3):
+        (
+            ev.where(F.expr(f"pmod(event_id, 3) = {i}"))
+            .coalesce(1)
+            .write.parquet(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def fold_batch(batch_df, batch_id):
+        (
+            sketch.hll_registers(batch_df, "user_id")
+            .write.mode("overwrite")
+            .parquet(f"{state}/batch={batch_id}")
+        )
+
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("hll stream did not finish in 300s")
+
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("reg")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    )
+    return sketch.hll_lc_audit_against_registers(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "stream_user_id",
+        [(row["reg"], row["m"]) for row in merged],
+    )
+
+
+@register(
     "sketch_hll_scratch_audit",
     sketch.hll_oracle_sql("events", "event_id"),
 )
@@ -2922,6 +3001,61 @@ def q_sketch_hll_scratch_audit(spark, sf_dir):
     driver proof lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
     return sketch.hll_estimate_audit(events, "event_id")
+
+
+#: (label, key expression — valid in BOTH Spark SQL and DuckDB) probes
+#: for the full-estimator lane: two deep in the linear-counting regime,
+#: one near the 2.5m boundary, one far into the raw-harmonic regime.
+_HLL_LC_PROBES = (
+    ("mod10_deep_linear", "user_id % 10"),
+    ("user_id_small", "user_id"),
+    ("mod400_boundary", "event_id % 400"),
+    ("event_id_raw", "event_id"),
+)
+
+
+@register(
+    "sketch_hll_linear_audit",
+    "\nUNION ALL\n".join(
+        f"({sketch.hll_lc_oracle_sql('events', expr, label)})"
+        for label, expr in _HLL_LC_PROBES
+    )
+    + "\nORDER BY probe",
+)
+def q_sketch_hll_linear_audit(spark, sf_dir):
+    """The FULL HyperLogLog estimator — raw harmonic branch PLUS the
+    small-cardinality linear-counting branch — closing the scope note
+    `sketch_hll_scratch_audit` declared (the r10 verdict's item #4):
+    linear counting is m*ln(m/V), and libm ln is not bit-stable across
+    engines, so the branch is served from a PINNED 256-entry literal
+    lookup (ext/sketch.HLL_LC_TABLE — V, the empty-register count, has
+    only m reachable values; the table is generated once at import and
+    embedded in both engines' plans as shortest-roundtrip literals).
+    Branch selection (raw <= 2.5m AND V > 0) compares doubles that are
+    themselves bit-identical cross-engine, so the predicate decides
+    identically on both sides — the driver hash certifies the branch
+    CHOICE as well as both branches' values.
+
+    Four probes sweep the cardinality range: user_id % 10 (deep linear
+    regime), user_id (small), event_id % 400 (near the 2.5m boundary),
+    event_id (raw regime at every scale) — the audit relation records
+    n_exact, both branch estimates, the selected estimate, and which
+    branch fired, per probe.
+
+    Scale posture: per probe, one scan with map-side-combined max into
+    <= 256 rows per partition, O(m) after; the lookup is a literal
+    array expression, nothing broadcast, nothing collected.
+    (Registered post-r11-freeze: first driver proof lands with the r11
+    rotation.)"""
+    events = _t(spark, sf_dir, "events")
+    parts = [
+        sketch.hll_lc_estimate_audit(events, expr, label)
+        for label, expr in _HLL_LC_PROBES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("probe")
 
 
 _SKETCH_CACHE_FLAGS = (

@@ -128,6 +128,8 @@ def test_driver_rows_cumulative_coverage():
         "sketch_hll_scratch_audit",
         "sketch_stats_cache_audit",
         "multimodal_decode_jpeg_color",
+        "sketch_hll_linear_audit",
+        "streaming_hll_distinct",
     }
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -204,6 +206,8 @@ def test_driver_window_drains_the_backlog():
         "sketch_hll_scratch_audit",
         "sketch_stats_cache_audit",
         "multimodal_decode_jpeg_color",
+        "sketch_hll_linear_audit",
+        "streaming_hll_distinct",
     }
     never = [
         n

@@ -7,6 +7,7 @@ adversarial fixtures the corpus doesn't contain."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkgraft.ext import sketch
@@ -250,6 +251,89 @@ def test_hll_empty_input_is_defined_zero(spark):
         0.0,
     )
     assert row["sum_scaled"] == sketch.HLL_M * (1 << 52)
+
+
+def test_hll_lc_table_is_m_ln_m_over_v():
+    """The pinned lookup IS m*ln(m/V) — and the final entry (V = m,
+    empty input) is exactly 0.0, consistent with the estimate-0 empty
+    contract."""
+    import math
+
+    m = sketch.HLL_M
+    assert len(sketch.HLL_LC_TABLE) == m
+    for v in (1, 2, 54, 128, 255):
+        assert sketch.HLL_LC_TABLE[v - 1] == m * math.log(m / v)
+    assert sketch.HLL_LC_TABLE[m - 1] == 0.0
+
+
+def test_hll_lc_small_cardinality_accuracy(spark):
+    """Linear counting fixes the raw estimator's small-n failure: at
+    n = 10 the LC branch must fire and land within 10%, where the raw
+    harmonic estimate is far off."""
+    df = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    row = sketch.hll_lc_estimate_audit(df, "k", "p").collect()[0]
+    assert row["used_linear"]
+    assert abs(row["hll_estimate"] - 10) / 10 < 0.10
+    assert row["hll_estimate"] == row["linear_estimate"]
+
+
+def test_hll_lc_raw_branch_above_threshold(spark):
+    """At n >> 2.5m the raw branch must be selected and match the
+    raw-only audit exactly."""
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    row = sketch.hll_lc_estimate_audit(df, "k", "p").collect()[0]
+    raw_row = sketch.hll_estimate_audit(df, "k").collect()[0]
+    assert not row["used_linear"]
+    assert row["hll_estimate"] == raw_row["hll_estimate"]
+    assert row["raw_estimate"] == raw_row["hll_estimate"]
+
+
+def test_hll_lc_empty_input_is_defined_zero(spark):
+    df = spark.createDataFrame([], "k long")
+    row = sketch.hll_lc_estimate_audit(df, "k", "p").collect()[0]
+    assert (row["n_exact"], row["registers_used"], row["hll_estimate"]) == (
+        0,
+        0,
+        0.0,
+    )
+    assert row["empty_registers"] == sketch.HLL_M
+    # V = m looks up ln(1) = 0.0 — the two definitions agree
+    assert row["linear_estimate"] == 0.0
+    assert not row["used_linear"]
+
+
+def test_hll_lc_audit_from_registers_equals_fresh_scan(spark, sf_dir):
+    """The given-register-file path (the streaming lane's tail) must be
+    value-identical to the fresh-scan path when fed the same file."""
+    events = read_table(spark, sf_dir, "events")
+    regs = [
+        (r["reg"], r["m"])
+        for r in sketch.hll_registers(events, "user_id").collect()
+    ]
+    via_regs = sketch.hll_lc_audit_against_registers(
+        events, "user_id", "p", regs
+    ).collect()[0]
+    fresh = sketch.hll_lc_estimate_audit(events, "user_id", "p").collect()[0]
+    assert via_regs == fresh
+
+
+def test_hll_lc_audit_from_registers_rejects_duplicates(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="duplicate register"):
+        sketch.hll_lc_audit_against_registers(
+            df, "k", "p", [(3, 1), (3, 2)]
+        ).collect()
+
+
+def test_hll_lc_oracle_literals_roundtrip_to_identical_doubles():
+    """The DuckDB-side e-notation literals must parse back to the exact
+    doubles the Spark plan carries (the 1-ULP DECIMAL trap)."""
+    import duckdb
+
+    sql = sketch.hll_lc_oracle_sql("t", "k", "p")
+    lut = sql[sql.index("[") : sql.index("]") + 1]
+    got = duckdb.sql(f"SELECT {lut} AS l").fetchone()[0]
+    assert list(got) == list(sketch.HLL_LC_TABLE)
 
 
 def test_sketch_artifacts_json_roundtrip_via_stats_sidecar(spark, sf_dir, tmp_path):
