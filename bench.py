@@ -115,16 +115,19 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Key order is deliberate: the driver records only the TAIL (~2000
+    # chars) of this line, so the big per-query map goes FIRST and every
+    # scalar plus the map digest goes LAST — the surviving tail then
+    # carries the full summary AND a sha256 over the sorted queries map,
+    # which the judge can check against the committed BENCH_LOCAL_r{N}
+    # artifact (same map <=> same digest).
+    import hashlib
+
+    queries_sha = hashlib.sha256(
+        json.dumps(timings, sort_keys=True).encode()
+    ).hexdigest()
     payload = {
-        "metric": "total_query_seconds",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": sf_val,
-        # adaptive: 2 normally, up to 5 when samples disagree >2x
-        "runs_per_query_min": 2,
-        "runs_per_query_max": max(n_samples.values(), default=0),
-        "n_queries": len(timings),
         **(
             {
                 "streaming_harness_floor": floors,
@@ -139,6 +142,16 @@ def main() -> None:
             else {}
         ),
         **({"errors": errors} if errors else {}),
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        # adaptive: 2 normally, up to 5 when samples disagree >2x
+        "runs_per_query_min": 2,
+        "runs_per_query_max": max(n_samples.values(), default=0),
+        "n_queries": len(timings),
+        "queries_sha256": queries_sha,
+        "full_artifact": "BENCH_LOCAL_r{N}.json (committed per round)",
     }
     print(json.dumps(payload))
     # The driver truncates the stdout JSON it records (BENCH_r{N}.json tail

@@ -5489,94 +5489,84 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 10's window, in four
-# tiers:
-#   (1) the 2 queries registered THIS round, needing their FIRST driver
-#       hash row: `embed_index_cache_audit` (per-epoch cached index
-#       artifacts — catalog.cached_index, the r09 verdict's staged item)
-#       and `multimodal_decode_png` (the real pure-stdlib PNG decode lane
-#       that retires the decode stub boundary);
-#   (2) the 11 lanes whose OUTPUT or declared domain changed AFTER their
-#       newest driver proof and therefore hold stale rows (the r09
-#       deferral, enforced by test_registry_parity): the r09 nonfinite
-#       fixes (`dq_constraint_report` grew the `embeddings_finite` row;
-#       `embed_cosine_topk`, `embed_cosine_neardup`, `embed_ivf_topk`,
-#       `embed_lsh_topk`, `embed_semantic_dedup`, `embed_quantized_topk`,
-#       `embed_vector_algebra`, `embedding_stats_by_label`,
-#       `ml_ann_neighbors` declared the finite-embedding domain) plus
-#       `multimodal_decode_stub`, whose width/height columns were renamed
-#       THIS round when the real PNG decoder landed;
-#   (3) stale-refresh re-proofs, oldest-first: the 21 remaining round-5
-#       rows (`ml_ann_neighbors`, the 22nd, is already in tier 2), then
-#       the alphabetically-first 8 of the 41 remaining round-6 rows
-#       (the other 33 head round 11's rotation, then r07 oldest-first);
-#   (4) the 8 canonical sentinels (same set as r04-r09).
-# With this window no registry row's newest proof is older than ROUND 6,
-# and every output-changed lane is re-proven on its changed output.
+# artifact, not an accident of module layout.  Round 11's window, exactly as
+# the r10 verdict staged it, in three tiers:
+#   (1) the 15 lanes needing their FIRST driver hash row: the 12
+#       registered after the r10 freeze (sketches, BPE, the WAV/GIF/JPEG/
+#       FFT/resize codec lanes) plus the 3 registered THIS round —
+#       `multimodal_decode_jpeg_color` (the YCbCr fixed-point path,
+#       r10 verdict item #3), `sketch_hll_linear_audit` (the pinned
+#       linear-counting branch, item #4), and `streaming_hll_distinct`
+#       (stream-merged register files, item #5);
+#   (2) stale-refresh re-proofs: the alphabetically-first 27 of the 33
+#       remaining round-6 rows (the other 6 — salted_join_hotkey,
+#       semi_join_active_customers, sessionize_hotkey,
+#       sessionize_skew_split, sessions_per_user_window,
+#       sliding_hour_stats — head round 12's rotation, then r07
+#       oldest-first);
+#   (3) the 8 canonical sentinels (same set as r04-r10).
+# No lane's output/domain changed after its newest proof this round, so
+# the tier-2-of-r10 (OUTPUT_CHANGED_SINCE_PROOF) slice is empty.  After
+# this window lands, every registered lane holds a driver row and the
+# oldest surviving proof is ROUND 6 on just the 6 overflow rows above.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 11 ROTATION: any query registered after THIS freeze (list it in
-# tests/test_registry_parity.py `added_after_r10_freeze` as you add it)
-# first, then any lane whose output/domain changes after its newest proof,
-# then the 33 remaining r06 rows, then r07 oldest-first, then the 8
-# sentinels.  Keep new registrations few enough to drain in one window.
-# The authoritative post-freeze list is tests/test_registry_parity.py
-# `added_after_r10_freeze` (structurally enforced there).  r11 window
-# arithmetic: |post-freeze| + 8 sentinels + as many of the 33 remaining
-# r06 rows (alphabetical) as fit in the 50; r06 rows that don't fit head
-# r12 with the r07 drain.  Every post-freeze registration displaces one
-# more r06 row, oldest-first.
+# ROUND 12 ROTATION: any query registered after THIS freeze (list it in
+# tests/test_registry_parity.py `added_after_r11_freeze` as you add it)
+# first, then any lane whose output/domain changes after its newest
+# proof, then the 6 remaining r06 rows, then r07 oldest-first, then the
+# 8 sentinels.  Keep new registrations few enough to drain in one
+# window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: the 2 round-10 lanes needing their FIRST driver hash row
-    "embed_index_cache_audit",
-    "multimodal_decode_png",
-    # tier 2: 11 output/domain-changed lanes re-proven on the new output
-    "dq_constraint_report",
-    "embed_cosine_topk",
-    "embed_cosine_neardup",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_semantic_dedup",
-    "embed_quantized_topk",
-    "embed_vector_algebra",
-    "embedding_stats_by_label",
-    "ml_ann_neighbors",
-    "multimodal_decode_stub",
-    # tier 3a: the 21 remaining round-5 stale rows
-    "ml_minhash_pairs",
-    "orc_roundtrip_events",
-    "recursive_cte_hierarchy",
-    "scd2_point_in_time_lookup",
-    "skew_key_audit",
-    "snapshot_diff_orders",
-    "sql_udf_value_buckets",
-    "streaming_bitmap_distinct",
-    "streaming_session_window",
-    "streaming_state_inspect",
-    "table_fingerprint",
-    "text_bigram_lm_score",
-    "text_gopher_repetition",
-    "text_langid_confusion",
-    "text_quality_classifier",
-    "time_weighted_avg_value",
-    "udtf_split_sentences",
-    "user_value_trend",
-    "value_mad_outliers",
-    "value_median_exact",
-    "zorder_layout_audit",
-    # tier 3b: alphabetically-first 8 of the remaining round-6 rows
-    "anti_join_dormant_customers",
-    "asia_market_share",
-    "asof_last_signup",
-    "bucketed_join_zero_shuffle",
-    "case_when_buckets",
-    "cheapest_shipment_per_part",
-    "cube_event_counts",
-    "dedup_exact",
-    # tier 4: the 8 canonical sentinels (same set as r04-r09)
+    # tier 1a: the 12 post-r10-freeze lanes (first driver rows)
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "multimodal_audio_fft",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
+    "multimodal_frames_gif",
+    "multimodal_resize_real",
+    "sketch_count_min_audit",
+    "sketch_join_size_estimate",
+    "sketch_hll_scratch_audit",
+    "sketch_stats_cache_audit",
+    "streaming_count_min",
+    # tier 1b: the 3 round-11 lanes (first driver rows)
+    "multimodal_decode_jpeg_color",
+    "sketch_hll_linear_audit",
+    "streaming_hll_distinct",
+    # tier 2: alphabetically-first 27 of the 33 remaining round-6 rows
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "filter_edge_slivers",
+    "filter_time_range",
+    "forward_fill_last_purchase",
+    "json_extract_props",
+    "kst_daily_counts",
+    "lag_gap_seconds",
+    "latest_event_per_user",
+    "lead_next_event_gap",
+    "left_join_orders_customers",
+    "nation_pair_volume",
+    "nation_set_ops",
+    "orders_above_avg_price",
+    "percentile_value_by_type",
+    "pivot_daily_event_types",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_nation_market_share",
+    "range_join_event_windows",
+    "rank_orders_per_customer",
+    "rollup_order_counts",
+    # tier 3: the 8 canonical sentinels (same set as r04-r10)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

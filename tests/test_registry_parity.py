@@ -59,10 +59,10 @@ def test_readme_count_matches_registry():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-10 window:
+    inserts silently evicted driver-proven queries).  Pin the round-11 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-11 rotation — so this test does NOT claim full cumulative
+    the round-12 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -71,24 +71,13 @@ def test_driver_window_composition():
 
 
 #: lanes whose OUTPUT or declared domain changed after their newest driver
-#: proof — the r09 nonfinite deferral (round-9 advice: enforce the deferral
-#: structurally, not in a comment) plus the r10 decode-schema rename.  Every
-#: one of these MUST hold an r10 window slot; deleting a name here without a
-#: fresh driver row is the silent-stale failure mode this list exists to
-#: block.
-OUTPUT_CHANGED_SINCE_PROOF: set[str] = {
-    "dq_constraint_report",
-    "embed_cosine_topk",
-    "embed_cosine_neardup",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_semantic_dedup",
-    "embed_quantized_topk",
-    "embed_vector_algebra",
-    "embedding_stats_by_label",
-    "ml_ann_neighbors",
-    "multimodal_decode_stub",
-}
+#: proof (round-9 advice: enforce the deferral structurally, not in a
+#: comment).  EMPTY at the r11 freeze: every lane the r10 list named got its
+#: r10 driver row on the changed output, and nothing changed output since.
+#: Add a name here (and give it a window slot) the moment a proven lane's
+#: output or declared domain changes; deleting a name without a fresh driver
+#: row is the silent-stale failure mode this list exists to block.
+OUTPUT_CHANGED_SINCE_PROOF: set[str] = set()
 
 
 def test_output_changed_lanes_hold_window_slots():
@@ -103,34 +92,23 @@ def test_output_changed_lanes_hold_window_slots():
     )
 
 
+#: queries registered AFTER the r11 window freeze — they cannot hold a
+#: slot in THIS window and head the r12 rotation instead.  EMPTY at the
+#: freeze; list every post-freeze registration here EXPLICITLY so the
+#: exemption is a conscious act, not a silent hole.  Keep in lockstep
+#: across both tests below.
+ADDED_AFTER_R11_FREEZE: set[str] = set()
+
+
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r10 window freeze must have a driver row
-    in r01..r09 or sit in the r10 window awaiting one — at this freeze the
-    set is EMPTY-gap by construction: r01∪…∪r09 rows cover all 198 prior
-    queries and the 2 round-10 lanes hold window slots.  Queries added
+    """Every query present at the r11 window freeze must have a driver row
+    in r01..r10 or sit in the r11 window awaiting one — at this freeze the
+    awaiting set is exactly the 15 tier-1 lanes (12 post-r10-freeze + 3
+    round-11 registrations), all holding window slots.  Queries added
     after the freeze are exempt (next round's rotation) but must be listed
-    here EXPLICITLY so the exemption is a conscious act, not a silent
-    hole."""
+    in ADDED_AFTER_R11_FREEZE explicitly."""
     import json
     import pathlib
-
-    added_after_r10_freeze: set[str] = {
-        "multimodal_decode_wav",
-        "multimodal_resize_real",
-        "multimodal_frames_gif",
-        "text_bpe_merges",
-        "text_bpe_encode",
-        "multimodal_audio_fft",
-        "sketch_count_min_audit",
-        "multimodal_decode_jpeg",
-        "sketch_join_size_estimate",
-        "streaming_count_min",
-        "sketch_hll_scratch_audit",
-        "sketch_stats_cache_audit",
-        "multimodal_decode_jpeg_color",
-        "sketch_hll_linear_audit",
-        "streaming_hll_distinct",
-    }
 
     root = pathlib.Path(__file__).resolve().parent.parent
     seen: set[str] = set()
@@ -141,30 +119,33 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in added_after_r10_freeze
+        and n not in ADDED_AFTER_R11_FREEZE
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-10 window audit: (a) every registered query either has a prior
+    """Round-11 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
     one of the 8 declared sentinels, an OUTPUT_CHANGED_SINCE_PROOF lane
     (stale row on a changed output), or a STALE-REFRESH slot whose newest
-    prior row is from round 5 or 6 (the oldest proofs left after r09
-    drained the r04 rows; refreshed oldest-first).  `latest` is pinned to
-    the rounds BEFORE this window froze (r01-r09): once the driver emits
-    CORRECTNESS_r10 for the window itself, an open glob would reclassify
-    all 50 slots as re-proofs and fail this test for succeeding."""
+    prior row is from round 6 (the oldest proofs left after r10 drained
+    the r05 rows; refreshed alphabetically, 27 of 33 — the other 6 head
+    r12).  `latest` is pinned to the rounds BEFORE this window froze
+    (r01-r10): once the driver emits CORRECTNESS_r11 for the window
+    itself, an open glob would reclassify all 50 slots as re-proofs and
+    fail this test for succeeding."""
     import json
     import pathlib
     import re
 
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for f in sorted(root.glob("CORRECTNESS_r0[1-9].json")):
-        rnd = int(re.search(r"r0(\d)", f.name).group(1))
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        if rnd > 10:
+            continue  # pinned to the pre-freeze record
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
     sentinels = {
@@ -183,36 +164,16 @@ def test_driver_window_drains_the_backlog():
         assert (
             n in sentinels
             or n in OUTPUT_CHANGED_SINCE_PROOF
-            or latest[n] in (5, 6)
+            or latest[n] == 6
         ), (
             f"window slot {n!r} re-proves a query last proven in "
-            f"r0{latest[n]} — not a sentinel, not output-changed, not a "
-            f"stale refresh"
+            f"r{latest[n]:02d} — not a sentinel, not output-changed, not "
+            f"a stale refresh"
         )
-    # post-freeze additions (the r11 rotation) cannot have a slot in THIS
-    # window by construction — keep in lockstep with
-    # test_driver_rows_cumulative_coverage's added_after_r10_freeze
-    added_after_r10_freeze: set[str] = {
-        "multimodal_decode_wav",
-        "multimodal_resize_real",
-        "multimodal_frames_gif",
-        "text_bpe_merges",
-        "text_bpe_encode",
-        "multimodal_audio_fft",
-        "sketch_count_min_audit",
-        "multimodal_decode_jpeg",
-        "sketch_join_size_estimate",
-        "streaming_count_min",
-        "sketch_hll_scratch_audit",
-        "sketch_stats_cache_audit",
-        "multimodal_decode_jpeg_color",
-        "sketch_hll_linear_audit",
-        "streaming_hll_distinct",
-    }
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in added_after_r10_freeze
+        if n not in latest and n not in ADDED_AFTER_R11_FREEZE
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
