@@ -2905,10 +2905,22 @@ def q_dq_constraint_report(spark, sf_dir):
               F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
         .agg(F.count("*").alias("n"))
     )
+    # one events scan for all three event checks: unpivot the single agg
+    # row with stack() instead of unioning three selects over the same
+    # aggregate (three copies of the scan+agg subplan in the r05-r10
+    # shape; the fold showed the fixed cost dominating this lane)
+    ev_rows = ev_checks.select(
+        F.expr(
+            "stack(3, 'events_type_accepted', bad_type, "
+            "'events_user_not_null', null_user, "
+            "'events_value_finite', nonfinite_value) "
+            "AS (check_name, n)"
+        )
+    ).select(
+        "check_name", F.col("n").cast("bigint").alias("n_violations")
+    )
     report = (
-        _row("events_type_accepted", ev_checks.select(F.col("bad_type").alias("n")))
-        .union(_row("events_user_not_null", ev_checks.select(F.col("null_user").alias("n"))))
-        .union(_row("events_value_finite", ev_checks.select(F.col("nonfinite_value").alias("n"))))
+        ev_rows
         .union(_row("embeddings_finite", emb_check))
         .union(_row("lineitem_fk_orders", fk_check))
         .union(_row("lineitem_qty_range", qty_check))
