@@ -90,6 +90,15 @@ FLAGSHIPS = [
     "text_bpe_merges",
     "sketch_count_min_audit",
     "sketch_hll_scratch_audit",
+    # round-11: the three first-proof lanes of this round's window join
+    # the grid with their driver rows (r10 verdict ask #7) — the color
+    # codec (3x the gray lane's per-row block work, same Arrow spine),
+    # the full-estimator HLL audit (4 probes x one scan each), and the
+    # streaming register-file merge (micro-batch floor dominated, like
+    # the rest of the streaming class)
+    "multimodal_decode_jpeg_color",
+    "sketch_hll_linear_audit",
+    "streaming_hll_distinct",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;

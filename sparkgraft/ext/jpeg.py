@@ -9,11 +9,14 @@ Nothing beyond ``struct``/``math`` (numpy accelerates the 8x8 IDCT matrix
 product, as it already does for resampling in ext/multimodal).
 
 Scope is declared, not hedged (the ext/png + ext/wav posture): baseline
-sequential, grayscale (1 component) and YCbCr 4:4:4 color (3 components,
-all sampling factors 1x1).  Chroma SUBSAMPLING (4:2:0 / 4:2:2),
-progressive (SOF2) and every other SOF family, arithmetic coding, 12-bit
-precision, restart intervals, and DNL all raise ``ValueError`` naming the
-unsupported feature — they are unsupported INPUTS to a working decoder.
+sequential, grayscale (1 component) and YCbCr color (3 components) at
+4:4:4, 4:2:2, 4:2:0 and 4:4:0 — luma sampling factors of 1 or 2 per
+axis with 1x1 chroma, decoded through a generic interleaved-MCU loop
+with replication (nearest) chroma upsampling, which is exact integer
+indexing.  Sampling factors above 2, progressive (SOF2) and every other
+SOF family, arithmetic coding, 12-bit precision, restart intervals, and
+DNL all raise ``ValueError`` naming the unsupported feature — they are
+unsupported INPUTS to a working decoder.
 The color transform is FIXED-POINT integer arithmetic (16-bit scaled
 JFIF coefficients, the libjpeg convention: ``(c*v + 32768) >> 16`` with
 arithmetic shift = floor), NOT float — so decode output is bit-stable
@@ -589,6 +592,88 @@ def encode_ycbcr(
     )
 
 
+def encode_ycbcr_420(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    qtable=FLAT_Q16,
+    chroma_qtable=FLAT_Q16,
+) -> bytes:
+    """Baseline YCbCr 4:2:0 — the dominant real-world JPEG layout: luma
+    sampling 2x2, chroma 1x1, so each MCU covers 16x16 pixels and carries
+    FOUR Y blocks (raster order) plus one Cb and one Cr block.  Chroma is
+    subsampled by TOP-LEFT SAMPLE (spec-legal — the subsampling filter is
+    the encoder's choice) because that is the exact inverse of the
+    decoder's replication upsample: chroma constant per 2x2 pixel pair
+    (and in the fixture class per whole MCU) roundtrips bit-exactly,
+    extending the even-constant-block lossless contract to the
+    subsampled layout."""
+    n = width * height
+    if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
+        raise ValueError("jpeg: planes must each be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    luma_dc = _canonical_codes(DC_BITS, DC_VALS)
+    luma_ac = _canonical_codes(AC_BITS, AC_VALS)
+    chroma_dc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    chroma_ac = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    cw, ch = mcux * 8, mcuy * 8
+    cb_sub = bytearray(cw * ch)
+    cr_sub = bytearray(cw * ch)
+    for cy in range(ch):
+        sy = min(2 * cy, height - 1)
+        for cx in range(cw):
+            sx = min(2 * cx, width - 1)
+            cb_sub[cy * cw + cx] = cb_plane[sy * width + sx]
+            cr_sub[cy * cw + cx] = cr_plane[sy * width + sx]
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    block = _extract_block(
+                        y_plane, width, height, mx * 2 + bx, my * 2 + by
+                    )
+                    preds[0] = _encode_block(
+                        w, block, preds[0], luma_dc, luma_ac, qtable
+                    )
+            for ci, sub in ((1, cb_sub), (2, cr_sub)):
+                block = _extract_block(bytes(sub), cw, ch, mx, my)
+                preds[ci] = _encode_block(
+                    w, block, preds[ci], chroma_dc, chroma_ac, chroma_qtable
+                )
+    w.flush()
+
+    return b"".join(
+        [
+            SOI,
+            _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            _seg(0xDB, b"\x00" + bytes(qtable)),
+            _seg(0xDB, b"\x01" + bytes(chroma_qtable)),
+            _seg(
+                0xC0,
+                struct.pack(">BHHB", 8, height, width, 3)
+                # Y samples 2x2; chroma 1x1 — the 4:2:0 layout
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            ),
+            _table_seg(0, 0, DC_BITS, DC_VALS),
+            _table_seg(1, 0, AC_BITS, AC_VALS),
+            _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _table_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
+            bytes(w.out),
+            EOI,
+        ]
+    )
+
+
 def encode_color(
     width: int, height: int, rgb: bytes, qtable=FLAT_Q16
 ) -> bytes:
@@ -632,17 +717,21 @@ def _decode_block(reader: _BitReader, dcm, acm, q, pred: int):
 
 
 def decode(payload: bytes) -> dict:
-    """Strict baseline JPEG decoder: grayscale and YCbCr 4:4:4 color.
+    """Strict baseline JPEG decoder: grayscale and YCbCr color at
+    4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 (luma factors 1-2 per axis, 1x1
+    chroma).
 
     Grayscale returns ``{"width", "height", "n_components": 1,
     "pixels"}`` with ``pixels`` the row-major 8-bit gray bytes (edge
     padding cropped).  Color returns ``{"width", "height",
     "n_components": 3, "y", "cb", "cr", "rgb"}`` — the three decoded
-    planes plus interleaved RGB from the FIXED-POINT inverse transform
-    (:func:`ycbcr_to_rgb`).  Refuses, BY NAME: every non-baseline SOF
-    family, chroma subsampling (any sampling factor other than 1x1),
-    component counts other than 1 or 3, 12-bit precision, restart
-    intervals, and scans referencing undefined tables."""
+    planes at FULL resolution (subsampled chroma is replication-
+    upsampled: exact integer indexing, the inverse of the encoder's
+    top-left pick) plus interleaved RGB from the FIXED-POINT inverse
+    transform (:func:`ycbcr_to_rgb`).  Refuses, BY NAME: every
+    non-baseline SOF family, sampling factors above 2 (or non-1x1
+    chroma), component counts other than 1 or 3, 12-bit precision,
+    restart intervals, and scans referencing undefined tables."""
     if payload[:2] != SOI:
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
@@ -650,7 +739,7 @@ def decode(payload: bytes) -> dict:
     dc_maps: dict[int, list] = {}
     ac_maps: dict[int, list] = {}
     width = height = None
-    frame_comps: list[tuple[int, int]] | None = None  # (comp_id, tq)
+    frame_comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, tq)
     scan_at = None
     scan_sel: list[tuple[int, int]] | None = None  # (dc, ac) per comp
 
@@ -710,12 +799,21 @@ def decode(payload: bytes) -> dict:
             frame_comps = []
             for c in range(n_comp):
                 cid, sampling, tq = body[6 + 3 * c: 9 + 3 * c]
-                if sampling != 0x11:
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError(
-                        "jpeg: chroma subsampling (sampling factor "
-                        f"0x{sampling:02X}) unsupported — 4:4:4 only"
+                        "jpeg: sampling factor "
+                        f"{sh}x{sv} unsupported — 1 or 2 per axis only"
                     )
-                frame_comps.append((cid, tq))
+                if n_comp == 1 and sampling != 0x11:
+                    raise ValueError("jpeg: subsampling meaningless for gray")
+                if n_comp == 3 and c > 0 and sampling != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma sampling factors must be 1x1 "
+                        f"(got {sh}x{sv}) — 4:4:4/4:2:2/4:2:0 via the "
+                        "luma factor only"
+                    )
+                frame_comps.append((cid, sh, sv, tq))
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack_from(">H", body, 0)
             if interval:
@@ -744,40 +842,71 @@ def decode(payload: bytes) -> dict:
 
     if width is None or scan_at is None:
         raise ValueError("jpeg: missing SOF0 or SOS")
-    tables = []  # (dcm, acm, q) per component, scan order
-    for (cid, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
+    comps = []  # (h, v, dcm, acm, q) per component, scan order
+    for (cid, sh, sv, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
         if tq not in qtables:
             raise ValueError("jpeg: scan references undefined quant table")
         if dc_sel not in dc_maps or ac_sel not in ac_maps:
             raise ValueError("jpeg: scan references undefined Huffman table")
-        tables.append((dc_maps[dc_sel], ac_maps[ac_sel], qtables[tq]))
+        comps.append((sh, sv, dc_maps[dc_sel], ac_maps[ac_sel], qtables[tq]))
 
+    # generic interleaved-MCU loop (A.2.3): an MCU carries h_i*v_i blocks
+    # per component in raster order; each component decodes into its own
+    # (possibly subsampled) plane, padded to whole MCUs and cropped on
+    # upsample.  hmax/vmax define the MCU's pixel footprint.
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    strides = [mcux * c[0] * 8 for c in comps]
+    planes = [bytearray(strides[i] * mcuy * comps[i][1] * 8)
+              for i in range(len(comps))]
+    preds = [0] * len(comps)
     reader = _BitReader(payload, scan_at)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [bytearray(width * height) for _ in tables]
-    preds = [0] * len(tables)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (dcm, acm, q) in enumerate(tables):
-                px, preds[ci] = _decode_block(reader, dcm, acm, q, preds[ci])
-                out = planes[ci]
-                for y in range(8):
-                    sy = by * 8 + y
-                    if sy >= height:
-                        break
-                    row0 = sy * width
-                    for x in range(8):
-                        sx = bx * 8 + x
-                        if sx < width:
-                            out[row0 + sx] = px[y * 8 + x]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv, dcm, acm, q) in enumerate(comps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        px, preds[ci] = _decode_block(
+                            reader, dcm, acm, q, preds[ci]
+                        )
+                        out = planes[ci]
+                        stride = strides[ci]
+                        x0 = (mx * sh + bx) * 8
+                        y0 = (my * sv + by) * 8
+                        for y in range(8):
+                            row0 = (y0 + y) * stride + x0
+                            out[row0: row0 + 8] = px[y * 8: y * 8 + 8]
+
+    def _upsample(ci: int) -> bytes:
+        """Full-resolution plane: nearest (replication) upsample from the
+        component's sampling grid, cropped to width x height — exact
+        integer indexing, the inverse of the encoder's top-left pick."""
+        sh, sv = comps[ci][0], comps[ci][1]
+        src, stride = planes[ci], strides[ci]
+        if sh == hmax and sv == vmax:
+            # full-rate component: pure crop
+            return b"".join(
+                src[y * stride: y * stride + width] for y in range(height)
+            )
+        out = bytearray(width * height)
+        for y in range(height):
+            sy = (y * sv) // vmax
+            row0 = sy * stride
+            orow = y * width
+            for x in range(width):
+                out[orow + x] = src[row0 + (x * sh) // hmax]
+        return bytes(out)
+
     if len(planes) == 1:
         return {
             "width": width,
             "height": height,
             "n_components": 1,
-            "pixels": bytes(planes[0]),
+            "pixels": _upsample(0),
         }
-    yp, cbp, crp = planes
+    yp, cbp, crp = (_upsample(i) for i in range(3))
     rgb = bytearray(3 * width * height)
     for i in range(width * height):
         rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = ycbcr_to_rgb(
@@ -787,8 +916,8 @@ def decode(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_components": 3,
-        "y": bytes(yp),
-        "cb": bytes(cbp),
-        "cr": bytes(crp),
+        "y": yp,
+        "cb": cbp,
+        "cr": crp,
         "rgb": bytes(rgb),
     }

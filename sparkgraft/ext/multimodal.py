@@ -1090,6 +1090,65 @@ def synth_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
+def synth_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline YCbCr 4:2:0 JPEG payloads from ids —
+    the subsampled sibling of :func:`synth_jpeg_color_payloads`.  Per
+    row: a ``16*(1 + id % 2) x 16`` image (one MCU row, 1-2 MCU
+    columns); luma is CONSTANT EVEN per 8x8 block and chroma CONSTANT
+    EVEN per 16x16 MCU::
+
+        y  (block gx=mx*2+bx, by) = 64 + 2 * ((id*7  + gx*3 + by*5) % 64)
+        cb (MCU mx)               = 96 + 2 * ((id*11 + mx*5) % 32)
+        cr (MCU mx)               = 96 + 2 * ((id*13 + mx*7) % 32)
+
+    MCU-constant chroma makes the encoder's top-left subsample pick and
+    the decoder's replication upsample exact inverses, so the whole
+    subsampled pipeline is lossless on this class and the oracle stays
+    pure id arithmetic.  Emits (id, payload, source_md5) digesting the
+    full-resolution y||cb||cr source planes."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                mw = 1 + i % 2
+                w, h = 16 * mw, 16
+                yp = bytearray(w * h)
+                cbp = bytearray(w * h)
+                crp = bytearray(w * h)
+                for mx in range(mw):
+                    cbv = 96 + 2 * ((i * 11 + mx * 5) % 32)
+                    crv = 96 + 2 * ((i * 13 + mx * 7) % 32)
+                    for by in range(2):
+                        for bx in range(2):
+                            gx = mx * 2 + bx
+                            yv = 64 + 2 * ((i * 7 + gx * 3 + by * 5) % 64)
+                            for y in range(8):
+                                row0 = (by * 8 + y) * w + gx * 8
+                                for x in range(8):
+                                    yp[row0 + x] = yv
+                                    cbp[row0 + x] = cbv
+                                    crp[row0 + x] = crv
+                out["doc_id"].append(i)
+                out["payload"].append(
+                    _jpeg.encode_ycbcr_420(
+                        w, h, bytes(yp), bytes(cbp), bytes(crp)
+                    )
+                )
+                out["source_md5"].append(
+                    hashlib.md5(bytes(yp) + bytes(cbp) + bytes(crp)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
 def decode_jpeg_color_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Color-JPEG decode + feature extraction: per-plane sums, RGB sums
     from the fixed-point inverse transform, and the md5 of the decoded

@@ -2791,6 +2791,93 @@ def q_multimodal_decode_jpeg_color(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg_420",
+    """
+    -- the SUBSAMPLED decode contract: 16*(1+id%2) x 16 4:2:0 JPEGs with
+    -- luma constant-even per 8x8 block and chroma constant-even per
+    -- 16x16 MCU -- the class where the encoder's top-left subsample
+    -- pick and the decoder's replication upsample are exact inverses,
+    -- so every decoded plane (at FULL resolution) is id arithmetic and
+    -- the RGB sums go through the same fixed-point FLOOR formula as the
+    -- 4:4:4 lane
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 2 AS mw FROM documents),
+    blk AS (
+      SELECT doc_id, mw, mxs.i AS mx, bxs.i AS bx, bys.i AS by
+      FROM g, range(0, 2) mxs(i), range(0, 2) bxs(i), range(0, 2) bys(i)
+      WHERE mxs.i < mw),
+    v AS (
+      SELECT doc_id, mw,
+             64 + 2 * ((doc_id * 7 + (mx * 2 + bx) * 3 + by * 5) % 64) AS y,
+             96 + 2 * ((doc_id * 11 + mx * 5) % 32) AS cb,
+             96 + 2 * ((doc_id * 13 + mx * 7) % 32) AS cr
+      FROM blk),
+    px AS (
+      SELECT doc_id, mw, y, cb, cr,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+               / 65536.0) AS BIGINT))) AS grn,
+             LEAST(255, GREATEST(0, y + CAST(FLOOR(
+               (116131 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM v)
+    SELECT doc_id,
+           CAST(mw * 16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(mw * 256 AS BIGINT) AS n_pixels,
+           CAST(64 * SUM(y) AS BIGINT) AS y_sum,
+           CAST(64 * SUM(cb) AS BIGINT) AS cb_sum,
+           CAST(64 * SUM(cr) AS BIGINT) AS cr_sum,
+           CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+           CAST(64 * SUM(grn) AS BIGINT) AS g_sum,
+           CAST(64 * SUM(b) AS BIGINT) AS b_sum,
+           TRUE AS pixels_match
+    FROM px GROUP BY doc_id, mw ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg_420(spark, sf_dir):
+    """4:2:0 — the dominant real-world JPEG layout — through the full
+    subsampled pipeline: the generic interleaved-MCU decoder (4 luma
+    blocks + Cb + Cr per MCU, per-component DC predictors) plus
+    replication chroma upsampling, against fixtures whose chroma is
+    constant per MCU so the encoder's top-left subsample pick inverts
+    EXACTLY (ext/jpeg.encode_ycbcr_420; ext/multimodal.
+    synth_jpeg_420_payloads).  The oracle predicts all three
+    full-resolution plane sums and the fixed-point RGB sums from id
+    arithmetic — the driver hash certifies the MCU block ORDER, the
+    per-component predictors, the subsample/upsample inverse pair, and
+    the color transform in one relation; pixels_match pins the decoded
+    full-res y||cb||cr md5 against the source digest.
+
+    Scale posture: identical to the other media lanes — per-row-bounded
+    Arrow map work behind the same doc_id fan-out repartition; 4:2:0
+    halves the chroma block count vs 4:4:4, which is the layout's whole
+    point at 100 TB of images.  (Registered post-r11-freeze: heads the
+    r12 rotation.)"""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = multimodal.synth_jpeg_420_payloads(docs)
+    feats = multimodal.decode_jpeg_color_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "y_sum",
+        "cb_sum",
+        "cr_sum",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sketch_join_size_estimate",
     sketch.cm_join_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
 )

@@ -97,6 +97,56 @@ def test_jpeg_even_constant_blocks_exact(bw, bh, data):
     assert d["pixels"] == bytes(px)
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 2), st.data())
+def test_jpeg_color_even_constant_blocks_exact(bw, bh, data):
+    """The color extension of the even-constant-block exactness class:
+    per-block constant even values in ALL THREE planes roundtrip
+    bit-exactly, and the emitted RGB is exactly the fixed-point inverse
+    transform of the decoded planes."""
+    w, h = 8 * bw, 8 * bh
+    even = st.integers(0, 127).map(lambda v: 2 * v)
+    vals = data.draw(
+        st.lists(
+            st.tuples(even, even, even), min_size=bw * bh, max_size=bw * bh
+        )
+    )
+    yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+    for by in range(bh):
+        for bx in range(bw):
+            yv, cbv, crv = vals[by * bw + bx]
+            for y in range(8):
+                row0 = (by * 8 + y) * w + bx * 8
+                for x in range(8):
+                    yp[row0 + x], cbp[row0 + x], crp[row0 + x] = yv, cbv, crv
+    d = jpeg.decode(jpeg.encode_ycbcr(w, h, bytes(yp), bytes(cbp), bytes(crp)))
+    assert d["y"] == bytes(yp) and d["cb"] == bytes(cbp) and d["cr"] == bytes(crp)
+    for i in (0, w * h - 1):
+        assert tuple(d["rgb"][3 * i: 3 * i + 3]) == jpeg.ycbcr_to_rgb(
+            yp[i], cbp[i], crp[i]
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_jpeg_color_rgb_roundtrip_error_bound(data):
+    """Arbitrary RGB through encode_color -> decode: plane error <= the
+    gray bound, and the two fixed-point transforms compose to near-
+    identity (each plane's quantization error scales through bounded
+    integer coefficients)."""
+    w = h = 8
+    rgb = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h)
+        )
+    )
+    d = jpeg.decode(jpeg.encode_color(w, h, rgb))
+    diffs = [abs(a - b) for a, b in zip(d["rgb"], rgb)]
+    # 64 per plane through the IDCT bound; the inverse transform scales
+    # chroma error by <= 1.772 and sums two terms for g
+    assert max(diffs) <= 170, max(diffs)
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=12),

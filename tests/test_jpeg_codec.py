@@ -235,6 +235,58 @@ def test_color_crops_non_multiple_of_8():
     assert len(d["y"]) == w * h and len(d["rgb"]) == 3 * w * h
 
 
+def test_420_exactness_class_roundtrips():
+    """4:2:0's lossless fixture class: luma constant per 8x8 block,
+    chroma constant per 16x16 MCU (so the top-left subsample pick and
+    the replication upsample are exact inverses), all values even."""
+    w, h = 32, 16
+    yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+    for mx in range(2):
+        cbv, crv = 96 + 8 * mx, 130 - 8 * mx
+        for by in range(2):
+            for bx in range(2):
+                yv = 64 + 2 * ((mx * 7 + bx * 3 + by * 5) % 64)
+                for y in range(8):
+                    for x in range(8):
+                        i = (by * 8 + y) * w + mx * 16 + bx * 8 + x
+                        yp[i], cbp[i], crp[i] = yv, cbv, crv
+    d = jpeg.decode(jpeg.encode_ycbcr_420(w, h, bytes(yp), bytes(cbp), bytes(crp)))
+    assert d["n_components"] == 3
+    assert d["y"] == bytes(yp) and d["cb"] == bytes(cbp) and d["cr"] == bytes(crp)
+    exp = bytearray()
+    for i in range(w * h):
+        exp.extend(jpeg.ycbcr_to_rgb(yp[i], cbp[i], crp[i]))
+    assert d["rgb"] == bytes(exp)
+
+
+def test_420_crops_and_upsamples_odd_dimensions():
+    w, h = 21, 13
+    yp = bytes((i * 3) % 256 for i in range(w * h))
+    cbp = bytes([100]) * (w * h)
+    crp = bytes([120]) * (w * h)
+    d = jpeg.decode(jpeg.encode_ycbcr_420(w, h, yp, cbp, crp))
+    assert (d["width"], d["height"]) == (w, h)
+    # constant chroma survives subsample+upsample exactly at ANY size
+    assert d["cb"] == cbp and d["cr"] == crp
+    assert len(d["y"]) == w * h
+
+
+def test_420_luma_error_bound_on_arbitrary_images():
+    random.seed(23)
+    w, h = 16, 16
+    yp = bytes(random.randrange(256) for _ in range(w * h))
+    cbp = bytes(random.randrange(256) for _ in range(w * h))
+    crp = bytes(random.randrange(256) for _ in range(w * h))
+    d = jpeg.decode(jpeg.encode_ycbcr_420(w, h, yp, cbp, crp))
+    # luma is NOT subsampled: same quantization-error envelope as gray
+    assert max(abs(a - b) for a, b in zip(d["y"], yp)) <= 64
+    # chroma went through top-left pick + replication: decoded chroma at
+    # the picked positions (even x, even y) obeys the quantization bound
+    for y in range(0, h, 2):
+        for x in range(0, w, 2):
+            assert abs(d["cb"][y * w + x] - cbp[y * w + x]) <= 64
+
+
 # ---------------------------------------------------------------------------
 # refusals, by name
 # ---------------------------------------------------------------------------
@@ -265,11 +317,19 @@ def test_refuses_two_component_by_name():
         jpeg.decode(bytes(enc))
 
 
-def test_refuses_chroma_subsampling_by_name():
+def test_refuses_nonunit_chroma_sampling_by_name():
     enc = bytearray(jpeg.encode_color(8, 8, bytes(range(192))))
     i = enc.index(bytes([0xFF, 0xC0]))
-    enc[i + 11] = 0x22  # Y sampling factor 2x2
-    with pytest.raises(ValueError, match="subsampling"):
+    enc[i + 14] = 0x21  # Cb sampling factor 2x1
+    with pytest.raises(ValueError, match="chroma sampling"):
+        jpeg.decode(bytes(enc))
+
+
+def test_refuses_sampling_factor_above_two_by_name():
+    enc = bytearray(jpeg.encode_color(8, 8, bytes(range(192))))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    enc[i + 11] = 0x41  # Y sampling factor 4x1
+    with pytest.raises(ValueError, match="sampling factor 4x1"):
         jpeg.decode(bytes(enc))
 
 

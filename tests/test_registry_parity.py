@@ -97,7 +97,9 @@ def test_output_changed_lanes_hold_window_slots():
 #: freeze; list every post-freeze registration here EXPLICITLY so the
 #: exemption is a conscious act, not a silent hole.  Keep in lockstep
 #: across both tests below.
-ADDED_AFTER_R11_FREEZE: set[str] = set()
+ADDED_AFTER_R11_FREEZE: set[str] = {
+    "multimodal_decode_jpeg_420",
+}
 
 
 def test_driver_rows_cumulative_coverage():
