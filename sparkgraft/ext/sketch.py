@@ -442,7 +442,79 @@ def hll_lc_estimate_audit(
         F.count(F.lit(1)).cast("int").alias("registers_used"),
     )
     exact = df.agg(F.countDistinct(F.expr(key_expr)).alias("n_exact"))
-    return _hll_lc_select(exact.crossJoin(folded), label)
+    return _hll_lc_select(
+        exact.crossJoin(folded).select(F.lit(label).alias("probe"), "*")
+    )
+
+
+def hll_lc_multi_probe_audit(df: DataFrame, probes) -> DataFrame:
+    """All probes' :func:`hll_lc_estimate_audit` relations in ONE scan of
+    ``df``: each row explodes into (probe, key-string) pairs, a single
+    (probe, reg) max-aggregation builds every register file at once, and
+    a single (probe, key) distinct-aggregation supplies the exact counts
+    — at 100 TB this replaces len(probes) corpus scans with one, which
+    is the dominant cost (the per-probe state stays <= m rows).
+
+    ``probes``: iterable of (label, key_expr) with key_expr a BIGINT SQL
+    expression (the key string the portable hash sees is
+    ``CAST(expr AS STRING)``, identical to the per-probe path, so the
+    output is bit-identical to unioned single-probe audits)."""
+    probes = list(probes)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("probe"),
+                        F.expr(f"CAST(({expr}) AS STRING)").alias("k"),
+                    )
+                    for label, expr in probes
+                ]
+            )
+        ).alias("pk")
+    ).select("pk.probe", "pk.k")
+    h = "CAST(conv(substr(md5(concat('hll:', k)), 1, 15), 16, 10) AS BIGINT)"
+    rho = _HLL_RHO_SQL.format(v=f"(({h}) div {HLL_M})")
+    regs = (
+        pairs.select(
+            "probe",
+            F.expr(f"({h}) % {HLL_M}").alias("reg"),
+            F.expr(rho).cast("int").alias("rho"),
+        )
+        .groupBy("probe", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    folded = regs.groupBy("probe").agg(
+        (
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")), F.lit(0)
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 52).cast("long")
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).cast("int").alias("registers_used"),
+    )
+    exact = pairs.groupBy("probe").agg(
+        F.countDistinct("k").alias("n_exact")
+    )
+    # empty input: no pairs at all -> seed every probe's empty row so the
+    # relation keeps one row per probe (estimate-0 contract)
+    seed = df.sparkSession.createDataFrame(
+        [(label,) for label, _ in probes], "probe string"
+    )
+    joined = (
+        seed.join(exact, "probe", "left")
+        .join(folded, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce(
+                "sum_scaled", F.lit(HLL_M * (1 << 52)).cast("long")
+            ).alias("sum_scaled"),
+            F.coalesce("registers_used", F.lit(0)).alias("registers_used"),
+        )
+    )
+    return _hll_lc_select(joined)
 
 
 def hll_lc_audit_against_registers(
@@ -468,16 +540,17 @@ def hll_lc_audit_against_registers(
     sum_scaled += (HLL_M - used) * (1 << 52)
     exact = df.agg(F.countDistinct(F.expr(key_expr)).alias("n_exact"))
     folded = exact.select(
+        F.lit(label).alias("probe"),
         "n_exact",
         F.lit(sum_scaled).cast("long").alias("sum_scaled"),
         F.lit(used).cast("int").alias("registers_used"),
     )
-    return _hll_lc_select(folded, label)
+    return _hll_lc_select(folded)
 
 
-def _hll_lc_select(folded: DataFrame, label: str) -> DataFrame:
+def _hll_lc_select(folded: DataFrame) -> DataFrame:
     """The shared estimator tail: branch selection + both estimates over
-    a (n_exact, sum_scaled, registers_used) relation."""
+    a (probe, n_exact, sum_scaled, registers_used) relation."""
     raw = (
         F.lit(0.7213)
         / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
@@ -491,7 +564,7 @@ def _hll_lc_select(folded: DataFrame, label: str) -> DataFrame:
         F.greatest(empty, F.lit(1)).cast("int"),
     )
     return folded.select(
-        F.lit(label).alias("probe"),
+        "probe",
         F.col("n_exact").cast("long").alias("n_exact"),
         "registers_used",
         empty.cast("int").alias("empty_registers"),

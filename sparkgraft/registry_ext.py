@@ -3129,20 +3129,19 @@ def q_sketch_hll_linear_audit(spark, sf_dir):
     n_exact, both branch estimates, the selected estimate, and which
     branch fired, per probe.
 
-    Scale posture: per probe, one scan with map-side-combined max into
-    <= 256 rows per partition, O(m) after; the lookup is a literal
-    array expression, nothing broadcast, nothing collected.
-    (Registered post-r11-freeze: first driver proof lands with the r11
-    rotation.)"""
+    Scale posture: ONE scan for all four probes — each row explodes
+    into (probe, key) pairs and a single (probe, reg) max-aggregation
+    builds every register file at once
+    (ext/sketch.hll_lc_multi_probe_audit; bit-identical output to
+    unioned per-probe audits, which is how the first registration ran —
+    at 100 TB the corpus scan is the dominant cost and this shape pays
+    it once, not len(probes) times).  The lookup is a literal array
+    expression, nothing broadcast, nothing collected.  (Registered
+    post-r11-freeze: first driver proof lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
-    parts = [
-        sketch.hll_lc_estimate_audit(events, expr, label)
-        for label, expr in _HLL_LC_PROBES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("probe")
+    return sketch.hll_lc_multi_probe_audit(
+        events, _HLL_LC_PROBES
+    ).orderBy("probe")
 
 
 _SKETCH_CACHE_FLAGS = (
