@@ -882,22 +882,36 @@ def decode(payload: bytes) -> dict:
     def _upsample(ci: int) -> bytes:
         """Full-resolution plane: nearest (replication) upsample from the
         component's sampling grid, cropped to width x height — exact
-        integer indexing, the inverse of the encoder's top-left pick."""
+        integer indexing, the inverse of the encoder's top-left pick.
+        numpy fancy-index path when available (identical index
+        arithmetic, so bit-identical output), per-pixel fallback kept."""
         sh, sv = comps[ci][0], comps[ci][1]
         src, stride = planes[ci], strides[ci]
-        if sh == hmax and sv == vmax:
-            # full-rate component: pure crop
-            return b"".join(
-                src[y * stride: y * stride + width] for y in range(height)
+        try:
+            import numpy as np
+
+            grid = np.frombuffer(bytes(src), dtype=np.uint8).reshape(
+                -1, stride
             )
-        out = bytearray(width * height)
-        for y in range(height):
-            sy = (y * sv) // vmax
-            row0 = sy * stride
-            orow = y * width
-            for x in range(width):
-                out[orow + x] = src[row0 + (x * sh) // hmax]
-        return bytes(out)
+            if sh == hmax and sv == vmax:
+                return grid[:height, :width].tobytes()
+            rows = (np.arange(height) * sv) // vmax
+            cols = (np.arange(width) * sh) // hmax
+            return grid[np.ix_(rows, cols)].tobytes()
+        except ImportError:  # pragma: no cover - numpy is baked in
+            if sh == hmax and sv == vmax:
+                return b"".join(
+                    src[y * stride: y * stride + width]
+                    for y in range(height)
+                )
+            out = bytearray(width * height)
+            for y in range(height):
+                sy = (y * sv) // vmax
+                row0 = sy * stride
+                orow = y * width
+                for x in range(width):
+                    out[orow + x] = src[row0 + (x * sh) // hmax]
+            return bytes(out)
 
     if len(planes) == 1:
         return {
@@ -907,11 +921,6 @@ def decode(payload: bytes) -> dict:
             "pixels": _upsample(0),
         }
     yp, cbp, crp = (_upsample(i) for i in range(3))
-    rgb = bytearray(3 * width * height)
-    for i in range(width * height):
-        rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = ycbcr_to_rgb(
-            yp[i], cbp[i], crp[i]
-        )
     return {
         "width": width,
         "height": height,
@@ -919,5 +928,36 @@ def decode(payload: bytes) -> dict:
         "y": yp,
         "cb": cbp,
         "cr": crp,
-        "rgb": bytes(rgb),
+        "rgb": _planes_to_rgb(yp, cbp, crp),
     }
+
+
+def _planes_to_rgb(yp: bytes, cbp: bytes, crp: bytes) -> bytes:
+    """Interleaved RGB from the three planes via the fixed-point inverse
+    transform — numpy int64 vector path when available (``>>`` on int64
+    is an arithmetic shift, exactly :func:`_fix`'s semantics, so the two
+    paths are bit-identical; pinned in tests), per-pixel fallback kept
+    honest the same way as :func:`_idct`."""
+    try:
+        import numpy as np
+
+        y = np.frombuffer(yp, dtype=np.uint8).astype(np.int64)
+        cb = np.frombuffer(cbp, dtype=np.uint8).astype(np.int64) - 128
+        cr = np.frombuffer(crp, dtype=np.uint8).astype(np.int64) - 128
+        r = np.clip(y + ((_FIX_R_CR * cr + 32768) >> 16), 0, 255)
+        g = np.clip(
+            y + ((_FIX_G_CB * cb + _FIX_G_CR * cr + 32768) >> 16), 0, 255
+        )
+        b = np.clip(y + ((_FIX_B_CB * cb + 32768) >> 16), 0, 255)
+        out = np.empty(3 * len(yp), dtype=np.uint8)
+        out[0::3] = r
+        out[1::3] = g
+        out[2::3] = b
+        return out.tobytes()
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        rgb = bytearray(3 * len(yp))
+        for i in range(len(yp)):
+            rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2] = ycbcr_to_rgb(
+                yp[i], cbp[i], crp[i]
+            )
+        return bytes(rgb)

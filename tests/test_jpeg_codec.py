@@ -271,6 +271,24 @@ def test_420_crops_and_upsamples_odd_dimensions():
     assert len(d["y"]) == w * h
 
 
+def test_vector_rgb_path_equals_scalar_transform():
+    """The numpy int64 vector path in _planes_to_rgb must be bit-identical
+    to the per-pixel ycbcr_to_rgb over the full byte range (arithmetic
+    shift == _fix's floor semantics, clip == _clamp8)."""
+    random.seed(29)
+    n = 4096
+    yp = bytes(random.randrange(256) for _ in range(n))
+    cbp = bytes(random.randrange(256) for _ in range(n))
+    crp = bytes(random.randrange(256) for _ in range(n))
+    got = jpeg._planes_to_rgb(yp, cbp, crp)
+    exp = bytearray(3 * n)
+    for i in range(n):
+        exp[3 * i], exp[3 * i + 1], exp[3 * i + 2] = jpeg.ycbcr_to_rgb(
+            yp[i], cbp[i], crp[i]
+        )
+    assert got == bytes(exp)
+
+
 def test_420_luma_error_bound_on_arbitrary_images():
     random.seed(23)
     w, h = 16, 16
