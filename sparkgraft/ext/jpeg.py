@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG codec (grayscale) — the DCT decode boundary.
+"""Pure-stdlib baseline JPEG codec — the DCT decode boundary.
 
 PNG (round 10) covered the lossless-filter class of image codecs; this
 module retires the transform-coding class: a REAL baseline JPEG decoder —
@@ -592,24 +592,32 @@ def encode_ycbcr(
     )
 
 
-def encode_ycbcr_420(
+def encode_ycbcr_sub(
     width: int,
     height: int,
     y_plane: bytes,
     cb_plane: bytes,
     cr_plane: bytes,
+    luma_h: int = 2,
+    luma_v: int = 2,
     qtable=FLAT_Q16,
     chroma_qtable=FLAT_Q16,
 ) -> bytes:
-    """Baseline YCbCr 4:2:0 — the dominant real-world JPEG layout: luma
-    sampling 2x2, chroma 1x1, so each MCU covers 16x16 pixels and carries
-    FOUR Y blocks (raster order) plus one Cb and one Cr block.  Chroma is
-    subsampled by TOP-LEFT SAMPLE (spec-legal — the subsampling filter is
-    the encoder's choice) because that is the exact inverse of the
-    decoder's replication upsample: chroma constant per 2x2 pixel pair
-    (and in the fixture class per whole MCU) roundtrips bit-exactly,
-    extending the even-constant-block lossless contract to the
-    subsampled layout."""
+    """Baseline YCbCr with subsampled chroma at luma sampling
+    ``luma_h x luma_v`` (each 1 or 2; chroma is always 1x1): (2,2) is
+    4:2:0 — the dominant real-world layout — (2,1) is 4:2:2, (1,2) is
+    4:4:0.  Each MCU covers ``8*luma_h x 8*luma_v`` pixels and carries
+    ``luma_h*luma_v`` Y blocks (raster order) plus one Cb and one Cr
+    block.  Chroma is subsampled by TOP-LEFT SAMPLE (spec-legal — the
+    subsampling filter is the encoder's choice) because that is the
+    exact inverse of the decoder's replication upsample: chroma constant
+    per luma_h x luma_v pixel cell (and in the fixture class per whole
+    MCU) roundtrips bit-exactly, extending the even-constant-block
+    lossless contract to every subsampled layout the decoder accepts."""
+    if luma_h not in (1, 2) or luma_v not in (1, 2):
+        raise ValueError("jpeg: luma sampling factors must be 1 or 2")
+    if (luma_h, luma_v) == (1, 1):
+        raise ValueError("jpeg: 1x1 luma is 4:4:4 — use encode_ycbcr")
     n = width * height
     if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
         raise ValueError("jpeg: planes must each be width*height bytes")
@@ -620,15 +628,15 @@ def encode_ycbcr_420(
     chroma_dc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     chroma_ac = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    mcux = (width + 15) // 16
-    mcuy = (height + 15) // 16
+    mcux = (width + 8 * luma_h - 1) // (8 * luma_h)
+    mcuy = (height + 8 * luma_v - 1) // (8 * luma_v)
     cw, ch = mcux * 8, mcuy * 8
     cb_sub = bytearray(cw * ch)
     cr_sub = bytearray(cw * ch)
     for cy in range(ch):
-        sy = min(2 * cy, height - 1)
+        sy = min(luma_v * cy, height - 1)
         for cx in range(cw):
-            sx = min(2 * cx, width - 1)
+            sx = min(luma_h * cx, width - 1)
             cb_sub[cy * cw + cx] = cb_plane[sy * width + sx]
             cr_sub[cy * cw + cx] = cr_plane[sy * width + sx]
 
@@ -636,10 +644,14 @@ def encode_ycbcr_420(
     preds = [0, 0, 0]
     for my in range(mcuy):
         for mx in range(mcux):
-            for by in range(2):
-                for bx in range(2):
+            for by in range(luma_v):
+                for bx in range(luma_h):
                     block = _extract_block(
-                        y_plane, width, height, mx * 2 + bx, my * 2 + by
+                        y_plane,
+                        width,
+                        height,
+                        mx * luma_h + bx,
+                        my * luma_v + by,
                     )
                     preds[0] = _encode_block(
                         w, block, preds[0], luma_dc, luma_ac, qtable
@@ -651,6 +663,7 @@ def encode_ycbcr_420(
                 )
     w.flush()
 
+    sampling = (luma_h << 4) | luma_v
     return b"".join(
         [
             SOI,
@@ -660,8 +673,8 @@ def encode_ycbcr_420(
             _seg(
                 0xC0,
                 struct.pack(">BHHB", 8, height, width, 3)
-                # Y samples 2x2; chroma 1x1 — the 4:2:0 layout
-                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                # Y samples luma_h x luma_v; chroma 1x1
+                + bytes([1, sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
             ),
             _table_seg(0, 0, DC_BITS, DC_VALS),
             _table_seg(1, 0, AC_BITS, AC_VALS),
@@ -671,6 +684,22 @@ def encode_ycbcr_420(
             bytes(w.out),
             EOI,
         ]
+    )
+
+
+def encode_ycbcr_420(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    qtable=FLAT_Q16,
+    chroma_qtable=FLAT_Q16,
+) -> bytes:
+    """4:2:0 (luma 2x2) — see :func:`encode_ycbcr_sub`."""
+    return encode_ycbcr_sub(
+        width, height, y_plane, cb_plane, cr_plane, 2, 2, qtable,
+        chroma_qtable,
     )
 
 

@@ -271,6 +271,56 @@ def test_420_crops_and_upsamples_odd_dimensions():
     assert len(d["y"]) == w * h
 
 
+def test_422_and_440_exactness_classes_roundtrip():
+    """The decoder's other claimed subsampled layouts, exercised through
+    the generalized encoder: 4:2:2 (luma 2x1 — chroma constant per 16x8
+    MCU) and 4:4:0 (luma 1x2 — chroma constant per 8x16 MCU) roundtrip
+    bit-exactly on the even-constant fixture class."""
+    for lh, lv in ((2, 1), (1, 2)):
+        mw, mh = 8 * lh, 8 * lv
+        w, h = mw * 2, mh * 2  # 2x2 MCUs
+        yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+        for my in range(2):
+            for mx in range(2):
+                cbv = 96 + 4 * (mx + 2 * my)
+                crv = 130 - 4 * (mx + 2 * my)
+                for by in range(lv):
+                    for bx in range(lh):
+                        yv = 64 + 2 * (((mx * lh + bx) * 3
+                                        + (my * lv + by) * 5) % 64)
+                        for y in range(8):
+                            for x in range(8):
+                                gy = my * mh + by * 8 + y
+                                gx = mx * mw + bx * 8 + x
+                                i = gy * w + gx
+                                yp[i], cbp[i], crp[i] = yv, cbv, crv
+        enc = jpeg.encode_ycbcr_sub(
+            w, h, bytes(yp), bytes(cbp), bytes(crp), lh, lv
+        )
+        d = jpeg.decode(enc)
+        assert d["y"] == bytes(yp), (lh, lv)
+        assert d["cb"] == bytes(cbp), (lh, lv)
+        assert d["cr"] == bytes(crp), (lh, lv)
+
+
+def test_422_constant_chroma_odd_dimensions():
+    w, h = 19, 10
+    yp = bytes((i * 7) % 256 for i in range(w * h))
+    cbp = bytes([104]) * (w * h)
+    crp = bytes([118]) * (w * h)
+    d = jpeg.decode(jpeg.encode_ycbcr_sub(w, h, yp, cbp, crp, 2, 1))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["cb"] == cbp and d["cr"] == crp
+
+
+def test_encode_sub_refuses_bad_factors():
+    args = (8, 8, bytes(64), bytes(64), bytes(64))
+    with pytest.raises(ValueError, match="1 or 2"):
+        jpeg.encode_ycbcr_sub(*args, 3, 1)
+    with pytest.raises(ValueError, match="4:4:4"):
+        jpeg.encode_ycbcr_sub(*args, 1, 1)
+
+
 def test_vector_rgb_path_equals_scalar_transform():
     """The numpy int64 vector path in _planes_to_rgb must be bit-identical
     to the per-pixel ycbcr_to_rgb over the full byte range (arithmetic
