@@ -13,9 +13,12 @@ sequential, grayscale (1 component) and YCbCr color (3 components) at
 4:4:4, 4:2:2, 4:2:0 and 4:4:0 — luma sampling factors of 1 or 2 per
 axis with 1x1 chroma, decoded through a generic interleaved-MCU loop
 with replication (nearest) chroma upsampling, which is exact integer
-indexing.  Sampling factors above 2, progressive (SOF2) and every other
-SOF family, arithmetic coding, 12-bit precision, restart intervals, and
-DNL all raise ``ValueError`` naming the unsupported feature — they are
+indexing — WITH restart intervals (DRI + RSTn marker resynchronization,
+T.81 E.2.4/F.2.1.3.1: byte-align, verify the modulo-8 marker sequence,
+reset every DC predictor — the one marker family real camera files emit
+routinely).  Sampling factors above 2, progressive (SOF2) and every
+other SOF family, arithmetic coding, 12-bit precision, and DNL all
+raise ``ValueError`` naming the unsupported feature — they are
 unsupported INPUTS to a working decoder.
 The color transform is FIXED-POINT integer arithmetic (16-bit scaled
 JFIF coefficients, the libjpeg convention: ``(c*v + 32768) >> 16`` with
@@ -198,7 +201,8 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
-    a bare marker inside the scan is a hard error (we refuse restarts).
+    a bare RSTn inside the scan is either a resync point (when the frame
+    declared a restart interval) or a hard error (when it declared none).
 
     The reader is chunked, not per-bit: symbols decode via a 16-bit PEEK
     against a flat lookup table (:func:`_huffman_lut`) and magnitude
@@ -207,16 +211,18 @@ class _BitReader:
     marker (the spec's own pad value), tracking the pad so only REAL bits
     can ever be consumed."""
 
-    def __init__(self, data: bytes, pos: int):
+    def __init__(self, data: bytes, pos: int, allow_restarts: bool = False):
         self.data = data
         self.pos = pos
+        self.allow_restarts = allow_restarts
         self._acc = 0
         self._n = 0
         self._ended = False
 
     def _fill_byte(self) -> bool:
         """Buffer one entropy byte; False once the next bytes are a marker
-        (end of scan data)."""
+        (end of scan data, or — with ``allow_restarts`` — an RSTn restart
+        boundary, left unconsumed for :meth:`resync`)."""
         if self._ended or self.pos >= len(self.data):
             self._ended = True
             return False
@@ -228,10 +234,15 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError(
-                    "jpeg: restart markers (RSTn) unsupported — encoder "
-                    "declared DRI=0"
-                )
+                if not self.allow_restarts:
+                    raise ValueError(
+                        "jpeg: restart markers (RSTn) unsupported — encoder "
+                        "declared DRI=0"
+                    )
+                # stop at the boundary (pos still at the 0xFF): any decode
+                # that needs more REAL bits past here is a truncation error
+                self._ended = True
+                return False
             else:  # EOI (or any segment marker): scan data is over
                 self._ended = True
                 return False
@@ -240,6 +251,56 @@ class _BitReader:
         self._acc = (self._acc << 8) | b
         self._n += 8
         return True
+
+    def resync(self, expected: int) -> None:
+        """Byte-align at a restart boundary (T.81 E.2.4): discard the
+        closed interval's pad bits, step over any not-yet-buffered pad
+        byte (at most one, possibly 0xFF00-stuffed) and B.1.1.2 fill
+        bytes, verify the RSTn modulo-8 sequence number, and reset the
+        entropy state.  DC predictor reset is the CALLER's job — the
+        reader knows nothing about components."""
+        self._acc = 0
+        self._n = 0
+        self._ended = False
+        data, pos = self.data, self.pos
+        skipped = 0
+        while True:
+            if pos + 1 >= len(data):
+                raise ValueError("jpeg: truncated stream at restart boundary")
+            b = data[pos]
+            if b != 0xFF:
+                # the interval's flush pad byte, when no decode ever
+                # buffered it; a well-formed stream has at most one
+                pos += 1
+                skipped += 1
+                if skipped > 2:
+                    raise ValueError(
+                        "jpeg: entropy data overruns the restart boundary"
+                    )
+                continue
+            nxt = data[pos + 1]
+            if nxt == 0x00:  # stuffed 0xFF pad byte
+                pos += 2
+                skipped += 1
+                if skipped > 2:
+                    raise ValueError(
+                        "jpeg: entropy data overruns the restart boundary"
+                    )
+                continue
+            if nxt == 0xFF:  # fill byte before the marker (B.1.1.2)
+                pos += 1
+                continue
+            break
+        if not 0xD0 <= nxt <= 0xD7:
+            raise ValueError(
+                f"jpeg: expected restart marker, found 0xFF{nxt:02X}"
+            )
+        if nxt - 0xD0 != expected & 7:
+            raise ValueError(
+                "jpeg: restart marker out of sequence — expected "
+                f"RST{expected & 7}, found RST{nxt - 0xD0}"
+            )
+        self.pos = pos + 2
 
     def peek16(self) -> int:
         while self._n < 16:
@@ -478,18 +539,43 @@ def _table_seg(cls: int, slot: int, bits, vals) -> bytes:
     return _seg(0xC4, bytes([(cls << 4) | slot]) + bytes(bits) + bytes(vals))
 
 
+def _check_restart_interval(restart_interval: int) -> None:
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("jpeg: restart interval must be 0..65535 MCUs")
+
+
+def _maybe_restart(
+    w: _BitWriter, interval: int, mcu_idx: int, total: int, rst_idx: int
+) -> int:
+    """After MCU ``mcu_idx`` (1-based): if a restart interval just closed
+    and MCUs remain, byte-align (1-bit pad via flush, stuffed like any
+    entropy byte) and emit RSTn with the modulo-8 sequence number (T.81
+    E.1.4 — no marker after the LAST interval).  Returns the next
+    sequence index; the caller resets its DC predictors iff it advanced."""
+    if interval and mcu_idx % interval == 0 and mcu_idx < total:
+        w.flush()
+        w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+        return rst_idx + 1
+    return rst_idx
+
+
 def encode_gray(
-    width: int, height: int, pixels: bytes, qtable=FLAT_Q16
+    width: int, height: int, pixels: bytes, qtable=FLAT_Q16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Write a real baseline grayscale JPEG: FDCT, quantization under
     ``qtable`` (zigzag-ordered in the DQT segment, as the spec requires),
     differential DC, run-length AC, Annex K Huffman coding, byte
     stuffing.  Edge blocks of non-multiple-of-8 images are padded by edge
-    replication (the standard convention); the decoder crops back."""
+    replication (the standard convention); the decoder crops back.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker after
+    every that-many MCUs (one block each, for grayscale), resetting the
+    DC predictor — the camera-file layout."""
     if len(pixels) != width * height:
         raise ValueError("jpeg: pixels must be width*height bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
 
@@ -497,12 +583,23 @@ def encode_gray(
     pred = 0
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    total = bw * bh
+    mcu_idx = rst_idx = 0
     for by in range(bh):
         for bx in range(bw):
             block = _extract_block(pixels, width, height, bx, by)
             pred = _encode_block(w, block, pred, dc_codes, ac_codes, qtable)
+            mcu_idx += 1
+            nxt = _maybe_restart(w, restart_interval, mcu_idx, total, rst_idx)
+            if nxt != rst_idx:
+                rst_idx, pred = nxt, 0
     w.flush()
 
+    dri = (
+        [_seg(0xDD, struct.pack(">H", restart_interval))]
+        if restart_interval
+        else []
+    )
     return b"".join(
         [
             SOI,
@@ -515,6 +612,7 @@ def encode_gray(
             ),
             _table_seg(0, 0, DC_BITS, DC_VALS),
             _table_seg(1, 0, AC_BITS, AC_VALS),
+            *dri,
             _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
             bytes(w.out),
             EOI,
@@ -530,6 +628,7 @@ def encode_ycbcr(
     cr_plane: bytes,
     qtable=FLAT_Q16,
     chroma_qtable=FLAT_Q16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Write a baseline YCbCr 4:4:4 color JPEG from the three planes:
     interleaved MCUs (one 8x8 block per component, Y then Cb then Cr),
@@ -539,12 +638,15 @@ def encode_ycbcr(
     than RGB — :func:`encode_color` layers the fixed-point forward
     transform on top) keeps the lossless fixture class reachable: an
     even-valued constant block in ANY plane quantizes losslessly under
-    the flat q=16 table, exactly as in the grayscale contract."""
+    the flat q=16 table, exactly as in the grayscale contract.
+    ``restart_interval`` > 0 emits DRI + per-interval RSTn markers,
+    resetting ALL THREE DC predictors at each boundary."""
     n = width * height
     if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
         raise ValueError("jpeg: planes must each be width*height bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
     luma_dc = _canonical_codes(DC_BITS, DC_VALS)
     luma_ac = _canonical_codes(AC_BITS, AC_VALS)
     chroma_dc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -559,6 +661,8 @@ def encode_ycbcr(
     preds = [0, 0, 0]
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    total = bw * bh
+    mcu_idx = rst_idx = 0
     for by in range(bh):
         for bx in range(bw):
             for ci, (plane, dc_codes, ac_codes, q) in enumerate(comps):
@@ -566,8 +670,17 @@ def encode_ycbcr(
                 preds[ci] = _encode_block(
                     w, block, preds[ci], dc_codes, ac_codes, q
                 )
+            mcu_idx += 1
+            nxt = _maybe_restart(w, restart_interval, mcu_idx, total, rst_idx)
+            if nxt != rst_idx:
+                rst_idx, preds = nxt, [0, 0, 0]
     w.flush()
 
+    dri = (
+        [_seg(0xDD, struct.pack(">H", restart_interval))]
+        if restart_interval
+        else []
+    )
     return b"".join(
         [
             SOI,
@@ -584,6 +697,7 @@ def encode_ycbcr(
             _table_seg(1, 0, AC_BITS, AC_VALS),
             _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
             _table_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            *dri,
             # per-component (DC table << 4) | AC table selectors
             _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
             bytes(w.out),
@@ -602,6 +716,7 @@ def encode_ycbcr_sub(
     luma_v: int = 2,
     qtable=FLAT_Q16,
     chroma_qtable=FLAT_Q16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline YCbCr with subsampled chroma at luma sampling
     ``luma_h x luma_v`` (each 1 or 2; chroma is always 1x1): (2,2) is
@@ -613,7 +728,9 @@ def encode_ycbcr_sub(
     exact inverse of the decoder's replication upsample: chroma constant
     per luma_h x luma_v pixel cell (and in the fixture class per whole
     MCU) roundtrips bit-exactly, extending the even-constant-block
-    lossless contract to every subsampled layout the decoder accepts."""
+    lossless contract to every subsampled layout the decoder accepts.
+    ``restart_interval`` > 0 emits DRI + per-interval RSTn markers,
+    resetting all three DC predictors at each boundary."""
     if luma_h not in (1, 2) or luma_v not in (1, 2):
         raise ValueError("jpeg: luma sampling factors must be 1 or 2")
     if (luma_h, luma_v) == (1, 1):
@@ -623,6 +740,7 @@ def encode_ycbcr_sub(
         raise ValueError("jpeg: planes must each be width*height bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
     luma_dc = _canonical_codes(DC_BITS, DC_VALS)
     luma_ac = _canonical_codes(AC_BITS, AC_VALS)
     chroma_dc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -642,6 +760,8 @@ def encode_ycbcr_sub(
 
     w = _BitWriter()
     preds = [0, 0, 0]
+    total = mcux * mcuy
+    mcu_idx = rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for by in range(luma_v):
@@ -661,8 +781,17 @@ def encode_ycbcr_sub(
                 preds[ci] = _encode_block(
                     w, block, preds[ci], chroma_dc, chroma_ac, chroma_qtable
                 )
+            mcu_idx += 1
+            nxt = _maybe_restart(w, restart_interval, mcu_idx, total, rst_idx)
+            if nxt != rst_idx:
+                rst_idx, preds = nxt, [0, 0, 0]
     w.flush()
 
+    dri = (
+        [_seg(0xDD, struct.pack(">H", restart_interval))]
+        if restart_interval
+        else []
+    )
     sampling = (luma_h << 4) | luma_v
     return b"".join(
         [
@@ -680,6 +809,7 @@ def encode_ycbcr_sub(
             _table_seg(1, 0, AC_BITS, AC_VALS),
             _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
             _table_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            *dri,
             _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
             bytes(w.out),
             EOI,
@@ -695,11 +825,12 @@ def encode_ycbcr_420(
     cr_plane: bytes,
     qtable=FLAT_Q16,
     chroma_qtable=FLAT_Q16,
+    restart_interval: int = 0,
 ) -> bytes:
     """4:2:0 (luma 2x2) — see :func:`encode_ycbcr_sub`."""
     return encode_ycbcr_sub(
         width, height, y_plane, cb_plane, cr_plane, 2, 2, qtable,
-        chroma_qtable,
+        chroma_qtable, restart_interval,
     )
 
 
@@ -757,10 +888,14 @@ def decode(payload: bytes) -> dict:
     planes at FULL resolution (subsampled chroma is replication-
     upsampled: exact integer indexing, the inverse of the encoder's
     top-left pick) plus interleaved RGB from the FIXED-POINT inverse
-    transform (:func:`ycbcr_to_rgb`).  Refuses, BY NAME: every
-    non-baseline SOF family, sampling factors above 2 (or non-1x1
-    chroma), component counts other than 1 or 3, 12-bit precision,
-    restart intervals, and scans referencing undefined tables."""
+    transform (:func:`ycbcr_to_rgb`).  Honors DRI restart intervals: at
+    each interval boundary the reader byte-aligns, verifies the RSTn
+    modulo-8 sequence, and every component's DC predictor resets (T.81
+    E.2.4) — an out-of-sequence marker is a hard error, and a stray RSTn
+    under DRI=0 stays one.  Refuses, BY NAME: every non-baseline SOF
+    family, sampling factors above 2 (or non-1x1 chroma), component
+    counts other than 1 or 3, 12-bit precision, and scans referencing
+    undefined tables."""
     if payload[:2] != SOI:
         raise ValueError("jpeg: missing SOI marker")
     pos = 2
@@ -771,6 +906,7 @@ def decode(payload: bytes) -> dict:
     frame_comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, tq)
     scan_at = None
     scan_sel: list[tuple[int, int]] | None = None  # (dc, ac) per comp
+    restart_interval = 0
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -844,9 +980,7 @@ def decode(payload: bytes) -> dict:
                     )
                 frame_comps.append((cid, sh, sv, tq))
         elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack_from(">H", body, 0)
-            if interval:
-                raise ValueError("jpeg: restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame_comps is None:
                 raise ValueError("jpeg: SOS before SOF0")
@@ -891,7 +1025,9 @@ def decode(payload: bytes) -> dict:
     planes = [bytearray(strides[i] * mcuy * comps[i][1] * 8)
               for i in range(len(comps))]
     preds = [0] * len(comps)
-    reader = _BitReader(payload, scan_at)
+    reader = _BitReader(payload, scan_at, allow_restarts=restart_interval > 0)
+    total_mcus = mcux * mcuy
+    mcu_idx = rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (sh, sv, dcm, acm, q) in enumerate(comps):
@@ -907,6 +1043,15 @@ def decode(payload: bytes) -> dict:
                         for y in range(8):
                             row0 = (y0 + y) * stride + x0
                             out[row0: row0 + 8] = px[y * 8: y * 8 + 8]
+            mcu_idx += 1
+            if (
+                restart_interval
+                and mcu_idx % restart_interval == 0
+                and mcu_idx < total_mcus
+            ):
+                reader.resync(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
 
     def _upsample(ci: int) -> bytes:
         """Full-resolution plane: nearest (replication) upsample from the

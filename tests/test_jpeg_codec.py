@@ -406,12 +406,131 @@ def test_refuses_missing_soi():
         jpeg.decode(b"\x00\x01\x02\x03")
 
 
-def test_refuses_restart_interval():
-    enc = jpeg.encode_gray(8, 8, bytes(64))
-    i = enc.index(bytes([0xFF, 0xDA]))
-    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08])
-    with pytest.raises(ValueError, match="restart"):
-        jpeg.decode(enc[:i] + dri + enc[i:])
+def _const_block_gray(bw: int, bh: int) -> tuple[int, int, bytes]:
+    """Width, height, pixels: bw x bh blocks, each constant EVEN (the
+    lossless class under the flat q=16 table)."""
+    w, h = bw * 8, bh * 8
+    px = bytearray(w * h)
+    for by in range(bh):
+        for bx in range(bw):
+            v = 64 + 2 * ((bx * 3 + by * 5) % 64)
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * w + bx * 8 + x] = v
+    return w, h, bytes(px)
+
+
+def test_restart_gray_lossless_roundtrip_every_interval():
+    """DRI + RSTn through the whole codec: a 3x2-block constant-even gray
+    image roundtrips bit-exactly at every restart interval from 1 (marker
+    after every MCU — maximal predictor resets) through 7 (sequence
+    numbers stay in range without wrapping)."""
+    w, h, src = _const_block_gray(3, 2)
+    for ri in range(1, 8):
+        enc = jpeg.encode_gray(w, h, src, restart_interval=ri)
+        if ri < 6:  # 6 MCUs: markers exist only when an interval closes early
+            assert bytes([0xFF, 0xDD]) in enc  # DRI present
+            assert bytes([0xFF, 0xD0]) in enc  # at least RST0 in the scan
+        assert jpeg.decode(enc)["pixels"] == src
+
+
+def test_restart_marker_sequence_wraps_modulo_8():
+    """More than 8 intervals: RSTn must cycle RST0..RST7, RST0, ... —
+    12 MCUs at interval 1 emits 11 markers, exercising the wrap."""
+    w, h, src = _const_block_gray(12, 1)
+    enc = jpeg.encode_gray(w, h, src, restart_interval=1)
+    seq = []
+    pos = enc.index(bytes([0xFF, 0xDA]))
+    while True:
+        nxt = [enc.find(bytes([0xFF, 0xD0 + n]), pos + 2) for n in range(8)]
+        hits = [(p, n) for n, p in enumerate(nxt) if p != -1]
+        if not hits:
+            break
+        p, n = min(hits)
+        seq.append(n)
+        pos = p
+    assert seq == [i % 8 for i in range(11)]
+    assert jpeg.decode(enc)["pixels"] == src
+
+
+def test_restart_lossy_output_identical_to_unrestarted():
+    """Restart markers change the bitstream layout, never the pixels: a
+    NON-fixture (lossy) image must decode to the same bytes with and
+    without restarts — predictor resets and byte-aligned resync are
+    exactly inverse between encoder and decoder."""
+    rng = random.Random(20240416)
+    w, h = 24, 16
+    src = bytes(rng.randrange(256) for _ in range(w * h))
+    base = jpeg.decode(jpeg.encode_gray(w, h, src))["pixels"]
+    for ri in (1, 2, 4):
+        got = jpeg.decode(
+            jpeg.encode_gray(w, h, src, restart_interval=ri)
+        )["pixels"]
+        assert got == base
+
+
+def test_restart_color_420_roundtrip():
+    """Restarts compose with the subsampled path: per-MCU-constant chroma
+    + per-block-constant luma 4:2:0 roundtrips bit-exactly with a marker
+    after every MCU (all three DC predictors reset per boundary)."""
+    w, h = 48, 32  # 3x2 MCUs
+    yp, cb, cr = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+    for my in range(2):
+        for mx in range(3):
+            cbv = 96 + 2 * ((mx * 5 + my * 7) % 32)
+            crv = 96 + 2 * ((mx * 7 + my * 3) % 32)
+            for by in range(2):
+                for bx in range(2):
+                    yv = 64 + 2 * (((mx * 2 + bx) * 3 + (my * 2 + by) * 5) % 64)
+                    for y in range(8):
+                        row0 = (my * 16 + by * 8 + y) * w + mx * 16 + bx * 8
+                        for x in range(8):
+                            yp[row0 + x] = yv
+                            cb[row0 + x] = cbv
+                            cr[row0 + x] = crv
+    for ri in (1, 2, 5):
+        dec = jpeg.decode(
+            jpeg.encode_ycbcr_420(
+                w, h, bytes(yp), bytes(cb), bytes(cr), restart_interval=ri
+            )
+        )
+        assert dec["y"] == bytes(yp)
+        assert dec["cb"] == bytes(cb)
+        assert dec["cr"] == bytes(cr)
+
+
+def test_restart_marker_out_of_sequence_is_an_error():
+    w, h, src = _const_block_gray(3, 1)
+    enc = jpeg.encode_gray(w, h, src, restart_interval=1)
+    i = enc.index(bytes([0xFF, 0xD0]))
+    bad = enc[:i] + bytes([0xFF, 0xD1]) + enc[i + 2:]
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg.decode(bad)
+
+
+def test_stray_restart_marker_under_dri_zero_still_refuses():
+    """The DRI=0 posture is unchanged: a bare RSTn in a scan whose frame
+    declared no restart interval is corrupt data, not a resync point."""
+    w, h, src = _const_block_gray(2, 1)
+    enc = jpeg.encode_gray(w, h, src)
+    sos = enc.index(bytes([0xFF, 0xDA]))
+    splice = sos + 2 + 6 + 3  # a few bytes into the entropy data
+    bad = enc[:splice] + bytes([0xFF, 0xD0]) + enc[splice:]
+    with pytest.raises(ValueError, match="RSTn"):
+        jpeg.decode(bad)
+
+
+def test_restart_interval_larger_than_image_emits_no_markers():
+    """An interval that never closes before the last MCU yields a DRI
+    segment but zero RSTn markers — and still decodes (T.81 E.1.4: no
+    marker after the final interval)."""
+    w, h, src = _const_block_gray(2, 1)
+    enc = jpeg.encode_gray(w, h, src, restart_interval=100)
+    scan = enc[enc.index(bytes([0xFF, 0xDA])):]
+    assert not any(
+        bytes([0xFF, 0xD0 + n]) in scan for n in range(8)
+    )
+    assert jpeg.decode(enc)["pixels"] == src
 
 
 def test_fill_bytes_before_marker_are_skipped():
