@@ -1149,6 +1149,76 @@ def synth_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_jpeg_rst_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline 4:2:0 JPEGs WITH RESTART INTERVALS — the
+    camera-file layout (DRI + RSTn markers): per row a
+    ``16*(1 + id % 3) x 32`` image (1-3 MCU columns x 2 MCU rows, so 2-6
+    MCUs) encoded with ``restart_interval = 1 + id % 2``; marker counts
+    therefore span 0-5 and sequence numbers RST0-RST4, covering the
+    every-MCU case, the multi-MCU-interval case, and the
+    interval-never-closes (DRI present, zero markers) case.  Plane
+    values keep the lossless fixture class::
+
+        y  (block gx, gy)  = 64 + 2 * ((id*7  + gx*3 + gy*5) % 64)
+        cb (MCU mx, my)    = 96 + 2 * ((id*11 + mx*5 + my*7) % 32)
+        cr (MCU mx, my)    = 96 + 2 * ((id*13 + mx*7 + my*3) % 32)
+
+    Emits (id, payload, source_md5, n_rst) where ``n_rst`` counts the
+    RSTn byte pairs actually present in the payload (0xFF followed by
+    0xD0-0xD7 cannot occur in stuffed entropy data, so the count is
+    exact) — the oracle predicts it as ``floor((mcus - 1) / interval)``,
+    certifying the markers were genuinely emitted, not skipped."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": [], "n_rst": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                mw = 1 + i % 3
+                interval = 1 + i % 2
+                w, h = 16 * mw, 32
+                yp = bytearray(w * h)
+                cbp = bytearray(w * h)
+                crp = bytearray(w * h)
+                for my in range(2):
+                    for mx in range(mw):
+                        cbv = 96 + 2 * ((i * 11 + mx * 5 + my * 7) % 32)
+                        crv = 96 + 2 * ((i * 13 + mx * 7 + my * 3) % 32)
+                        for by in range(2):
+                            for bx in range(2):
+                                gx, gy = mx * 2 + bx, my * 2 + by
+                                yv = 64 + 2 * ((i * 7 + gx * 3 + gy * 5) % 64)
+                                for y in range(8):
+                                    row0 = (gy * 8 + y) * w + gx * 8
+                                    for x in range(8):
+                                        yp[row0 + x] = yv
+                                        cbp[row0 + x] = cbv
+                                        crp[row0 + x] = crv
+                payload = _jpeg.encode_ycbcr_420(
+                    w, h, bytes(yp), bytes(cbp), bytes(crp),
+                    restart_interval=interval,
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(
+                    hashlib.md5(bytes(yp) + bytes(cbp) + bytes(crp)).hexdigest()
+                )
+                out["n_rst"].append(
+                    sum(
+                        payload.count(bytes([0xFF, 0xD0 + n]))
+                        for n in range(8)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string, n_rst bigint"
+    )
+
+
 def decode_jpeg_color_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Color-JPEG decode + feature extraction: per-plane sums, RGB sums
     from the fixed-point inverse transform, and the md5 of the decoded

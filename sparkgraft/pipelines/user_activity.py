@@ -123,10 +123,13 @@ def normalize(raw: DataFrame) -> DataFrame:
 
 
 def _sessionize_run(
-    spark: SparkSession, run_df: DataFrame, run_start: datetime
+    spark: SparkSession,
+    run_df: DataFrame,
+    run_start: datetime,
+    spec: catalog.TableSpec = USER_ACTIVITY,
 ) -> DataFrame:
     """Sessionize one consecutive-month run with cross-batch continuity."""
-    existing = catalog.read_table(spark, USER_ACTIVITY)
+    existing = catalog.read_table(spark, spec)
     frontier = carryover_frontier(
         existing,
         run_start,
@@ -146,12 +149,15 @@ def _sessionize_run(
 
 
 def _edge_preserved_rows(
-    spark: SparkSession, utc_start: datetime, utc_end: datetime
+    spark: SparkSession,
+    utc_start: datetime,
+    utc_end: datetime,
+    spec: catalog.TableSpec = USER_ACTIVITY,
 ) -> DataFrame:
     """Existing rows living in the run's edge KST-date partitions but
     OUTSIDE the loaded UTC range — must be rewritten or dynamic overwrite
     deletes them (reference UserActivityHiveConnector.scala:28-42)."""
-    existing = catalog.read_table(spark, USER_ACTIVITY)
+    existing = catalog.read_table(spark, spec)
     kst = timedelta(hours=9)
     d_start = (utc_start + kst).date()
     d_end = (utc_end + kst).date()
@@ -162,9 +168,18 @@ def _edge_preserved_rows(
     )
 
 
-def load_months(spark: SparkSession, raw_dir: str, months: list[str]) -> None:
-    """The full idempotent backfill: any month subset, any order, rerun-safe."""
-    catalog.ensure_table(spark, USER_ACTIVITY)
+def load_months(
+    spark: SparkSession,
+    raw_dir: str,
+    months: list[str],
+    spec: catalog.TableSpec = USER_ACTIVITY,
+) -> None:
+    """The full idempotent backfill: any month subset, any order, rerun-safe.
+
+    ``spec`` defaults to the reference's curated table; callers needing an
+    isolated target (the driver's ETL roundtrip lane, tests) pass a spec
+    with the same schema under their own table name."""
+    catalog.ensure_table(spark, spec)
     if not months:
         return  # empty backfill set: table ensured, nothing to load
     parts: list[DataFrame] = []
@@ -172,14 +187,14 @@ def load_months(spark: SparkSession, raw_dir: str, months: list[str]) -> None:
         run_df = normalize(extract_months(spark, raw_dir, run))
         utc_start = month_start(run[0])
         utc_end = month_start(next_month(run[-1]))
-        sessioned = _sessionize_run(spark, run_df, utc_start)
-        parts.append(sessioned.select(*USER_ACTIVITY.ordered_columns))
+        sessioned = _sessionize_run(spark, run_df, utc_start, spec)
+        parts.append(sessioned.select(*spec.ordered_columns))
         parts.append(
-            _edge_preserved_rows(spark, utc_start, utc_end).select(
-                *USER_ACTIVITY.ordered_columns
+            _edge_preserved_rows(spark, utc_start, utc_end, spec).select(
+                *spec.ordered_columns
             )
         )
-    catalog.load_overwrite(spark, USER_ACTIVITY, union_all(parts))
+    catalog.load_overwrite(spark, spec, union_all(parts))
 
 
 def wau_sql(key: str) -> str:

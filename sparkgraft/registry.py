@@ -3654,6 +3654,204 @@ def q_timeseries_gapfill(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# The reference's signature ETL, end-to-end as ONE driver-hashed lane
+# (SURVEY §2.11 composition S1+F1+sessionize+S5/S6; reference
+# transformer/DataLoadTransformer.scala:22-92)
+# ---------------------------------------------------------------------------
+
+_ETL_ROUNDTRIP_ORACLE = """
+    -- batch-equals-incremental: the oracle sessionizes the WHOLE
+    -- two-month CSV corpus in one pass; the Spark side materializes the
+    -- same corpus as month-keyed CSVs, runs TWO separate backfills
+    -- through the full reference pipeline (explicit-schema CSV read ->
+    -- 'yyyy-MM-dd HH:mm:ss UTC' parse -> KST partition date -> carryover
+    -- frontier continuity -> 5-min sessionize -> KST/UTC edge
+    -- preservation -> staging + dynamic partition overwrite) and reads
+    -- the curated table back.  Equality certifies the incremental
+    -- machinery reproduces batch semantics: a broken frontier splits the
+    -- engineered 23:58->00:01 boundary sessions, a broken edge
+    -- preservation drops month-1 rows from the KST 02-01 partition, a
+    -- non-idempotent overwrite duplicates rows -- all hash mismatches
+    WITH m1 AS (
+      SELECT ts + INTERVAL 1 DAY AS raw_ts, event_id, user_id,
+             event_type, value
+      FROM events WHERE event_id % 2 = 0),
+    m2 AS (
+      SELECT ts + INTERVAL 31 DAY AS raw_ts, event_id, user_id,
+             event_type, value
+      FROM events WHERE event_id % 2 = 1 AND EXTRACT(day FROM ts) <= 28),
+    base AS (
+      SELECT date_trunc('second', raw_ts) AS ts,
+             CAST(user_id AS VARCHAR) AS user_id,
+             event_type,
+             CAST(COALESCE(FLOOR(value), 0) AS INT) AS price,
+             'p' || CAST(event_id % 997 AS VARCHAR) AS product_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE 'b' || CAST(event_id % 11 AS VARCHAR) END AS brand,
+             'c' || CAST(event_id % 13 AS VARCHAR) AS category_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE 'cat.' || CAST(event_id % 7 AS VARCHAR)
+             END AS category_code
+      FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)),
+    boundary AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
+      FROM events WHERE user_id % 10 = 0),
+    synth AS (
+      SELECT TIMESTAMP '2024-01-31 23:58:00' AS ts, user_id,
+             'view' AS event_type, 1 AS price, 'p0' AS product_id,
+             CAST(NULL AS VARCHAR) AS brand, 'c0' AS category_id,
+             CAST(NULL AS VARCHAR) AS category_code
+      FROM boundary
+      UNION ALL
+      SELECT TIMESTAMP '2024-02-01 00:01:00', user_id, 'view', 1, 'p0',
+             NULL, 'c0', NULL
+      FROM boundary),
+    raw AS (
+      SELECT ts, user_id, event_type, price, product_id, brand,
+             category_id, category_code
+      FROM base
+      UNION ALL
+      SELECT ts, user_id, event_type, price, product_id, brand,
+             category_id, category_code
+      FROM synth),
+    lagged AS (
+      SELECT *, lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type, product_id
+             ) AS prev_ts
+      FROM raw),
+    flagged AS (
+      SELECT *, (prev_ts IS NULL OR ts >= prev_ts + INTERVAL 300 SECOND)
+             AS is_new
+      FROM lagged),
+    sessioned AS (
+      SELECT *, sha256(user_id || '#' ||
+               CAST(epoch_us(max(CASE WHEN is_new THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type, product_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS VARCHAR)
+             ) AS session_id
+      FROM flagged)
+    SELECT CAST(ts + INTERVAL 9 HOUR AS DATE) AS event_date_kst,
+           ts AS event_ts_utc, event_type, session_id, user_id,
+           price, product_id, brand, category_id, category_code
+    FROM sessioned
+    ORDER BY user_id, event_ts_utc, event_type, product_id
+"""
+
+
+@register("etl_user_activity_roundtrip", _ETL_ROUNDTRIP_ORACLE)
+def q_etl_user_activity_roundtrip(spark, sf_dir):
+    """The reference's CSV->curated ETL, driver-proven END TO END — the
+    r11 verdict's item #2 (the one §2 composition previously proven only
+    by pytest).  In-lane fixture materialization (the
+    custom_sink_jsonl_roundtrip precedent): the events table is rendered
+    into the reference's raw clickstream format ('yyyy-MM-dd HH:mm:ss
+    UTC' text timestamps, string user ids, nullable brand/category_code)
+    as TWO month-keyed CSV directories — the testdata spans one month,
+    so the even-event_id half ships as 2024-01 (+1 day) and the odd half
+    as 2024-02 (+31 days, day<=28 so leap-February holds it) — plus
+    engineered boundary rows for every user_id % 10 == 0 user at
+    2024-01-31 23:58:00 and 2024-02-01 00:01:00 (180 s apart: ONE
+    session iff cross-batch continuity works).
+
+    The two months then load as SEPARATE backfills through
+    pipelines.user_activity.load_months against an isolated table spec:
+    month 2's run start exercises the carryover frontier (reference
+    DataLoadTransformer.scala:111-131), its KST edge date 2024-02-01
+    holds month 1's UTC-evening rows which dynamic overwrite would
+    delete without edge preservation (UserActivityHiveConnector:28-42),
+    and the staging + dynamic INSERT OVERWRITE path commits both loads
+    (HiveConnector:34-57).  The oracle sessionizes the whole corpus in
+    ONE batch — the reference's core claim is exactly that incremental
+    equals batch, and the driver hash certifies it relation-wide.
+
+    Scale posture: the CSV materialization is a scan + map (no shuffle);
+    each load shuffles its month once for the sessionize window and
+    broadcast-joins the per-user frontier sliver; dynamic overwrite
+    touches only the loaded partitions.  At 100 TB the month CSVs arrive
+    pre-partitioned and everything else is unchanged."""
+    import tempfile
+    import time
+    from dataclasses import replace as _dc_replace
+
+    from sparkgraft import catalog
+    from sparkgraft.pipelines import user_activity as ua
+
+    ev = _t(spark, sf_dir, "events")
+    m1 = ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    )
+    m2 = ev.where(
+        (F.col("event_id") % 2 == 1) & (F.dayofmonth("ts") <= 28)
+    ).withColumn(
+        "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 31 DAY")
+    )
+
+    def raw_cols(df: DataFrame) -> DataFrame:
+        # column ORDER matches RAW_USER_EVENT_SCHEMA (explicit-schema CSV
+        # reads bind positionally)
+        return df.select(
+            F.concat(
+                F.date_format("raw_ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+            ).alias("event_time"),
+            F.col("event_type"),
+            F.concat(F.lit("p"), (F.col("event_id") % 997).cast("string")).alias(
+                "product_id"
+            ),
+            F.concat(F.lit("c"), (F.col("event_id") % 13).cast("string")).alias(
+                "category_id"
+            ),
+            F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(F.lit("cat."), (F.col("event_id") % 7).cast("string"))
+            )
+            .alias("category_code"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("b"), (F.col("event_id") % 11).cast("string")))
+            .alias("brand"),
+            F.coalesce(F.floor("value"), F.lit(0)).cast("int").alias("price"),
+            F.col("user_id").cast("string").alias("user_id"),
+            F.lit("s").alias("user_session"),
+        )
+
+    boundary = (
+        ev.where(F.col("user_id") % 10 == 0)
+        .select(F.col("user_id").cast("string").alias("user_id"))
+        .distinct()
+    )
+
+    def synth(ts_text: str) -> DataFrame:
+        return boundary.select(
+            F.lit(ts_text + " UTC").alias("event_time"),
+            F.lit("view").alias("event_type"),
+            F.lit("p0").alias("product_id"),
+            F.lit("c0").alias("category_id"),
+            F.lit(None).cast("string").alias("category_code"),
+            F.lit(None).cast("string").alias("brand"),
+            F.lit(1).alias("price"),
+            F.col("user_id"),
+            F.lit("s").alias("user_session"),
+        )
+
+    raw_dir = tempfile.mkdtemp(prefix="sparkgraft_etl_raw_")
+    raw_cols(m1).unionByName(synth("2024-01-31 23:58:00")).write.option(
+        "header", True
+    ).csv(f"{raw_dir}/2024-Jan.csv")
+    raw_cols(m2).unionByName(synth("2024-02-01 00:01:00")).write.option(
+        "header", True
+    ).csv(f"{raw_dir}/2024-Feb.csv")
+
+    spec = _dc_replace(
+        ua.USER_ACTIVITY, name=f"user_activity_etl_{time.time_ns()}"
+    )
+    ua.load_months(spark, raw_dir, ["2024-01"], spec)
+    ua.load_months(spark, raw_dir, ["2024-02"], spec)
+    return catalog.read_table(spark, spec).orderBy(
+        "user_id", "event_ts_utc", "event_type", "product_id"
+    )
+
+
 # extension operators (dedup / simsearch / text / multimodal) and the wider
 # TPC-H-shaped surface register on import — keep at the bottom so `register`
 # exists first.
@@ -5501,83 +5699,85 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 11's window, exactly as
-# the r10 verdict staged it, in three tiers:
-#   (1) the 15 lanes needing their FIRST driver hash row: the 12
-#       registered after the r10 freeze (sketches, BPE, the WAV/GIF/JPEG/
-#       FFT/resize codec lanes) plus the 3 registered THIS round —
-#       `multimodal_decode_jpeg_color` (the YCbCr fixed-point path,
-#       r10 verdict item #3), `sketch_hll_linear_audit` (the pinned
-#       linear-counting branch, item #4), and `streaming_hll_distinct`
-#       (stream-merged register files, item #5);
-#   (2) stale-refresh re-proofs: the alphabetically-first 27 of the 33
-#       remaining round-6 rows (the other 6 — salted_join_hotkey,
-#       semi_join_active_customers, sessionize_hotkey,
-#       sessionize_skew_split, sessions_per_user_window,
-#       sliding_hour_stats — head round 12's rotation, then r07
-#       oldest-first);
-#   (3) the 8 canonical sentinels (same set as r04-r10).
+# artifact, not an accident of module layout.  Round 12's window, exactly as
+# the r11 verdict staged it (item #1), in three tiers:
+#   (1) the 3 lanes needing their FIRST driver hash row:
+#       `multimodal_decode_jpeg_420` (registered post-r11-freeze — the
+#       only lane without a driver row at the r11 judge), plus the 2
+#       registered THIS round — `multimodal_decode_jpeg_rst` (DRI/RSTn
+#       restart-marker decode, r11 verdict item #3) and
+#       `etl_user_activity_roundtrip` (the reference's CSV->curated ETL
+#       end-to-end, item #2);
+#   (2) stale-refresh re-proofs: the 6 remaining round-6 rows
+#       (salted_join_hotkey, semi_join_active_customers,
+#       sessionize_hotkey, sessionize_skew_split,
+#       sessions_per_user_window, sliding_hour_stats), then the
+#       alphabetically-first 33 of the 36 round-7 rows (the other 3 —
+#       union_names, wau_session, wau_user_twolevel — head round 13's
+#       rotation, then r08 oldest-first);
+#   (3) the 8 canonical sentinels (same set as r04-r11).
 # No lane's output/domain changed after its newest proof this round, so
-# the tier-2-of-r10 (OUTPUT_CHANGED_SINCE_PROOF) slice is empty.  After
-# this window lands, every registered lane holds a driver row and the
-# oldest surviving proof is ROUND 6 on just the 6 overflow rows above.
+# the OUTPUT_CHANGED_SINCE_PROOF slice is empty.  After this window
+# lands, every registered lane holds a driver row and the oldest
+# surviving proof is ROUND 7 on just the 3 overflow rows above.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 12 ROTATION: any query registered after THIS freeze (list it in
-# tests/test_registry_parity.py `added_after_r11_freeze` as you add it)
+# ROUND 13 ROTATION: any query registered after THIS freeze (list it in
+# tests/test_registry_parity.py `ADDED_AFTER_R12_FREEZE` as you add it)
 # first, then any lane whose output/domain changes after its newest
-# proof, then the 6 remaining r06 rows, then r07 oldest-first, then the
+# proof, then the 3 remaining r07 rows, then r08 oldest-first, then the
 # 8 sentinels.  Keep new registrations few enough to drain in one
-# window.
+# window (≤5/round keeps the backlog shrinking toward nothing older
+# than r08 by r13).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1a: the 12 post-r10-freeze lanes (first driver rows)
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "multimodal_audio_fft",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_wav",
-    "multimodal_frames_gif",
-    "multimodal_resize_real",
-    "sketch_count_min_audit",
-    "sketch_join_size_estimate",
-    "sketch_hll_scratch_audit",
-    "sketch_stats_cache_audit",
-    "streaming_count_min",
-    # tier 1b: the 3 round-11 lanes (first driver rows)
-    "multimodal_decode_jpeg_color",
-    "sketch_hll_linear_audit",
-    "streaming_hll_distinct",
-    # tier 2: alphabetically-first 27 of the 33 remaining round-6 rows
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "filter_edge_slivers",
-    "filter_time_range",
-    "forward_fill_last_purchase",
-    "json_extract_props",
-    "kst_daily_counts",
-    "lag_gap_seconds",
-    "latest_event_per_user",
-    "lead_next_event_gap",
-    "left_join_orders_customers",
-    "nation_pair_volume",
-    "nation_set_ops",
-    "orders_above_avg_price",
-    "percentile_value_by_type",
-    "pivot_daily_event_types",
-    "q10_returned_revenue",
-    "q14_promo_revenue_share",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_nation_market_share",
-    "range_join_event_windows",
-    "rank_orders_per_customer",
-    "rollup_order_counts",
+    # tier 1: first driver rows (1 post-r11-freeze + 2 round-12 lanes)
+    "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_rst",
+    "etl_user_activity_roundtrip",
+    # tier 2a: the 6 remaining round-6 rows (oldest proofs in the repo)
+    "salted_join_hotkey",
+    "semi_join_active_customers",
+    "sessionize_hotkey",
+    "sessionize_skew_split",
+    "sessions_per_user_window",
+    "sliding_hour_stats",
+    # tier 2b: alphabetically-first 33 of the 36 round-7 rows
+    "corpus_contamination_score",
+    "corpus_curation_topk",
+    "corpus_decontaminate",
+    "corpus_interleave",
+    "corpus_ngram_topk",
+    "corpus_pack_sequences",
+    "corpus_priority_sample",
+    "corpus_quality_funnel",
+    "corpus_sample_hash",
+    "corpus_split_assign",
+    "corpus_stratified_sample",
+    "dedup_clusters",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh_twins",
+    "dedup_simhash_pairs",
+    "dedup_simhash_sigs",
+    "grouped_demean_applyinpandas",
+    "multimodal_frame_sample",
+    "multimodal_payload_digests",
+    "multimodal_pointer_fetch",
+    "q11_important_parts",
+    "q12_shipping_priority_split",
+    "q13_customer_distribution",
+    "schema_evolution_read",
+    "schema_evolution_write",
+    "streaming_stateful_sessionize",
+    "string_functions_parts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "top_orders",
+    "tumbling_15min_counts",
     # tier 3: the 8 canonical sentinels (same set as r04-r10)
     "wau_user",
     "sessionize_ids",

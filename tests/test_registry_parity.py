@@ -59,10 +59,10 @@ def test_readme_count_matches_registry():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-11 window:
+    inserts silently evicted driver-proven queries).  Pin the round-12 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-12 rotation — so this test does NOT claim full cumulative
+    the round-13 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -92,23 +92,23 @@ def test_output_changed_lanes_hold_window_slots():
     )
 
 
-#: queries registered AFTER the r11 window freeze — they cannot hold a
-#: slot in THIS window and head the r12 rotation instead.  EMPTY at the
+#: queries registered AFTER the r12 window freeze — they cannot hold a
+#: slot in THIS window and head the r13 rotation instead.  EMPTY at the
 #: freeze; list every post-freeze registration here EXPLICITLY so the
 #: exemption is a conscious act, not a silent hole.  Keep in lockstep
 #: across both tests below.
-ADDED_AFTER_R11_FREEZE: set[str] = {
-    "multimodal_decode_jpeg_420",
-}
+ADDED_AFTER_R12_FREEZE: set[str] = set()
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r11 window freeze must have a driver row
-    in r01..r10 or sit in the r11 window awaiting one — at this freeze the
-    awaiting set is exactly the 15 tier-1 lanes (12 post-r10-freeze + 3
-    round-11 registrations), all holding window slots.  Queries added
-    after the freeze are exempt (next round's rotation) but must be listed
-    in ADDED_AFTER_R11_FREEZE explicitly."""
+    """Every query present at the r12 window freeze must have a driver row
+    in r01..r11 or sit in the r12 window awaiting one — at this freeze the
+    awaiting set is exactly the 3 tier-1 lanes (multimodal_decode_jpeg_420
+    from post-r11-freeze plus the 2 round-12 registrations,
+    multimodal_decode_jpeg_rst and etl_user_activity_roundtrip), all
+    holding window slots.  Queries added after the freeze are exempt (next
+    round's rotation) but must be listed in ADDED_AFTER_R12_FREEZE
+    explicitly."""
     import json
     import pathlib
 
@@ -121,21 +121,22 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in ADDED_AFTER_R11_FREEZE
+        and n not in ADDED_AFTER_R12_FREEZE
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-11 window audit: (a) every registered query either has a prior
+    """Round-12 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
     one of the 8 declared sentinels, an OUTPUT_CHANGED_SINCE_PROOF lane
     (stale row on a changed output), or a STALE-REFRESH slot whose newest
-    prior row is from round 6 (the oldest proofs left after r10 drained
-    the r05 rows; refreshed alphabetically, 27 of 33 — the other 6 head
-    r12).  `latest` is pinned to the rounds BEFORE this window froze
-    (r01-r10): once the driver emits CORRECTNESS_r11 for the window
+    prior row is from round 6 or 7 (the oldest proofs left after r11
+    drained 27 of the 33 r06 rows; the 6 r06 stragglers plus the
+    alphabetically-first 33 of 36 r07 rows refresh here — the other 3
+    head r13).  `latest` is pinned to the rounds BEFORE this window froze
+    (r01-r11): once the driver emits CORRECTNESS_r12 for the window
     itself, an open glob would reclassify all 50 slots as re-proofs and
     fail this test for succeeding."""
     import json
@@ -146,7 +147,7 @@ def test_driver_window_drains_the_backlog():
     latest: dict[str, int] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        if rnd > 10:
+        if rnd > 11:
             continue  # pinned to the pre-freeze record
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
@@ -166,7 +167,7 @@ def test_driver_window_drains_the_backlog():
         assert (
             n in sentinels
             or n in OUTPUT_CHANGED_SINCE_PROOF
-            or latest[n] == 6
+            or latest[n] in (6, 7)
         ), (
             f"window slot {n!r} re-proves a query last proven in "
             f"r{latest[n]:02d} — not a sentinel, not output-changed, not "
@@ -175,7 +176,7 @@ def test_driver_window_drains_the_backlog():
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in ADDED_AFTER_R11_FREEZE
+        if n not in latest and n not in ADDED_AFTER_R12_FREEZE
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
