@@ -99,6 +99,13 @@ FLAGSHIPS = [
     "multimodal_decode_jpeg_color",
     "sketch_hll_linear_audit",
     "streaming_hll_distinct",
+    # round-12: the two first-proof codec lanes of this round's window
+    # join the grid (r11 verdict ask #5) — the dominant-layout 4:2:0
+    # subsampled decode and its restart-interval (DRI/RSTn) sibling.
+    # Same compute-linear posture as jpeg_color: per-row-bounded Arrow
+    # map work, wall tracks decoded pixels.
+    "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_rst",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;
@@ -484,6 +491,22 @@ DEEP = {
     "sketch_hll_scratch_audit": {
         "table": "events",
         "repl": 100,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    # round-12 (r11 verdict ask #5): the 4:2:0 decode gets its own deep
+    # contract point now that its driver row lands.  The lane is
+    # COMPUTE-linear in decoded pixels (pure-Python Huffman + IDCT behind
+    # the Arrow spine — the jpeg_color precedent, SCALE.md), so the
+    # deep factor is 30x like graph_triangle_count: it adds a clean
+    # half-decade above the 10x point for the exponent fit while keeping
+    # the all-Python decode wall near half a minute on this box; at 100x
+    # the measurement would cost ~100 s and prove nothing more about the
+    # slope.  documents-only cache, fitted-exponent linear bar with the
+    # standard slack.
+    "multimodal_decode_jpeg_420": {
+        "table": "documents",
+        "repl": 30,
         "contract": "linear",
         "bar": 1.3,
     },

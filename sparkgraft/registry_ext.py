@@ -3277,8 +3277,13 @@ def q_sketch_stats_cache_audit(spark, sf_dir):
     100 TB this is the optimizer-statistics contract: one sketch-build
     scan per ingest epoch, and every consumer — per-key estimates, the
     inner-product join-size estimator, hot-key planning — reads the
-    sidecar instead of the corpus.  (Registered post-r10-freeze: first
-    driver proof lands with the r11 rotation.)"""
+    sidecar instead of the corpus.  Both artifacts now come from ONE
+    combined-build scan (sketch.combined_stats_build — the r11 verdict's
+    multi-probe single-scan fold, item #7, promoted to the epoch build
+    path): the cm trainer runs it and memoizes, the hll trainer serves
+    from the memo — bit-identical artifacts (pinned in tests) at half
+    the per-epoch corpus IO.  (Registered post-r10-freeze: first driver
+    proof lands with the r11 rotation.)"""
     import os
     import shutil
     import tempfile
@@ -3298,19 +3303,27 @@ def q_sketch_stats_cache_audit(spark, sf_dir):
             "build-once contract is broken"
         )
 
+    # one scan builds BOTH artifacts; each cached_index trainer takes its
+    # half (the memo dies with this call — cross-epoch reuse is the
+    # sidecar's job, not this dict's)
+    combined: dict[str, object] = {}
+
+    def _built() -> dict[str, object]:
+        if not combined:
+            grid, regs = sketch.combined_stats_build(
+                events, "user_id", "event_id"
+            )
+            combined["grid"] = grid
+            # sorted [reg, m] pairs: JSON-lossless (int keys would come
+            # back as strings from a dict)
+            combined["regs"] = regs
+        return combined
+
     def _build_grid():
-        grid = [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
-        for row in sketch.cm_cells(events, "user_id").collect():
-            grid[row["r"]][row["bucket"]] = row["mass"]
-        return grid
+        return _built()["grid"]
 
     def _build_registers():
-        # sorted [reg, m] pairs: JSON-lossless (int keys would come back
-        # as strings from a dict)
-        return sorted(
-            [row["reg"], row["m"]]
-            for row in sketch.hll_registers(events, "event_id").collect()
-        )
+        return _built()["regs"]
 
     try:
         cm_fresh, cm_hit1 = catalog.cached_index(
