@@ -361,10 +361,17 @@ def sessionize_with_continuity(
     if frontier is not None:
         df = df.join(F.broadcast(frontier), on=user_col, how="left")
         # The batch-continuation rule applies only to a user's FIRST event in
-        # this batch (prev IS NULL within the batch).
+        # this batch (prev IS NULL within the batch).  The lower bound
+        # (ts >= last_event_ts) is a no-op for in-contract loads (every new
+        # row sits at/after the batch boundary, which is after the frontier)
+        # but keeps an OUT-OF-RANGE row — e.g. a corrupt epoch-0 timestamp
+        # in a month file, the r12 drift rig's find — from time-traveling
+        # into the carried session: batch semantics would give such a row
+        # its own ancient session, never the frontier's id.
         continues = (
             F.col("__prev_ts").isNull()
             & F.col("last_event_ts").isNotNull()
+            & (F.col(ts_col) >= F.col("last_event_ts"))
             & (F.col(ts_col) < F.col("last_event_ts") + gap)
         )
     else:

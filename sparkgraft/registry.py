@@ -3679,14 +3679,24 @@ _ETL_ROUNDTRIP_ORACLE = """
     -- engineered 23:58->00:01 boundary sessions, a broken edge
     -- preservation drops month-1 rows from the KST 02-01 partition, a
     -- non-idempotent overwrite duplicates rows -- all hash mismatches
+    -- each month extract keeps ONLY rows inside its labeled month: a
+    -- month-keyed file that contains out-of-range timestamps (the drift
+    -- rig's epoch-0/1987 perturbations) is not a month extract, and
+    -- incremental-vs-batch equivalence is only claimed for the
+    -- reference's actual input contract (monthly files hold that
+    -- month's rows)
     WITH m1 AS (
       SELECT ts + INTERVAL 1 DAY AS raw_ts, event_id, user_id,
              event_type, value
-      FROM events WHERE event_id % 2 = 0),
+      FROM events WHERE event_id % 2 = 0
+        AND ts + INTERVAL 1 DAY >= TIMESTAMP '2024-01-01'
+        AND ts + INTERVAL 1 DAY <  TIMESTAMP '2024-02-01'),
     m2 AS (
       SELECT ts + INTERVAL 31 DAY AS raw_ts, event_id, user_id,
              event_type, value
-      FROM events WHERE event_id % 2 = 1 AND EXTRACT(day FROM ts) <= 28),
+      FROM events WHERE event_id % 2 = 1 AND EXTRACT(day FROM ts) <= 28
+        AND ts + INTERVAL 31 DAY >= TIMESTAMP '2024-02-01'
+        AND ts + INTERVAL 31 DAY <  TIMESTAMP '2024-03-01'),
     base AS (
       SELECT date_trunc('second', raw_ts) AS ts,
              CAST(user_id AS VARCHAR) AS user_id,
@@ -3785,13 +3795,30 @@ def q_etl_user_activity_roundtrip(spark, sf_dir):
     from sparkgraft.pipelines import user_activity as ua
 
     ev = _t(spark, sf_dir, "events")
-    m1 = ev.where(F.col("event_id") % 2 == 0).withColumn(
-        "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    # each month extract keeps ONLY rows inside its labeled month — the
+    # reference's input contract (a month file holds that month's rows);
+    # without this, drift-perturbed epoch-0 timestamps ride into the
+    # 2024-02 file and the incremental-vs-batch claim stops being
+    # well-defined (caught by the r12 drift audit)
+    m1 = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn(
+            "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        )
+        .where(
+            (F.col("raw_ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("raw_ts") < F.lit("2024-02-01").cast("timestamp"))
+        )
     )
-    m2 = ev.where(
-        (F.col("event_id") % 2 == 1) & (F.dayofmonth("ts") <= 28)
-    ).withColumn(
-        "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 31 DAY")
+    m2 = (
+        ev.where((F.col("event_id") % 2 == 1) & (F.dayofmonth("ts") <= 28))
+        .withColumn(
+            "raw_ts", F.col("ts").cast("timestamp") + F.expr("INTERVAL 31 DAY")
+        )
+        .where(
+            (F.col("raw_ts") >= F.lit("2024-02-01").cast("timestamp"))
+            & (F.col("raw_ts") < F.lit("2024-03-01").cast("timestamp"))
+        )
     )
 
     def raw_cols(df: DataFrame) -> DataFrame:
