@@ -156,3 +156,43 @@ def test_jpeg_color_rgb_roundtrip_error_bound(data):
 def test_bpe_replace_equals_greedy_merge(symbols, a, b):
     got = render(symbols).replace(f"({a})({b})", f"({a}{b})")
     assert got == render(ref_merge(symbols, a, b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 3), st.integers(1, 9), st.data())
+def test_jpeg_restart_stream_decodes_identically(bw, bh, interval, data):
+    """For ANY image and ANY restart interval, the restarted stream must
+    decode to exactly the bytes the unrestarted stream decodes to —
+    restart markers change bitstream layout (byte-aligned resync,
+    predictor resets), never pixels.  Intervals beyond the MCU count
+    exercise the DRI-present/zero-marker case; interval 1 maximizes
+    resyncs (bw*bh-1 markers, wrapping past RST7 when bw*bh > 8)."""
+    w, h = 8 * bw, 8 * bh
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    base = jpeg.decode(jpeg.encode_gray(w, h, pixels))["pixels"]
+    rst = jpeg.decode(
+        jpeg.encode_gray(w, h, pixels, restart_interval=interval)
+    )["pixels"]
+    assert rst == base
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 2), st.integers(1, 2), st.integers(1, 5), st.data())
+def test_jpeg_420_restart_stream_decodes_identically(mw, mh, interval, data):
+    """The subsampled + restarted composition: arbitrary planes through
+    4:2:0 with restarts must decode byte-identically to 4:2:0 without
+    them (three DC predictors reset per boundary, interleaved-MCU
+    resync)."""
+    w, h = 16 * mw, 16 * mh
+    n = w * h
+    planes = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+        for _ in range(3)
+    ]
+    base = jpeg.decode(jpeg.encode_ycbcr_420(w, h, *planes))
+    rst = jpeg.decode(
+        jpeg.encode_ycbcr_420(w, h, *planes, restart_interval=interval)
+    )
+    assert (rst["y"], rst["cb"], rst["cr"]) == (base["y"], base["cb"], base["cr"])
