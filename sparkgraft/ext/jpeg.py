@@ -9,17 +9,24 @@ Nothing beyond ``struct``/``math`` (numpy accelerates the 8x8 IDCT matrix
 product, as it already does for resampling in ext/multimodal).
 
 Scope is declared, not hedged (the ext/png + ext/wav posture): baseline
-sequential, grayscale (1 component) and YCbCr color (3 components) at
-4:4:4, 4:2:2, 4:2:0 and 4:4:0 — luma sampling factors of 1 or 2 per
-axis with 1x1 chroma, decoded through a generic interleaved-MCU loop
-with replication (nearest) chroma upsampling, which is exact integer
-indexing — WITH restart intervals (DRI + RSTn marker resynchronization,
-T.81 E.2.4/F.2.1.3.1: byte-align, verify the modulo-8 marker sequence,
-reset every DC predictor — the one marker family real camera files emit
-routinely).  Sampling factors above 2, progressive (SOF2) and every
-other SOF family, arithmetic coding, 12-bit precision, and DNL all
-raise ``ValueError`` naming the unsupported feature — they are
-unsupported INPUTS to a working decoder.
+sequential (SOF0) AND progressive (SOF2), grayscale (1 component) and
+YCbCr color (3 components) at 4:4:4, 4:2:2, 4:2:0 and 4:4:0 — luma
+sampling factors of 1 or 2 per axis with 1x1 chroma, decoded through a
+generic interleaved-MCU loop with replication (nearest) chroma
+upsampling, which is exact integer indexing — WITH restart intervals
+(DRI + RSTn marker resynchronization, T.81 E.2.4/F.2.1.3.1: byte-align,
+verify the modulo-8 marker sequence, reset every DC predictor — the one
+marker family real camera files emit routinely).  Progressive decode
+(T.81 Annex G) covers spectral selection AND successive approximation:
+interleaved/non-interleaved DC first + refinement scans, AC first scans
+with cross-block EOB runs, AC refinement scans with positional
+correction bits, DHT/DQT/DRI between scans, restarts inside any scan —
+and the progressive ENCODERS (gray + 4:4:4 color) share the baseline
+quantizer, so a progressive stream decodes to byte-identical pixels
+(the property the tests pin).  Sampling factors above 2, every other
+SOF family, arithmetic coding, 12-bit precision, and DNL all raise
+``ValueError`` naming the unsupported feature — they are unsupported
+INPUTS to a working decoder.
 The color transform is FIXED-POINT integer arithmetic (16-bit scaled
 JFIF coefficients, the libjpeg convention: ``(c*v + 32768) >> 16`` with
 arithmetic shift = floor), NOT float — so decode output is bit-stable
@@ -118,10 +125,10 @@ AC_CHROMA_VALS = (
 FLAT_Q16 = (16,) * 64
 
 #: SOF markers we refuse BY NAME (everything is a working decoder's
-#: unsupported input, not a missing decoder)
+#: unsupported input, not a missing decoder).  SOF0 (baseline) and SOF2
+#: (progressive) are the two SUPPORTED frame types.
 _SOF_NAMES = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -494,18 +501,26 @@ def _extract_block(
     return block
 
 
-def _encode_block(
-    w: _BitWriter, block: list[int], pred: int, dc_codes, ac_codes, qtable
-) -> int:
-    """FDCT, quantize, differential-DC + run-length-AC Huffman code ONE
-    8x8 block; returns the new DC predictor."""
+def _quantize_block(block: list[int], qtable) -> list[int]:
+    """FDCT + quantize one 8x8 pixel block; returns the 64 quantized
+    coefficients in ZIGZAG order (round-half-away-from-zero, the
+    symmetric quantizer both the baseline and progressive encoders
+    share so their coefficient streams are identical)."""
     coefs = _fdct(block)
-    quant = [
+    return [
         int(math.floor(coefs[ZIGZAG[i]] / qtable[i] + 0.5))
         if coefs[ZIGZAG[i]] >= 0
         else -int(math.floor(-coefs[ZIGZAG[i]] / qtable[i] + 0.5))
         for i in range(64)
     ]
+
+
+def _encode_block(
+    w: _BitWriter, block: list[int], pred: int, dc_codes, ac_codes, qtable
+) -> int:
+    """FDCT, quantize, differential-DC + run-length-AC Huffman code ONE
+    8x8 block; returns the new DC predictor."""
+    quant = _quantize_block(block, qtable)
     diff = quant[0] - pred
     size, payload = _magnitude(diff)
     code, length = dc_codes[size]
@@ -852,6 +867,449 @@ def encode_color(
                         qtable, qtable)
 
 
+#: default progressive scan script (spectral selection + one bit of
+#: successive approximation on every band): DC first at Al=1, the two AC
+#: bands first at Al=1, then the three refinement scans.  Every decoder
+#: path — interleavable DC first/refine, AC first with EOB runs, AC
+#: refinement with correction bits — is on the emitted stream.
+PROGRESSIVE_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _uniform_table(symbols) -> tuple[tuple, tuple]:
+    """(BITS, HUFFVAL) giving every symbol the same code length L with
+    2^L > n, so the all-ones code stays unassigned (the padding-safe
+    canonical convention).  Progressive scans need EOBRUN symbols
+    ((r<<4)|0, r>=1) that Annex K's tables simply do not contain, so each
+    AC scan ships its own DHT built from the symbols it actually uses —
+    which also keeps the decoder's between-scan DHT handling honest."""
+    vals = tuple(sorted(symbols))
+    n = len(vals)
+    if n == 0:
+        vals, n = (0x00,), 1
+    length = max(1, (n + 1).bit_length() - (1 if (n + 1) & n == 0 else 0))
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return tuple(bits), vals
+
+
+def _eob_symbol(run: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits_value, extra_bits_count) coding an EOB run of
+    ``run`` blocks (G.1.2.2: EOBn = (n<<4)|0 with n = floor(log2 run),
+    followed by n bits of run - 2^n)."""
+    nbits = run.bit_length() - 1
+    return (nbits << 4) | 0x00, run - (1 << nbits), nbits
+
+
+def _enc_ac_first(
+    blocks, ss, se, al, restart_interval, emit_sym, emit_bits, emit_restart
+):
+    """AC first scan (Ah=0) over every block's [Ss..Se] band: point
+    transform truncates toward zero, zero runs split by ZRL, EOB runs
+    accumulate across blocks and flush before any coefficient symbol, at
+    restart boundaries, and at scan end.  Emitter-parameterized so the
+    symbol-collection pass and the real emission pass share one walk."""
+    eob_run = 0
+
+    def flush_eob():
+        nonlocal eob_run
+        if eob_run:
+            sym, extra, nbits = _eob_symbol(eob_run)
+            emit_sym(sym)
+            if nbits:
+                emit_bits(extra, nbits)
+            eob_run = 0
+
+    total = len(blocks)
+    for i, blk in enumerate(blocks):
+        r = 0
+        for k in range(ss, se + 1):
+            v = blk[k]
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit_sym(0xF0)
+                r -= 16
+            tval = t if v > 0 else -t
+            size, payload = _magnitude(tval)
+            emit_sym((r << 4) | size)
+            emit_bits(payload, size)
+            r = 0
+        if r:
+            eob_run += 1
+            if eob_run == 0x7FFF:
+                flush_eob()
+        if (
+            restart_interval
+            and (i + 1) % restart_interval == 0
+            and i + 1 < total
+        ):
+            flush_eob()
+            emit_restart()
+    flush_eob()
+
+
+def _enc_ac_refine(
+    blocks, ss, se, al, restart_interval, emit_sym, emit_bits, emit_restart
+):
+    """AC refinement scan (Ah=Al+1, G.1.2.3): newly-nonzero coefficients
+    code as (run<<4)|1 + sign, correction bits for nonzero-history
+    coefficients follow the symbol whose walk passes them, and EOB-run
+    blocks buffer their remaining-band correction bits until the run
+    flushes — the exact bit order the decoder's positional walk reads."""
+    eob_run = 0
+    buffered: list[int] = []  # correction bits owed after the next EOB flush
+
+    def flush_eob():
+        nonlocal eob_run
+        if eob_run:
+            sym, extra, nbits = _eob_symbol(eob_run)
+            emit_sym(sym)
+            if nbits:
+                emit_bits(extra, nbits)
+            eob_run = 0
+        for b in buffered:
+            emit_bits(b, 1)
+        buffered.clear()
+
+    total = len(blocks)
+    for i, blk in enumerate(blocks):
+        # categorize the band: H = nonzero history (correction bit),
+        # N = newly nonzero at this precision, Z = still zero
+        cats = []
+        for k in range(ss, se + 1):
+            v = blk[k]
+            if abs(v) >> (al + 1):
+                cats.append(("H", (abs(v) >> al) & 1))
+            elif (abs(v) >> al) == 1:
+                cats.append(("N", 1 if v > 0 else 0))
+            else:
+                cats.append(("Z", 0))
+        n_positions = [j for j, (tag, _b) in enumerate(cats) if tag == "N"]
+        j = 0
+        for t in n_positions:
+            flush_eob()
+            while True:
+                # zero-history run length from j up to (excluding) t
+                zs = [p for p in range(j, t) if cats[p][0] == "Z"]
+                if len(zs) > 15:
+                    z16 = zs[15]  # ZRL consumes 16 zero-history slots
+                    emit_sym(0xF0)
+                    for p in range(j, z16 + 1):
+                        if cats[p][0] == "H":
+                            emit_bits(cats[p][1], 1)
+                    j = z16 + 1
+                    continue
+                emit_sym((len(zs) << 4) | 1)
+                emit_bits(cats[t][1], 1)  # sign: 1 = positive
+                for p in range(j, t):
+                    if cats[p][0] == "H":
+                        emit_bits(cats[p][1], 1)
+                j = t + 1
+                break
+        if j <= se - ss:
+            # remaining band closes with an EOB whose correction bits are
+            # owed only once the run flushes
+            eob_run += 1
+            buffered.extend(
+                cats[p][1] for p in range(j, se - ss + 1)
+                if cats[p][0] == "H"
+            )
+            if eob_run == 0x7FFF:
+                flush_eob()
+        if (
+            restart_interval
+            and (i + 1) % restart_interval == 0
+            and i + 1 < total
+        ):
+            flush_eob()
+            emit_restart()
+    flush_eob()
+
+
+def encode_gray_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    qtable=FLAT_Q16,
+    scan_script=PROGRESSIVE_SCRIPT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a REAL progressive (SOF2) grayscale JPEG: spectral selection
+    + successive approximation per ``scan_script`` (tuples of
+    ``(Ss, Se, Ah, Al)``; the first scan must be a DC first scan, per
+    G.1.1.1.1).  Quantized coefficients are IDENTICAL to
+    :func:`encode_gray`'s (shared :func:`_quantize_block`), so the
+    progressive stream decodes to byte-identical pixels — the property
+    the tests pin.  DC scans use the Annex K DC table; each AC scan
+    ships its own uniform-length DHT because progressive EOBRUN symbols
+    don't exist in Annex K's tables.  ``restart_interval`` applies per
+    scan (EOB runs flush at each boundary; predictors reset)."""
+    if len(pixels) != width * height:
+        raise ValueError("jpeg: pixels must be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
+    if not scan_script:
+        raise ValueError("jpeg: progressive scan script is empty")
+    if scan_script[0][:2] != (0, 0) or scan_script[0][2] != 0:
+        raise ValueError("jpeg: first progressive scan must be DC first")
+    for ss, se, ah, al in scan_script:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: a progressive scan cannot mix DC and AC")
+        if not (0 <= ss <= se <= 63 and 0 <= al <= 13):
+            raise ValueError("jpeg: invalid scan script entry")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("jpeg: successive approximation must refine "
+                             "one bit")
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    blocks = [
+        _quantize_block(_extract_block(pixels, width, height, bx, by), qtable)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+
+    parts = [
+        SOI,
+        _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _seg(0xDB, b"\x00" + bytes(qtable)),
+        _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        ),
+        _table_seg(0, 0, DC_BITS, DC_VALS),
+    ]
+    if restart_interval:
+        parts.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+
+    total = len(blocks)
+    for ss, se, ah, al in scan_script:
+        w = _BitWriter()
+        rst_idx = 0
+
+        def emit_restart():
+            nonlocal rst_idx
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+            rst_idx += 1
+
+        if ss == 0 and ah == 0:  # DC first
+            pred = 0
+            for i, blk in enumerate(blocks):
+                v = blk[0] >> al  # arithmetic shift = decoder's OR inverse
+                size, payload = _magnitude(v - pred)
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    w.write(payload, size)
+                pred = v
+                if (
+                    restart_interval
+                    and (i + 1) % restart_interval == 0
+                    and i + 1 < total
+                ):
+                    emit_restart()
+                    pred = 0
+            w.flush()
+            parts.append(_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])))
+            parts.append(bytes(w.out))
+        elif ss == 0:  # DC refinement: raw bits, no Huffman
+            for i, blk in enumerate(blocks):
+                w.write((blk[0] >> al) & 1, 1)
+                if (
+                    restart_interval
+                    and (i + 1) % restart_interval == 0
+                    and i + 1 < total
+                ):
+                    emit_restart()
+            w.flush()
+            parts.append(_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])))
+            parts.append(bytes(w.out))
+        else:  # AC scan: dual pass — collect symbols, ship a DHT, emit
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            syms: set[int] = set()
+            enc(
+                blocks, ss, se, al, restart_interval,
+                syms.add, lambda _v, _n: None, lambda: None,
+            )
+            bits, vals = _uniform_table(syms)
+            ac_codes = _canonical_codes(bits, vals)
+            parts.append(_table_seg(1, 0, bits, vals))
+
+            def emit_sym(sym):
+                code, length = ac_codes[sym]
+                w.write(code, length)
+
+            enc(
+                blocks, ss, se, al, restart_interval,
+                emit_sym, w.write, emit_restart,
+            )
+            w.flush()
+            parts.append(_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])))
+            parts.append(bytes(w.out))
+    parts.append(EOI)
+    return b"".join(parts)
+
+
+def encode_ycbcr_progressive(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    qtable=FLAT_Q16,
+    chroma_qtable=FLAT_Q16,
+    scan_script=PROGRESSIVE_SCRIPT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive YCbCr 4:4:4 from the three planes: DC scans are
+    INTERLEAVED (ns=3 — the one progressive scan type that may be; the
+    decoder's MCU-ordered multi-component DC path), AC scans are
+    per-component as the spec requires, emitted Y, Cb, Cr per script
+    band.  Quantized coefficients match :func:`encode_ycbcr` exactly, so
+    decoded planes are byte-identical to the baseline stream's."""
+    n = width * height
+    if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
+        raise ValueError("jpeg: planes must each be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
+    if not scan_script or scan_script[0][:3] != (0, 0, 0):
+        raise ValueError("jpeg: first progressive scan must be DC first")
+    for ss, se, ah, al in scan_script:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: a progressive scan cannot mix DC and AC")
+        if not (0 <= ss <= se <= 63 and 0 <= al <= 13):
+            raise ValueError("jpeg: invalid scan script entry")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("jpeg: successive approximation must refine "
+                             "one bit")
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    total = bw * bh
+    planes = (y_plane, cb_plane, cr_plane)
+    qts = (qtable, chroma_qtable, chroma_qtable)
+    blocks = [
+        [
+            _quantize_block(
+                _extract_block(planes[ci], width, height, bx, by), qts[ci]
+            )
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        for ci in range(3)
+    ]
+    dc_codes = (
+        _canonical_codes(DC_BITS, DC_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    )
+
+    parts = [
+        SOI,
+        _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _seg(0xDB, b"\x00" + bytes(qtable)),
+        _seg(0xDB, b"\x01" + bytes(chroma_qtable)),
+        _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        ),
+        _table_seg(0, 0, DC_BITS, DC_VALS),
+        _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    if restart_interval:
+        parts.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+
+    for ss, se, ah, al in scan_script:
+        if ss == 0:
+            w = _BitWriter()
+            rst_idx = 0
+            preds = [0, 0, 0]
+            for i in range(total):
+                for ci in range(3):
+                    blk = blocks[ci][i]
+                    if ah == 0:  # DC first
+                        v = blk[0] >> al
+                        size, payload = _magnitude(v - preds[ci])
+                        code, length = dc_codes[ci][size]
+                        w.write(code, length)
+                        if size:
+                            w.write(payload, size)
+                        preds[ci] = v
+                    else:  # DC refinement: one raw bit per block
+                        w.write((blk[0] >> al) & 1, 1)
+                if (
+                    restart_interval
+                    and (i + 1) % restart_interval == 0
+                    and i + 1 < total
+                ):
+                    w.flush()
+                    w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+                    rst_idx += 1
+                    preds = [0, 0, 0]
+            w.flush()
+            parts.append(
+                _seg(
+                    0xDA,
+                    bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se,
+                           (ah << 4) | al]),
+                )
+            )
+            parts.append(bytes(w.out))
+        else:
+            for ci, cid in enumerate((1, 2, 3)):
+                w = _BitWriter()
+                rst_idx = 0
+
+                def emit_restart():
+                    nonlocal rst_idx
+                    w.flush()
+                    w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+                    rst_idx += 1
+
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                syms: set[int] = set()
+                enc(
+                    blocks[ci], ss, se, al, restart_interval,
+                    syms.add, lambda _v, _n: None, lambda: None,
+                )
+                bits, vals = _uniform_table(syms)
+                ac_codes = _canonical_codes(bits, vals)
+                parts.append(_table_seg(1, 0, bits, vals))
+
+                def emit_sym(sym):
+                    code, length = ac_codes[sym]
+                    w.write(code, length)
+
+                enc(
+                    blocks[ci], ss, se, al, restart_interval,
+                    emit_sym, w.write, emit_restart,
+                )
+                w.flush()
+                parts.append(
+                    _seg(0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al]))
+                )
+                parts.append(bytes(w.out))
+    parts.append(EOI)
+    return b"".join(parts)
+
+
 def _decode_block(reader: _BitReader, dcm, acm, q, pred: int):
     """Entropy-decode, dequantize, dezigzag, and IDCT one 8x8 block;
     returns ``(pixels, new_pred)``."""
@@ -874,6 +1332,366 @@ def _decode_block(reader: _BitReader, dcm, acm, q, pred: int):
         coefs[ZIGZAG[i]] = _extend(reader.bits(size), size) * q[i]
         i += 1
     return _idct(coefs), pred
+
+
+def _refine_coef(reader: _BitReader, blk: list[int], natural: int, p1: int):
+    """One AC correction bit (T.81 G.1.2.3): append bit ``p1`` to the
+    MAGNITUDE of an already-nonzero coefficient.  Magnitude arithmetic,
+    not two's-complement bitwise — the encoder's AC point transform
+    truncates toward zero, so the refinement bit is a bit of |coef|."""
+    if reader.bits(1):
+        v = blk[natural]
+        if abs(v) & p1 == 0:
+            blk[natural] = v + p1 if v > 0 else v - p1
+
+
+def _decode_progressive(
+    payload: bytes,
+    scan_at: int,
+    first_scan_body: bytes,
+    frame_comps: list,
+    width: int,
+    height: int,
+    qtables: dict,
+    dc_maps: dict,
+    ac_maps: dict,
+    restart_interval: int,
+) -> tuple[list[bytearray], list[int]]:
+    """Progressive (SOF2) multi-scan decode: spectral selection +
+    successive approximation, T.81 Annex G.
+
+    Coefficients accumulate UNQUANTIZED-index-space (quantized values)
+    per component across scans — DC first scans store ``diff << Al`` with
+    per-scan predictors, DC refinement ORs in one bit per block (exact in
+    two's complement because the DC point transform is an arithmetic
+    shift), AC first scans run-length-code the band with EOB-run
+    counting, and AC refinement scans interleave newly-nonzero insertions
+    with magnitude correction bits for history coefficients.  Restart
+    markers resynchronize per scan (predictors AND the EOB run reset —
+    E.2.4 applies to progressive scans too).  After the last scan every
+    block is dequantized and inverse-transformed exactly as the baseline
+    path, so a progressive stream of the same quantized coefficients
+    decodes to BYTE-IDENTICAL pixels (the property the tests pin).
+
+    Returns ``(planes, strides)`` on the interleaved (MCU-padded) grid,
+    ready for the shared upsample/crop tail in :func:`decode`."""
+    hmax = max(h for (_c, h, _v, _q) in frame_comps)
+    vmax = max(v for (_c, _h, v, _q) in frame_comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    n_comp = len(frame_comps)
+    # per component: interleaved-grid block dims and coefficient blocks
+    # (NATURAL order, quantized values)
+    grid_w = [mcux * h for (_c, h, _v, _q) in frame_comps]
+    grid_h = [mcuy * v for (_c, _h, v, _q) in frame_comps]
+    coef = [
+        [[0] * 64 for _ in range(grid_w[i] * grid_h[i])]
+        for i in range(n_comp)
+    ]
+    # non-interleaved scan dims (A.2.2): ceil over the COMPONENT's size,
+    # not the MCU-padded grid
+    nb_w = [
+        (-(-(width * h) // hmax) + 7) // 8 for (_c, h, _v, _q) in frame_comps
+    ]
+    nb_h = [
+        (-(-(height * v) // vmax) + 7) // 8 for (_c, _h, v, _q) in frame_comps
+    ]
+    comp_index = {cid: i for i, (cid, _h, _v, _q) in enumerate(frame_comps)}
+
+    body = first_scan_body
+    pos = scan_at
+    while True:
+        # ---- parse this scan's header ----
+        ns = body[0]
+        if not 1 <= ns <= n_comp or len(body) < 4 + 2 * ns:
+            raise ValueError("jpeg: malformed progressive scan header")
+        scomps = []  # (ci, dc_sel, ac_sel)
+        for c in range(ns):
+            cid = body[1 + 2 * c]
+            if cid not in comp_index:
+                raise ValueError("jpeg: scan names a component not in frame")
+            sel = body[2 + 2 * c]
+            scomps.append((comp_index[cid], sel >> 4, sel & 0x0F))
+        ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        dc_scan = ss == 0
+        if dc_scan:
+            if se != 0:
+                raise ValueError(
+                    "jpeg: progressive scan mixes DC and AC (Ss=0 needs Se=0)"
+                )
+        else:
+            if ns != 1:
+                raise ValueError(
+                    "jpeg: progressive AC scans must be non-interleaved"
+                )
+            if not ss <= se <= 63:
+                raise ValueError("jpeg: invalid spectral band")
+        if ah != 0 and ah != al + 1:
+            # refinement must step exactly one bit (G.1.1.1.2)
+            raise ValueError(
+                "jpeg: successive approximation must refine one bit "
+                f"(Ah={ah}, Al={al})"
+            )
+        reader = _BitReader(payload, pos, allow_restarts=restart_interval > 0)
+        p1 = 1 << al
+        eob_run = 0
+        preds = [0] * n_comp
+        rst_idx = 0
+        units_done = 0
+
+        def _resync_if_due(total_units: int) -> None:
+            nonlocal eob_run, preds, rst_idx
+            if (
+                restart_interval
+                and units_done % restart_interval == 0
+                and units_done < total_units
+            ):
+                reader.resync(rst_idx)
+                rst_idx += 1
+                preds = [0] * n_comp
+                eob_run = 0
+
+        if dc_scan and ah == 0:
+            # ---- DC first scan: differential, shifted by Al ----
+            if any(s not in dc_maps for (_ci, s, _a) in scomps):
+                raise ValueError(
+                    "jpeg: scan references undefined Huffman table"
+                )
+            if ns > 1:  # interleaved MCU order
+                total = mcux * mcuy
+                for _my in range(mcuy):
+                    for _mx in range(mcux):
+                        for ci, dc_sel, _ac_sel in scomps:
+                            _cid, h, v, _q = frame_comps[ci]
+                            for by in range(v):
+                                for bx in range(h):
+                                    size = _decode_huffman(
+                                        reader, dc_maps[dc_sel]
+                                    )
+                                    preds[ci] += _extend(
+                                        reader.bits(size), size
+                                    )
+                                    bi = (
+                                        (_my * v + by) * grid_w[ci]
+                                        + _mx * h
+                                        + bx
+                                    )
+                                    coef[ci][bi][0] = preds[ci] << al
+                        units_done += 1
+                        _resync_if_due(total)
+            else:
+                ci, dc_sel, _ac_sel = scomps[0]
+                total = nb_w[ci] * nb_h[ci]
+                for by in range(nb_h[ci]):
+                    for bx in range(nb_w[ci]):
+                        size = _decode_huffman(reader, dc_maps[dc_sel])
+                        preds[ci] += _extend(reader.bits(size), size)
+                        coef[ci][by * grid_w[ci] + bx][0] = preds[ci] << al
+                        units_done += 1
+                        _resync_if_due(total)
+        elif dc_scan:
+            # ---- DC refinement: one raw bit per block, OR at Al ----
+            if ns > 1:
+                total = mcux * mcuy
+                for _my in range(mcuy):
+                    for _mx in range(mcux):
+                        for ci, _dc_sel, _ac_sel in scomps:
+                            _cid, h, v, _q = frame_comps[ci]
+                            for by in range(v):
+                                for bx in range(h):
+                                    bi = (
+                                        (_my * v + by) * grid_w[ci]
+                                        + _mx * h
+                                        + bx
+                                    )
+                                    if reader.bits(1):
+                                        coef[ci][bi][0] |= p1
+                        units_done += 1
+                        _resync_if_due(total)
+            else:
+                ci = scomps[0][0]
+                total = nb_w[ci] * nb_h[ci]
+                for by in range(nb_h[ci]):
+                    for bx in range(nb_w[ci]):
+                        if reader.bits(1):
+                            coef[ci][by * grid_w[ci] + bx][0] |= p1
+                        units_done += 1
+                        _resync_if_due(total)
+        elif ah == 0:
+            # ---- AC first scan: band run-length with EOB runs ----
+            ci, _dc_sel, ac_sel = scomps[0]
+            if ac_sel not in ac_maps:
+                raise ValueError(
+                    "jpeg: scan references undefined Huffman table"
+                )
+            acm = ac_maps[ac_sel]
+            total = nb_w[ci] * nb_h[ci]
+            for by in range(nb_h[ci]):
+                for bx in range(nb_w[ci]):
+                    blk = coef[ci][by * grid_w[ci] + bx]
+                    if eob_run > 0:
+                        eob_run -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huffman(reader, acm)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    eob_run = (1 << r) - 1
+                                    if r:
+                                        eob_run += reader.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "jpeg: AC run past band end"
+                                )
+                            blk[ZIGZAG[k]] = (
+                                _extend(reader.bits(s), s) << al
+                            )
+                            k += 1
+                    units_done += 1
+                    _resync_if_due(total)
+        else:
+            # ---- AC refinement scan (G.1.2.3) ----
+            ci, _dc_sel, ac_sel = scomps[0]
+            if ac_sel not in ac_maps:
+                raise ValueError(
+                    "jpeg: scan references undefined Huffman table"
+                )
+            acm = ac_maps[ac_sel]
+            total = nb_w[ci] * nb_h[ci]
+            for by in range(nb_h[ci]):
+                for bx in range(nb_w[ci]):
+                    blk = coef[ci][by * grid_w[ci] + bx]
+                    if eob_run > 0:
+                        # whole band: correction bits for nonzero history
+                        for k in range(ss, se + 1):
+                            if blk[ZIGZAG[k]]:
+                                _refine_coef(reader, blk, ZIGZAG[k], p1)
+                        eob_run -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huffman(reader, acm)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r < 15:  # EOB run starts here
+                                    eob_run = 1 << r
+                                    if r:
+                                        eob_run += reader.bits(r)
+                                    break
+                                # ZRL: pass 16 zero-history positions
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "jpeg: refinement magnitude must "
+                                        "be 1"
+                                    )
+                                newval = p1 if reader.bits(1) else -p1
+                            # advance past r zero-history coefficients,
+                            # emitting corrections for nonzero history
+                            while k <= se:
+                                nat = ZIGZAG[k]
+                                if blk[nat] != 0:
+                                    _refine_coef(reader, blk, nat, p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[ZIGZAG[k]] = newval
+                            k += 1
+                        if eob_run > 0:
+                            # this block consumed the first EOB slot:
+                            # correction bits for the REST of the band
+                            for kk in range(k, se + 1):
+                                if blk[ZIGZAG[kk]]:
+                                    _refine_coef(reader, blk, ZIGZAG[kk], p1)
+                            eob_run -= 1
+                    units_done += 1
+                    _resync_if_due(total)
+
+        # ---- find the next marker after this scan's entropy data ----
+        pos = reader.pos
+        while True:
+            if pos + 1 >= len(payload):
+                raise ValueError("jpeg: truncated stream after scan")
+            if payload[pos] != 0xFF:
+                pos += 1  # unread pad byte of the closed scan
+                continue
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+                pos += 2 if nxt == 0x00 else 1
+                if 0xD0 <= nxt <= 0xD7:
+                    pos += 1  # stray trailing restart marker: step over
+                continue
+            break
+        # ---- walk segments until the next SOS or EOI ----
+        body = None
+        while True:
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI: all scans done
+                break
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            seg_body = payload[pos + 4: pos + 2 + seg_len]
+            pos += 2 + seg_len
+            if marker == 0xC4:  # DHT between scans
+                i = 0
+                while i < len(seg_body):
+                    tc, th = seg_body[i] >> 4, seg_body[i] & 0x0F
+                    nbits = tuple(seg_body[i + 1: i + 17])
+                    n = sum(nbits)
+                    vals = tuple(seg_body[i + 17: i + 17 + n])
+                    (dc_maps if tc == 0 else ac_maps)[th] = _cached_lut(
+                        nbits, vals
+                    )
+                    i += 17 + n
+            elif marker == 0xDB:  # DQT between scans
+                i = 0
+                while i < len(seg_body):
+                    pq, tq = seg_body[i] >> 4, seg_body[i] & 0x0F
+                    if pq != 0:
+                        raise ValueError(
+                            "jpeg: 16-bit quant tables unsupported"
+                        )
+                    qtables[tq] = tuple(seg_body[i + 1: i + 65])
+                    i += 65
+            elif marker == 0xDD:  # DRI between scans
+                (restart_interval,) = struct.unpack_from(">H", seg_body, 0)
+            elif marker == 0xDA:  # next scan
+                body = seg_body
+                break
+            # APPn / COM: skipped
+        if body is None:
+            break  # EOI
+    # ---- dequantize + IDCT every block into the padded planes ----
+    strides = [grid_w[i] * 8 for i in range(n_comp)]
+    planes = [bytearray(strides[i] * grid_h[i] * 8) for i in range(n_comp)]
+    for ci, (_cid, _h, _v, tq) in enumerate(frame_comps):
+        if tq not in qtables:
+            raise ValueError("jpeg: frame references undefined quant table")
+        q = qtables[tq]
+        qnat = [0] * 64
+        for zz in range(64):
+            qnat[ZIGZAG[zz]] = q[zz]
+        stride = strides[ci]
+        for by in range(grid_h[ci]):
+            for bx in range(grid_w[ci]):
+                blk = coef[ci][by * grid_w[ci] + bx]
+                px = _idct([blk[i] * qnat[i] for i in range(64)])
+                x0, y0 = bx * 8, by * 8
+                out = planes[ci]
+                for y in range(8):
+                    row0 = (y0 + y) * stride + x0
+                    out[row0: row0 + 8] = px[y * 8: y * 8 + 8]
+    return planes, strides
 
 
 def decode(payload: bytes) -> dict:
@@ -907,6 +1725,8 @@ def decode(payload: bytes) -> dict:
     scan_at = None
     scan_sel: list[tuple[int, int]] | None = None  # (dc, ac) per comp
     restart_interval = 0
+    progressive = False
+    first_scan_body: bytes | None = None
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -946,7 +1766,8 @@ def decode(payload: bytes) -> dict:
                 vals = tuple(body[i + 17 : i + 17 + n])
                 (dc_maps if tc == 0 else ac_maps)[th] = _cached_lut(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, n_comp = struct.unpack_from(
                 ">BHHB", body, 0
             )
@@ -960,7 +1781,7 @@ def decode(payload: bytes) -> dict:
                     "grayscale (1) or YCbCr (3) only"
                 )
             if len(body) < 6 + 3 * n_comp:
-                raise ValueError("jpeg: truncated SOF0 segment")
+                raise ValueError("jpeg: truncated SOF segment")
             frame_comps = []
             for c in range(n_comp):
                 cid, sampling, tq = body[6 + 3 * c: 9 + 3 * c]
@@ -983,7 +1804,14 @@ def decode(payload: bytes) -> dict:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame_comps is None:
-                raise ValueError("jpeg: SOS before SOF0")
+                raise ValueError("jpeg: SOS before SOF")
+            if progressive:
+                # progressive scan headers carry a SUBSET of components
+                # and spectral/approximation parameters; the multi-scan
+                # loop (_decode_progressive) validates each one
+                scan_at = pos
+                first_scan_body = body
+                break
             ns = body[0]
             if ns != len(frame_comps) or any(
                 body[1 + 2 * c] != frame_comps[c][0] for c in range(ns)
@@ -1004,54 +1832,77 @@ def decode(payload: bytes) -> dict:
         # APPn / COM / others: skipped
 
     if width is None or scan_at is None:
-        raise ValueError("jpeg: missing SOF0 or SOS")
-    comps = []  # (h, v, dcm, acm, q) per component, scan order
-    for (cid, sh, sv, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
-        if tq not in qtables:
-            raise ValueError("jpeg: scan references undefined quant table")
-        if dc_sel not in dc_maps or ac_sel not in ac_maps:
-            raise ValueError("jpeg: scan references undefined Huffman table")
-        comps.append((sh, sv, dc_maps[dc_sel], ac_maps[ac_sel], qtables[tq]))
-
-    # generic interleaved-MCU loop (A.2.3): an MCU carries h_i*v_i blocks
-    # per component in raster order; each component decodes into its own
-    # (possibly subsampled) plane, padded to whole MCUs and cropped on
-    # upsample.  hmax/vmax define the MCU's pixel footprint.
-    hmax = max(c[0] for c in comps)
-    vmax = max(c[1] for c in comps)
+        raise ValueError("jpeg: missing SOF or SOS")
+    samplings = [(sh, sv) for (_cid, sh, sv, _tq) in frame_comps]
+    hmax = max(sh for sh, _ in samplings)
+    vmax = max(sv for _, sv in samplings)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    strides = [mcux * c[0] * 8 for c in comps]
-    planes = [bytearray(strides[i] * mcuy * comps[i][1] * 8)
-              for i in range(len(comps))]
-    preds = [0] * len(comps)
-    reader = _BitReader(payload, scan_at, allow_restarts=restart_interval > 0)
-    total_mcus = mcux * mcuy
-    mcu_idx = rst_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv, dcm, acm, q) in enumerate(comps):
-                for by in range(sv):
-                    for bx in range(sh):
-                        px, preds[ci] = _decode_block(
-                            reader, dcm, acm, q, preds[ci]
-                        )
-                        out = planes[ci]
-                        stride = strides[ci]
-                        x0 = (mx * sh + bx) * 8
-                        y0 = (my * sv + by) * 8
-                        for y in range(8):
-                            row0 = (y0 + y) * stride + x0
-                            out[row0: row0 + 8] = px[y * 8: y * 8 + 8]
-            mcu_idx += 1
-            if (
-                restart_interval
-                and mcu_idx % restart_interval == 0
-                and mcu_idx < total_mcus
-            ):
-                reader.resync(rst_idx)
-                rst_idx += 1
-                preds = [0] * len(comps)
+
+    if progressive:
+        planes, strides = _decode_progressive(
+            payload,
+            scan_at,
+            first_scan_body,
+            frame_comps,
+            width,
+            height,
+            qtables,
+            dc_maps,
+            ac_maps,
+            restart_interval,
+        )
+    else:
+        comps = []  # (h, v, dcm, acm, q) per component, scan order
+        for (cid, sh, sv, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
+            if tq not in qtables:
+                raise ValueError("jpeg: scan references undefined quant table")
+            if dc_sel not in dc_maps or ac_sel not in ac_maps:
+                raise ValueError(
+                    "jpeg: scan references undefined Huffman table"
+                )
+            comps.append(
+                (sh, sv, dc_maps[dc_sel], ac_maps[ac_sel], qtables[tq])
+            )
+
+        # generic interleaved-MCU loop (A.2.3): an MCU carries h_i*v_i
+        # blocks per component in raster order; each component decodes
+        # into its own (possibly subsampled) plane, padded to whole MCUs
+        # and cropped on upsample.  hmax/vmax define the MCU's pixel
+        # footprint.
+        strides = [mcux * c[0] * 8 for c in comps]
+        planes = [bytearray(strides[i] * mcuy * comps[i][1] * 8)
+                  for i in range(len(comps))]
+        preds = [0] * len(comps)
+        reader = _BitReader(
+            payload, scan_at, allow_restarts=restart_interval > 0
+        )
+        total_mcus = mcux * mcuy
+        mcu_idx = rst_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv, dcm, acm, q) in enumerate(comps):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            px, preds[ci] = _decode_block(
+                                reader, dcm, acm, q, preds[ci]
+                            )
+                            out = planes[ci]
+                            stride = strides[ci]
+                            x0 = (mx * sh + bx) * 8
+                            y0 = (my * sv + by) * 8
+                            for y in range(8):
+                                row0 = (y0 + y) * stride + x0
+                                out[row0: row0 + 8] = px[y * 8: y * 8 + 8]
+                mcu_idx += 1
+                if (
+                    restart_interval
+                    and mcu_idx % restart_interval == 0
+                    and mcu_idx < total_mcus
+                ):
+                    reader.resync(rst_idx)
+                    rst_idx += 1
+                    preds = [0] * len(comps)
 
     def _upsample(ci: int) -> bytes:
         """Full-resolution plane: nearest (replication) upsample from the
@@ -1059,7 +1910,7 @@ def decode(payload: bytes) -> dict:
         integer indexing, the inverse of the encoder's top-left pick.
         numpy fancy-index path when available (identical index
         arithmetic, so bit-identical output), per-pixel fallback kept."""
-        sh, sv = comps[ci][0], comps[ci][1]
+        sh, sv = samplings[ci]
         src, stride = planes[ci], strides[ci]
         try:
             import numpy as np

@@ -196,3 +196,26 @@ def test_jpeg_420_restart_stream_decodes_identically(mw, mh, interval, data):
         jpeg.encode_ycbcr_420(w, h, *planes, restart_interval=interval)
     )
     assert (rst["y"], rst["cb"], rst["cr"]) == (base["y"], base["cb"], base["cr"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 3), st.data())
+def test_jpeg_progressive_decodes_identically(bw, bh, variant, data):
+    """For ANY image, a progressive stream (under several scan scripts,
+    with and without restarts) must decode to exactly the bytes the
+    baseline stream decodes to — the two organizations carry the same
+    quantized coefficients, so any divergence is a codec bug."""
+    w, h = 8 * bw, 8 * bh
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    base = jpeg.decode(jpeg.encode_gray(w, h, pixels))["pixels"]
+    kwargs = [
+        {},
+        {"scan_script": ((0, 0, 0, 0), (1, 63, 0, 0))},
+        {"scan_script": ((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0),
+                         (1, 63, 1, 0))},
+        {"restart_interval": 1 + (bw * bh) % 3},
+    ][variant]
+    got = jpeg.decode(jpeg.encode_gray_progressive(w, h, pixels, **kwargs))
+    assert got["pixels"] == base

@@ -365,10 +365,127 @@ def _mutate_marker(payload: bytes, old: int, new: int) -> bytes:
     return payload[:i + 1] + bytes([new]) + payload[i + 2:]
 
 
-def test_refuses_progressive_by_name():
+def test_baseline_stream_mislabeled_sof2_is_an_error():
+    """SOF2 is SUPPORTED now (r12) — but a baseline scan header under a
+    progressive frame is still corrupt: its Ss=0/Se=63 band mixes DC and
+    AC, which a progressive scan may not (G.1.1.1.1)."""
     enc = jpeg.encode_gray(8, 8, bytes(64))
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         jpeg.decode(_mutate_marker(enc, 0xC0, 0xC2))
+
+
+def test_progressive_fixture_class_exact():
+    """The even-constant-block lossless class survives the progressive
+    path: DC-only content through DC first+refine scans and all-zero AC
+    bands through pure-EOB AC scans reproduce the source exactly."""
+    w, h, src = _const_block_gray(3, 2)
+    assert jpeg.decode(jpeg.encode_gray_progressive(w, h, src))["pixels"] == src
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """The load-bearing identity: same quantized coefficients, different
+    stream organization — progressive MUST decode to the byte-identical
+    pixels baseline decodes to, across scan scripts that exercise
+    spectral-selection-only, multi-bit DC approximation, two-step AC
+    refinement, and many-band splits."""
+    rng = random.Random(20240819)
+    src = bytes(rng.randrange(256) for _ in range(24 * 24))
+    base = jpeg.decode(jpeg.encode_gray(24, 24, src))["pixels"]
+    scripts = [
+        jpeg.PROGRESSIVE_SCRIPT,
+        ((0, 0, 0, 0), (1, 63, 0, 0)),
+        ((0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0), (1, 63, 0, 0)),
+        ((0, 0, 0, 1), (1, 63, 0, 2), (0, 0, 1, 0), (1, 63, 2, 1),
+         (1, 63, 1, 0)),
+        ((0, 0, 0, 0), (1, 2, 0, 0), (3, 10, 0, 0), (11, 63, 0, 0)),
+    ]
+    for sc in scripts:
+        got = jpeg.decode(
+            jpeg.encode_gray_progressive(24, 24, src, scan_script=sc)
+        )["pixels"]
+        assert got == base, f"script {sc} diverged"
+
+
+def test_progressive_with_restarts_decodes_identically():
+    """Restart markers inside progressive scans: predictors AND the EOB
+    run reset at each boundary (E.2.4 applies per scan)."""
+    rng = random.Random(7)
+    src = bytes(rng.randrange(256) for _ in range(24 * 24))
+    base = jpeg.decode(jpeg.encode_gray(24, 24, src))["pixels"]
+    for ri in (1, 2, 3, 5):
+        got = jpeg.decode(
+            jpeg.encode_gray_progressive(24, 24, src, restart_interval=ri)
+        )["pixels"]
+        assert got == base
+
+
+def test_progressive_color_interleaved_dc_identity():
+    """Color progressive: the interleaved (ns=3) DC scans drive the
+    decoder's MCU-ordered multi-component path; per-component AC scans
+    drive the non-interleaved grid.  Planes and fixed-point RGB must
+    match the baseline stream's exactly."""
+    rng = random.Random(99)
+    n = 24 * 16
+    planes = [bytes(rng.randrange(256) for _ in range(n)) for _ in range(3)]
+    base = jpeg.decode(jpeg.encode_ycbcr(24, 16, *planes))
+    for kwargs in (
+        {},
+        {"restart_interval": 2},
+        {"scan_script": ((0, 0, 0, 0), (1, 63, 0, 0))},
+    ):
+        prog = jpeg.decode(
+            jpeg.encode_ycbcr_progressive(24, 16, *planes, **kwargs)
+        )
+        assert prog["y"] == base["y"]
+        assert prog["cb"] == base["cb"]
+        assert prog["cr"] == base["cr"]
+        assert prog["rgb"] == base["rgb"]
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-empty high band across many blocks must produce an EOB
+    run longer than one block (the cross-block EOBRUN machinery, encoder
+    AND decoder) — pinned by construction: 12 blocks whose band 6-63 is
+    all zero encode that band as ONE EOBn symbol, and the stream still
+    decodes exactly."""
+    w, h, src = _const_block_gray(12, 1)
+    enc = jpeg.encode_gray_progressive(
+        w, h, src, scan_script=((0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+    )
+    assert jpeg.decode(enc)["pixels"] == src
+
+
+def test_progressive_rejects_bad_scripts():
+    src = bytes(64)
+    with pytest.raises(ValueError, match="DC first"):
+        jpeg.encode_gray_progressive(8, 8, src, scan_script=((1, 63, 0, 0),))
+    with pytest.raises(ValueError, match="mix DC and AC"):
+        jpeg.encode_gray_progressive(
+            8, 8, src, scan_script=((0, 0, 0, 0), (0, 63, 0, 0))
+        )
+    with pytest.raises(ValueError, match="refine one bit"):
+        jpeg.encode_gray_progressive(
+            8, 8, src, scan_script=((0, 0, 0, 2), (0, 0, 2, 0))
+        )
+
+
+def test_progressive_rejects_interleaved_ac_scan():
+    """ns>1 on an AC scan is spec-illegal (G.1.1.1.1) — mutate a color
+    progressive stream's first AC SOS to claim 3 components."""
+    n = 16 * 16
+    enc = jpeg.encode_ycbcr_progressive(
+        16, 16, bytes([100]) * n, bytes([96]) * n, bytes([120]) * n
+    )
+    # find the first single-component SOS (ns==1): FF DA len=8 body[0]==1
+    i = 0
+    while True:
+        i = enc.index(b"\xff\xda", i + 1)
+        if enc[i + 4] == 1:
+            break
+    bad = bytearray(enc)
+    bad[i + 4] = 3  # claim ns=3 with a body sized for ns=1
+    with pytest.raises(ValueError, match="non-interleaved|malformed"):
+        jpeg.decode(bytes(bad))
 
 
 def test_refuses_arithmetic_by_name():
