@@ -99,13 +99,15 @@ FLAGSHIPS = [
     "multimodal_decode_jpeg_color",
     "sketch_hll_linear_audit",
     "streaming_hll_distinct",
-    # round-12: the two first-proof codec lanes of this round's window
+    # round-12: the three first-proof codec lanes of this round's window
     # join the grid (r11 verdict ask #5) — the dominant-layout 4:2:0
-    # subsampled decode and its restart-interval (DRI/RSTn) sibling.
-    # Same compute-linear posture as jpeg_color: per-row-bounded Arrow
-    # map work, wall tracks decoded pixels.
+    # subsampled decode, its restart-interval (DRI/RSTn) sibling, and
+    # the progressive (SOF2) decode.  Same compute-linear posture as
+    # jpeg_color: per-row-bounded Arrow map work, wall tracks decoded
+    # pixels (times the scan-script constant, for progressive).
     "multimodal_decode_jpeg_420",
     "multimodal_decode_jpeg_rst",
+    "multimodal_decode_jpeg_prog",
 ]
 
 # key columns to shift per replica so cardinality scales with rows;

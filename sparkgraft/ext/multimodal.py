@@ -982,6 +982,83 @@ def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+#: the three deterministic progressive scan scripts the prog fixture
+#: cycles through (id % 3): the full spectral+successive default, the
+#: minimal spectral-only pair, and a 7-scan two-bit-DC approximation
+#: chain — together they cover every progressive decode path
+_PROG_SCRIPTS = (
+    None,  # resolved to jpeg.PROGRESSIVE_SCRIPT at use (6 scans)
+    ((0, 0, 0, 0), (1, 63, 0, 0)),  # 2 scans
+    (
+        (0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+        (1, 5, 0, 1), (6, 63, 0, 1), (1, 5, 1, 0), (6, 63, 1, 0),
+    ),  # 7 scans
+)
+PROG_SCRIPT_SCANS = (6, 2, 7)
+
+
+def synth_jpeg_prog_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PROGRESSIVE (SOF2) JPEG payloads from ids — the
+    same image class and geometry as :func:`synth_jpeg_payloads`
+    (``8*(1 + id % 3) x 8*(1 + id % 2)``, constant EVEN blocks, lossless
+    under flat q=16, so decoded pixel sums stay pure id arithmetic), but
+    streamed progressively: scan script cycles by ``id % 3``
+    (full spectral+successive default / spectral-only / 7-scan two-bit
+    DC chain) and ``restart_interval = id % 2`` puts restart markers
+    inside every scan of every other image.
+
+    Emits (id, payload, source_md5, n_scans, n_rst): ``n_scans`` counts
+    the SOS markers physically present (certifying the multi-scan
+    structure was emitted, not silently folded to baseline — 0xFFDA
+    cannot occur unstuffed in entropy data), ``n_rst`` the RSTn pairs
+    (closed form: scans * floor((blocks-1)/interval))."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import jpeg as _jpeg
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "payload": [], "source_md5": [],
+                "n_scans": [], "n_rst": [],
+            }
+            for i in pdf[id_col]:
+                i = int(i)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                w, h = 8 * wb, 8 * hb
+                px = bytearray(w * h)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = 64 + 2 * ((i * 7 + bx * 3 + by * 5) % 64)
+                        for y in range(8):
+                            row0 = (by * 8 + y) * w + bx * 8
+                            for x in range(8):
+                                px[row0 + x] = v
+                script = _PROG_SCRIPTS[i % 3] or _jpeg.PROGRESSIVE_SCRIPT
+                interval = i % 2
+                payload = _jpeg.encode_gray_progressive(
+                    w, h, bytes(px), scan_script=script,
+                    restart_interval=interval,
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(hashlib.md5(bytes(px)).hexdigest())
+                out["n_scans"].append(payload.count(b"\xff\xda"))
+                out["n_rst"].append(
+                    sum(
+                        payload.count(bytes([0xFF, 0xD0 + n]))
+                        for n in range(8)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        "doc_id bigint, payload binary, source_md5 string, "
+        "n_scans bigint, n_rst bigint",
+    )
+
+
 def decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real baseline-JPEG decode + feature extraction (ext/jpeg: marker
     parse, canonical Huffman, differential DC, dequantize, true 8x8 IDCT)

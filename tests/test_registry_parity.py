@@ -103,9 +103,10 @@ ADDED_AFTER_R12_FREEZE: set[str] = set()
 def test_driver_rows_cumulative_coverage():
     """Every query present at the r12 window freeze must have a driver row
     in r01..r11 or sit in the r12 window awaiting one — at this freeze the
-    awaiting set is exactly the 3 tier-1 lanes (multimodal_decode_jpeg_420
-    from post-r11-freeze plus the 2 round-12 registrations,
-    multimodal_decode_jpeg_rst and etl_user_activity_roundtrip), all
+    awaiting set is exactly the 4 tier-1 lanes (multimodal_decode_jpeg_420
+    from post-r11-freeze plus the 3 round-12 registrations —
+    multimodal_decode_jpeg_rst, etl_user_activity_roundtrip and
+    multimodal_decode_jpeg_prog), all
     holding window slots.  Queries added after the freeze are exempt (next
     round's rotation) but must be listed in ADDED_AFTER_R12_FREEZE
     explicitly."""
@@ -134,7 +135,7 @@ def test_driver_window_drains_the_backlog():
     (stale row on a changed output), or a STALE-REFRESH slot whose newest
     prior row is from round 6 or 7 (the oldest proofs left after r11
     drained 27 of the 33 r06 rows; the 6 r06 stragglers plus the
-    alphabetically-first 33 of 36 r07 rows refresh here — the other 3
+    alphabetically-first 32 of 36 r07 rows refresh here — the other 4
     head r13).  `latest` is pinned to the rounds BEFORE this window froze
     (r01-r11): once the driver emits CORRECTNESS_r12 for the window
     itself, an open glob would reclassify all 50 slots as re-proofs and
