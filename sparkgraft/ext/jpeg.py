@@ -1310,6 +1310,215 @@ def encode_ycbcr_progressive(
     return b"".join(parts)
 
 
+def encode_ycbcr_progressive_sub(
+    width: int,
+    height: int,
+    y_plane: bytes,
+    cb_plane: bytes,
+    cr_plane: bytes,
+    luma_h: int = 2,
+    luma_v: int = 2,
+    qtable=FLAT_Q16,
+    chroma_qtable=FLAT_Q16,
+    scan_script=PROGRESSIVE_SCRIPT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive YCbCr with SUBSAMPLED chroma (luma ``luma_h x
+    luma_v``, chroma 1x1 — 4:2:0/4:2:2/4:4:0 like
+    :func:`encode_ycbcr_sub`): DC scans interleave ``luma_h*luma_v``
+    luma blocks + Cb + Cr per MCU; AC scans are per-component over the
+    component's NON-INTERLEAVED grid (A.2.2: ceil over the component
+    size, NOT the MCU-padded grid — so luma pad columns/rows of
+    non-multiple-of-MCU images carry DC-only data, exactly what the
+    decoder expects and crops).  Chroma subsamples by top-left pick and
+    every quantized coefficient matches :func:`encode_ycbcr_sub`'s, so
+    the progressive stream decodes byte-identically to the baseline
+    subsampled stream."""
+    if luma_h not in (1, 2) or luma_v not in (1, 2):
+        raise ValueError("jpeg: luma sampling factors must be 1 or 2")
+    if (luma_h, luma_v) == (1, 1):
+        raise ValueError(
+            "jpeg: 1x1 luma is 4:4:4 — use encode_ycbcr_progressive"
+        )
+    n = width * height
+    if not (len(y_plane) == len(cb_plane) == len(cr_plane) == n):
+        raise ValueError("jpeg: planes must each be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("jpeg: dimensions out of range")
+    _check_restart_interval(restart_interval)
+    if not scan_script or scan_script[0][:3] != (0, 0, 0):
+        raise ValueError("jpeg: first progressive scan must be DC first")
+    for ss, se, ah, al in scan_script:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: a progressive scan cannot mix DC and AC")
+        if not (0 <= ss <= se <= 63 and 0 <= al <= 13):
+            raise ValueError("jpeg: invalid scan script entry")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("jpeg: successive approximation must refine "
+                             "one bit")
+
+    mcux = (width + 8 * luma_h - 1) // (8 * luma_h)
+    mcuy = (height + 8 * luma_v - 1) // (8 * luma_v)
+    cw, ch = mcux * 8, mcuy * 8
+    cb_sub = bytearray(cw * ch)
+    cr_sub = bytearray(cw * ch)
+    for cy in range(ch):
+        sy = min(luma_v * cy, height - 1)
+        for cx in range(cw):
+            sx = min(luma_h * cx, width - 1)
+            cb_sub[cy * cw + cx] = cb_plane[sy * width + sx]
+            cr_sub[cy * cw + cx] = cr_plane[sy * width + sx]
+
+    # quantized blocks per component on the INTERLEAVED grid
+    gw = (mcux * luma_h, mcux, mcux)
+    gh = (mcuy * luma_v, mcuy, mcuy)
+    blocks = [
+        [
+            _quantize_block(
+                _extract_block(y_plane, width, height, bx, by), qtable
+            )
+            for by in range(gh[0])
+            for bx in range(gw[0])
+        ],
+        [
+            _quantize_block(
+                _extract_block(bytes(cb_sub), cw, ch, bx, by), chroma_qtable
+            )
+            for by in range(gh[1])
+            for bx in range(gw[1])
+        ],
+        [
+            _quantize_block(
+                _extract_block(bytes(cr_sub), cw, ch, bx, by), chroma_qtable
+            )
+            for by in range(gh[2])
+            for bx in range(gw[2])
+        ],
+    ]
+    # non-interleaved (A.2.2) dims per component; hmax = luma_h, vmax = luma_v
+    samp = ((luma_h, luma_v), (1, 1), (1, 1))
+    nbw = [
+        (-(-(width * h) // luma_h) + 7) // 8 for (h, _v) in samp
+    ]
+    nbh = [
+        (-(-(height * v) // luma_v) + 7) // 8 for (_h, v) in samp
+    ]
+    dc_codes = (
+        _canonical_codes(DC_BITS, DC_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    )
+    sampling = (luma_h << 4) | luma_v
+
+    parts = [
+        SOI,
+        _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _seg(0xDB, b"\x00" + bytes(qtable)),
+        _seg(0xDB, b"\x01" + bytes(chroma_qtable)),
+        _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        ),
+        _table_seg(0, 0, DC_BITS, DC_VALS),
+        _table_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    if restart_interval:
+        parts.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+
+    total_mcus = mcux * mcuy
+    for ss, se, ah, al in scan_script:
+        if ss == 0:
+            w = _BitWriter()
+            rst_idx = 0
+            preds = [0, 0, 0]
+            mcu_idx = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(3):
+                        h, v = samp[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                bi = (
+                                    (my * v + by) * gw[ci] + mx * h + bx
+                                )
+                                blk = blocks[ci][bi]
+                                if ah == 0:
+                                    val = blk[0] >> al
+                                    size, payload = _magnitude(
+                                        val - preds[ci]
+                                    )
+                                    code, length = dc_codes[ci][size]
+                                    w.write(code, length)
+                                    if size:
+                                        w.write(payload, size)
+                                    preds[ci] = val
+                                else:
+                                    w.write((blk[0] >> al) & 1, 1)
+                    mcu_idx += 1
+                    if (
+                        restart_interval
+                        and mcu_idx % restart_interval == 0
+                        and mcu_idx < total_mcus
+                    ):
+                        w.flush()
+                        w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+                        rst_idx += 1
+                        preds = [0, 0, 0]
+            w.flush()
+            parts.append(
+                _seg(
+                    0xDA,
+                    bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se,
+                           (ah << 4) | al]),
+                )
+            )
+            parts.append(bytes(w.out))
+        else:
+            for ci, cid in enumerate((1, 2, 3)):
+                # AC scans walk the component's NON-INTERLEAVED grid:
+                # row-major over nbw x nbh, indices into the padded grid
+                scan_blocks = [
+                    blocks[ci][by * gw[ci] + bx]
+                    for by in range(nbh[ci])
+                    for bx in range(nbw[ci])
+                ]
+                w = _BitWriter()
+                rst_idx = 0
+
+                def emit_restart():
+                    nonlocal rst_idx
+                    w.flush()
+                    w.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+                    rst_idx += 1
+
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                syms: set[int] = set()
+                enc(
+                    scan_blocks, ss, se, al, restart_interval,
+                    syms.add, lambda _v, _n: None, lambda: None,
+                )
+                bits, vals = _uniform_table(syms)
+                ac_codes = _canonical_codes(bits, vals)
+                parts.append(_table_seg(1, 0, bits, vals))
+
+                def emit_sym(sym):
+                    code, length = ac_codes[sym]
+                    w.write(code, length)
+
+                enc(
+                    scan_blocks, ss, se, al, restart_interval,
+                    emit_sym, w.write, emit_restart,
+                )
+                w.flush()
+                parts.append(
+                    _seg(0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al]))
+                )
+                parts.append(bytes(w.out))
+    parts.append(EOI)
+    return b"".join(parts)
+
+
 def _decode_block(reader: _BitReader, dcm, acm, q, pred: int):
     """Entropy-decode, dequantize, dezigzag, and IDCT one 8x8 block;
     returns ``(pixels, new_pred)``."""

@@ -734,3 +734,53 @@ def test_decode_jpeg_color_features_null_payload(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
     row = multimodal.decode_jpeg_color_features(df).collect()[0]
     assert row["width"] is None and row["r_sum"] is None
+
+
+def test_progressive_subsampled_identity_including_pad_geometry():
+    """Subsampled progressive (4:2:0/4:2:2/4:4:0): the decoder's
+    NON-INTERLEAVED component grids (A.2.2 — ceil over the component
+    size, not the MCU-padded grid) are the subtlest progressive math, so
+    pin them on geometries where they differ from the padded grid
+    (40x17 with 2x2 luma: 5-wide nb grid vs 6-wide padded grid — the
+    pad column carries DC-only data).  Every stream must decode
+    byte-identically to its baseline subsampled sibling."""
+    rng = random.Random(11)
+    for lh, lv in ((2, 2), (2, 1), (1, 2)):
+        for w, h in ((32, 32), (40, 17), (17, 23)):
+            n = w * h
+            planes = [
+                bytes(rng.randrange(256) for _ in range(n)) for _ in range(3)
+            ]
+            base = jpeg.decode(jpeg.encode_ycbcr_sub(w, h, *planes, lh, lv))
+            for kwargs in (
+                {},
+                {"restart_interval": 2},
+                {"scan_script": ((0, 0, 0, 0), (1, 63, 0, 0))},
+            ):
+                prog = jpeg.decode(
+                    jpeg.encode_ycbcr_progressive_sub(
+                        w, h, *planes, lh, lv, **kwargs
+                    )
+                )
+                assert prog["y"] == base["y"], (lh, lv, w, h, kwargs)
+                assert prog["cb"] == base["cb"]
+                assert prog["cr"] == base["cr"]
+
+
+def test_restart_422_and_440_roundtrip():
+    """Baseline restart markers on the remaining subsampled layouts:
+    4:2:2 (2x1 luma) and 4:4:0 (1x2) share the interleaved-MCU restart
+    path with 4:2:0 — pin them on the lossless fixture class."""
+    w, h = 32, 32
+    n = w * h
+    yp = bytes([100]) * n
+    cb = bytes([96]) * n
+    cr = bytes([120]) * n
+    for lh, lv in ((2, 1), (1, 2)):
+        for ri in (1, 3):
+            dec = jpeg.decode(
+                jpeg.encode_ycbcr_sub(
+                    w, h, yp, cb, cr, lh, lv, restart_interval=ri
+                )
+            )
+            assert dec["y"] == yp and dec["cb"] == cb and dec["cr"] == cr
