@@ -1845,10 +1845,25 @@ def _decode_progressive(
         # ---- walk segments until the next SOS or EOI ----
         body = None
         while True:
+            # mirror the pre-SOS header loop: require a marker prefix, skip
+            # B.1.1.2 fill bytes, and bounds-check every read so a truncated
+            # or garbled stream fails as ValueError, not IndexError.
+            if pos >= len(payload) or payload[pos] != 0xFF:
+                raise ValueError(
+                    f"jpeg: expected marker between scans at byte {pos}"
+                )
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 1 >= len(payload):
+                raise ValueError("jpeg: truncated stream between scans")
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI: all scans done
                 break
+            if pos + 4 > len(payload):
+                raise ValueError("jpeg: truncated stream between scans")
             (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            if pos + 2 + seg_len > len(payload):
+                raise ValueError("jpeg: truncated stream between scans")
             seg_body = payload[pos + 4: pos + 2 + seg_len]
             pos += 2 + seg_len
             if marker == 0xC4:  # DHT between scans
@@ -1873,6 +1888,8 @@ def _decode_progressive(
                     qtables[tq] = tuple(seg_body[i + 1: i + 65])
                     i += 65
             elif marker == 0xDD:  # DRI between scans
+                if len(seg_body) < 2:
+                    raise ValueError("jpeg: truncated stream between scans")
                 (restart_interval,) = struct.unpack_from(">H", seg_body, 0)
             elif marker == 0xDA:  # next scan
                 body = seg_body

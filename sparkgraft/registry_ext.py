@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from sparkgraft.ext import bpe, dedup, multimodal, simsearch, sketch, text
 from sparkgraft.io.readers import read_table
-from sparkgraft.registry import register
+from sparkgraft.registry import register, scratch_dir
 
 # ---------------------------------------------------------------------------
 # DuckDB dialect fragments (mirrors of the Spark expressions in ext/)
@@ -1883,7 +1883,6 @@ def q_embed_index_cache_audit(spark, sf_dir):
     per ingest epoch and re-fitting on every query."""
     import os
     import shutil
-    import tempfile
 
     from sparkgraft import catalog
 
@@ -1892,7 +1891,7 @@ def q_embed_index_cache_audit(spark, sf_dir):
     # external stats store: the testdata lake is read-only, the exact case
     # the store parameter exists for; fresh per invocation so miss-then-hit
     # is deterministic every run
-    store = tempfile.mkdtemp(prefix="sparkgraft_index_store_")
+    store = scratch_dir("sparkgraft_index_store_")
 
     def _poison():
         raise AssertionError(
@@ -3106,11 +3105,10 @@ def q_streaming_count_min(spark, sf_dir):
     the sketch is the answer to 'maintain frequency stats over an
     unbounded stream in bounded state'.  (Registered post-r10-freeze:
     first driver proof lands with the r11 rotation.)"""
-    import tempfile
 
     from sparkgraft.registry import _stream_state_partitions
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_scm_")
+    work = scratch_dir("sparkgraft_scm_")
     src, state = f"{work}/src", f"{work}/state"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
     for i in range(3):
@@ -3185,11 +3183,10 @@ def q_streaming_hll_distinct(spark, sf_dir):
     <= m = 256 register rows per batch — distinct-count over an
     unbounded stream in bounded state.  (Registered post-r11-freeze:
     first driver proof lands with the r11 rotation.)"""
-    import tempfile
 
     from sparkgraft.registry import _stream_state_partitions
 
-    work = tempfile.mkdtemp(prefix="sparkgraft_shll_")
+    work = scratch_dir("sparkgraft_shll_")
     src, state = f"{work}/src", f"{work}/state"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
     for i in range(3):
@@ -3364,7 +3361,6 @@ def q_sketch_stats_cache_audit(spark, sf_dir):
     proof lands with the r11 rotation.)"""
     import os
     import shutil
-    import tempfile
 
     from sparkgraft import catalog
 
@@ -3373,7 +3369,7 @@ def q_sketch_stats_cache_audit(spark, sf_dir):
     # external stats store: the testdata lake is read-only (the store
     # parameter's reason to exist); fresh per invocation so miss-then-hit
     # is deterministic every run
-    store = tempfile.mkdtemp(prefix="sparkgraft_sketch_store_")
+    store = scratch_dir("sparkgraft_sketch_store_")
 
     def _poison():
         raise AssertionError(

@@ -469,6 +469,30 @@ def test_progressive_rejects_bad_scripts():
         )
 
 
+def test_progressive_truncated_between_scans_fails_loud():
+    """A progressive stream cut inside the inter-scan segment walk (round-12
+    advice) must raise the module's ValueError contract, not IndexError —
+    at every cut class: mid marker, mid segment header, mid segment body."""
+    enc = jpeg.encode_gray_progressive(16, 16, bytes(range(256)))
+    dht2 = enc.index(b"\xff\xc4", enc.index(b"\xff\xda"))  # first inter-scan DHT
+    for cut in (dht2 + 1, dht2 + 3, dht2 + 8):
+        with pytest.raises(ValueError, match="between scans|truncated"):
+            jpeg.decode(enc[:cut])
+
+
+def test_progressive_fill_bytes_between_interscan_segments():
+    """B.1.1.2 fill bytes between inter-scan DHT/DQT segments (after one
+    segment is consumed, before the next marker) must be skipped, and a
+    non-0xFF garbage byte there must fail loudly — round-12 advice."""
+    enc = jpeg.encode_gray_progressive(16, 16, bytes(range(256)))
+    sos2 = enc.index(b"\xff\xda", enc.index(b"\xff\xda") + 2)  # scan-2 SOS,
+    # which directly follows the consumed inter-scan DHT segment
+    padded = enc[:sos2] + b"\xff\xff\xff" + enc[sos2:]
+    assert jpeg.decode(padded)["pixels"] == jpeg.decode(enc)["pixels"]
+    with pytest.raises(ValueError, match="between scans|expected marker"):
+        jpeg.decode(enc[:sos2] + b"\x55" + enc[sos2:])
+
+
 def test_progressive_rejects_interleaved_ac_scan():
     """ns>1 on an AC scan is spec-illegal (G.1.1.1.1) — mutate a color
     progressive stream's first AC SOS to claim 3 components."""
