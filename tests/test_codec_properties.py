@@ -219,3 +219,52 @@ def test_jpeg_progressive_decodes_identically(bw, bh, variant, data):
     ][variant]
     got = jpeg.decode(jpeg.encode_gray_progressive(w, h, pixels, **kwargs))
     assert got["pixels"] == base
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.sampled_from([0, 2, 6]), st.data())
+def test_png_adam7_roundtrip_any_image(w, h, ct, data):
+    """For ANY image and any per-pass-scanline filter assignment, an Adam7
+    stream must decode to exactly the source samples — pass extraction,
+    per-pass filter state, and the scatter grid are all bijective."""
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    n = w * h * ch
+    pixels = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+    nl = png.scanline_count(w, h, 1)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=nl, max_size=nl))
+    d = png.decode(
+        png.encode(w, h, pixels, color_type=ct, filters=filters, interlace=1)
+    )
+    assert d["pixels"] == pixels
+    assert (d["width"], d["height"], d["interlace"]) == (w, h, 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 15),
+    st.integers(1, 12),
+    st.sampled_from([1, 2, 4, 8]),
+    st.booleans(),
+    st.data(),
+)
+def test_png_palette_roundtrip_any_image(w, h, depth, interlaced, data):
+    """Paletted streams at every depth, interlaced or not: indices survive
+    MSB-first sub-byte packing and pixels come back palette-expanded."""
+    n_pal = data.draw(st.integers(1, min(256, 1 << depth)))
+    pal = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=3 * n_pal, max_size=3 * n_pal))
+    )
+    idx = bytes(
+        data.draw(st.lists(st.integers(0, n_pal - 1), min_size=w * h, max_size=w * h))
+    )
+    il = 1 if interlaced else 0
+    nl = png.scanline_count(w, h, il)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=nl, max_size=nl))
+    d = png.decode(
+        png.encode(
+            w, h, idx, color_type=3, bit_depth=depth, palette=pal,
+            filters=filters, interlace=il,
+        )
+    )
+    assert d["indices"] == idx
+    assert d["pixels"] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)

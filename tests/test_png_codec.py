@@ -51,15 +51,16 @@ def test_decoder_strictness():
         png.decode(bytes(corrupt))
     with pytest.raises(ValueError, match="truncated"):
         png.decode(good[:-8])
-    # declared scope: 16-bit and interlace refused by name
+    # declared scope: 16-bit refused by name (interlace and palette became
+    # supported inputs in round 13); an unknown interlace METHOD still fails
     import struct
 
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     bad = png.SIGNATURE + png._chunk(b"IHDR", ihdr16)
     with pytest.raises(ValueError, match="bit depth 16"):
         png.decode(bad)
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    with pytest.raises(ValueError, match="interlace"):
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    with pytest.raises(ValueError, match="interlace method 2"):
         png.decode(png.SIGNATURE + png._chunk(b"IHDR", ihdr_i))
 
 
@@ -218,3 +219,143 @@ def test_resize_png_features_null_payload(spark):
     assert r["doc_id"] == 7
     for c in ("width", "out_height", "out_pixel_sum", "out_md5"):
         assert r[c] is None
+
+
+# ---------------------------------------------------------------------------
+# round 13: Adam7 interlace + paletted (PLTE) decode — the two web-common
+# layouts previously refused by name (r12 verdict item #3)
+# ---------------------------------------------------------------------------
+
+
+def test_adam7_roundtrip_every_colortype():
+    """Interlaced streams decode to the SAME pixels as their progressive
+    (scanline-order) twin — pass extraction, per-pass filtering, and the
+    scatter grid all exact.  Sizes straddle the 8x8 pass tile so small
+    images exercise EMPTY passes."""
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        for w, h in ((1, 1), (3, 2), (5, 7), (8, 8), (9, 10), (17, 13)):
+            px = _pixels(w * h * ch, seed=ct + w)
+            nl = png.scanline_count(w, h, 1)
+            filters = [k % 5 for k in range(nl)]
+            d = png.decode(
+                png.encode(w, h, px, color_type=ct, filters=filters, interlace=1)
+            )
+            assert d["pixels"] == px, (ct, w, h)
+            assert d["interlace"] == 1
+
+
+def test_palette_roundtrip_all_depths():
+    """Color type 3 at every legal depth (1/2/4/8): indices survive the
+    sub-byte MSB-first packing, and pixels come back palette-expanded.
+    Widths are chosen to leave partial trailing bytes in packed rows."""
+    for depth in (1, 2, 4, 8):
+        n_pal = min(200, 1 << depth)
+        pal = bytes((11 * k + c) % 256 for k in range(n_pal) for c in (0, 1, 2))
+        for w, h in ((1, 1), (3, 5), (7, 3), (9, 4), (13, 2)):
+            idx = bytes((w + j * 31) % n_pal for j in range(w * h))
+            d = png.decode(
+                png.encode(
+                    w, h, idx, color_type=3, bit_depth=depth, palette=pal,
+                    filters=[y % 5 for y in range(h)],
+                )
+            )
+            assert d["indices"] == idx, (depth, w, h)
+            assert d["pixels"] == b"".join(
+                pal[i * 3 : i * 3 + 3] for i in idx
+            )
+            assert (d["bit_depth"], d["color_type"]) == (depth, 3)
+
+
+def test_palette_adam7_subbyte_combined():
+    """The heaviest composition: 4-bit palette + Adam7 — per-pass sub-byte
+    packing with per-pass filter state."""
+    pal = bytes(range(48))  # 16 entries
+    w, h = 11, 9
+    idx = bytes((j * 7) % 16 for j in range(w * h))
+    nl = png.scanline_count(w, h, 1)
+    enc = png.encode(
+        w, h, idx, color_type=3, bit_depth=4, palette=pal, interlace=1,
+        filters=[(k * 3) % 5 for k in range(nl)],
+    )
+    d = png.decode(enc)
+    assert d["indices"] == idx
+    assert d["pixels"] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_palette_strictness():
+    pal = bytes(range(12))  # 4 entries
+    idx = bytes([0, 1, 2, 3])
+    good = png.encode(2, 2, idx, color_type=3, bit_depth=8, palette=pal)
+    # stream whose index points past the PLTE: shrink the palette in place
+    import struct
+
+    i = good.index(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", good[i : i + 4])
+    shrunk = good[: i] + png._chunk(b"PLTE", pal[:9]) + good[i + 12 + ln :]
+    with pytest.raises(ValueError, match="past the 3-entry PLTE"):
+        png.decode(shrunk)
+    # PLTE removed entirely
+    gone = good[:i] + good[i + 12 + ln :]
+    with pytest.raises(ValueError, match="without a PLTE"):
+        png.decode(gone)
+    # PLTE with a non-multiple-of-3 body
+    bad_len = good[:i] + png._chunk(b"PLTE", pal[:10]) + good[i + 12 + ln :]
+    with pytest.raises(ValueError, match="1-256 RGB triples"):
+        png.decode(bad_len)
+    # PLTE on a grayscale image is spec-forbidden
+    gray = png.encode(2, 2, bytes(4), color_type=0)
+    j = gray.index(b"IDAT") - 4
+    with_pal = gray[:j] + png._chunk(b"PLTE", pal) + gray[j:]
+    with pytest.raises(ValueError, match="PLTE forbidden"):
+        png.decode(with_pal)
+    # encoder-side guards
+    with pytest.raises(ValueError, match="needs a PLTE"):
+        png.encode(2, 2, idx, color_type=3)
+    with pytest.raises(ValueError, match="index out of range"):
+        png.encode(2, 2, bytes([0, 1, 2, 7]), color_type=3, bit_depth=2, palette=pal)
+    with pytest.raises(ValueError, match="palette only valid"):
+        png.encode(2, 2, bytes(4), color_type=0, palette=pal)
+    with pytest.raises(ValueError, match="bit depth 4 invalid"):
+        png.encode(2, 2, bytes(4), color_type=0, bit_depth=4)
+
+
+def test_trns_exposed_and_bounded():
+    """tRNS rides through as raw bytes; longer-than-palette fails loud."""
+    pal = bytes(range(12))
+    good = png.encode(2, 2, bytes([0, 1, 2, 3]), color_type=3, bit_depth=8, palette=pal)
+    j = good.index(b"IDAT") - 4
+    with_t = good[:j] + png._chunk(b"tRNS", bytes([255, 128])) + good[j:]
+    d = png.decode(with_t)
+    assert d["trns"] == bytes([255, 128])
+    too_long = good[:j] + png._chunk(b"tRNS", bytes(5)) + good[j:]
+    with pytest.raises(ValueError, match="tRNS longer"):
+        png.decode(too_long)
+    assert png.decode(good)["trns"] is None
+
+
+def test_scanline_count_adam7():
+    """Spot-check the pass arithmetic: an 8x8 tile has one row in passes
+    1/2, and 16x16 doubles every pass."""
+    assert png.scanline_count(8, 8, 0) == 8
+    assert png.scanline_count(8, 8, 1) == 1 + 1 + 1 + 2 + 2 + 4 + 4
+    assert png.scanline_count(16, 16, 1) == 2 * (1 + 1 + 1 + 2 + 2 + 4 + 4)
+    # 1x1: only pass 1 is non-empty
+    assert png.scanline_count(1, 1, 1) == 1
+
+
+def test_adam7_truncated_pass_fails_loud():
+    px = _pixels(9 * 10)
+    enc = png.encode(9, 10, px, interlace=1)
+    # corrupt: reuse framing but drop bytes from the inflated stream
+    import struct
+
+    i = enc.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", enc[i : i + 4])
+    raw = zlib.decompress(enc[i + 8 : i + 8 + ln])
+    short = (
+        enc[:i]
+        + png._chunk(b"IDAT", zlib.compress(raw[:-3]))
+        + enc[i + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="inflated stream"):
+        png.decode(short)
