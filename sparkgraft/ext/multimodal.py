@@ -262,13 +262,139 @@ def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+#: paletted-fixture arithmetic shared by the synth generators and stated
+#: verbatim in the lane oracles: per doc_id, bit depth cycles 1/2/4/8,
+#: palette size is the depth's index space (200 entries at depth 8 so a
+#: partial palette is exercised), palette entry k = ((id*7+3k)%256,
+#: (id*11+5k)%256, (id*13+7k)%256), pixel i's index = (id*31+i) % n_colors.
+_PAL_DEPTHS = (1, 2, 4, 8)
+_PAL_COLORS = {1: 2, 2: 4, 4: 16, 8: 200}
+
+
+def _synth_palette(i: int, n_colors: int) -> bytes:
+    return bytes(
+        v
+        for k in range(n_colors)
+        for v in (
+            (i * 7 + k * 3) % 256,
+            (i * 11 + k * 5) % 256,
+            (i * 13 + k * 7) % 256,
+        )
+    )
+
+
+def synth_png_palette_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL paletted PNGs from ids — the fixture generator
+    for the palette-decode lane (round 13: the PLTE/color-type-3 boundary
+    closed).  Per row: ``width = 4 + id % 13``, ``height = 3 + id % 7``,
+    bit depth cycling 1/2/4/8 by ``id % 4`` (sub-byte scanline packing for
+    three of the four), the shared palette/index arithmetic above, and row
+    filters cycling all five types ``(id + y) % 5``.  ``source_md5``
+    digests the palette-EXPANDED RGB — exactly what decode must emit —
+    so the decode stage proves index unpacking AND palette application
+    bit-for-bit.  Pure integer arithmetic on the id throughout, so a SQL
+    oracle states the decoded pixel_sum without parsing PNG."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import png as _png
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 13, 3 + i % 7
+                depth = _PAL_DEPTHS[i % 4]
+                nc = _PAL_COLORS[depth]
+                pal = _synth_palette(i, nc)
+                idx = bytes((i * 31 + j) % nc for j in range(w * h))
+                rgb = b"".join(pal[v * 3 : v * 3 + 3] for v in idx)
+                payload = _png.encode(
+                    w,
+                    h,
+                    idx,
+                    color_type=3,
+                    bit_depth=depth,
+                    palette=pal,
+                    filters=[(i + y) % 5 for y in range(h)],
+                )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(hashlib.md5(rgb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def synth_png_adam7_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL Adam7-interlaced PNGs from ids — the fixture
+    generator for the interlace-decode lane (round 13).  Per row: color
+    type cycles gray8 / RGB8 / palette-4bit / RGBA8 by ``id % 4``,
+    ``width = 3 + id % 14`` and ``height = 2 + id % 11`` straddle the 8x8
+    pass tile (small sizes leave EMPTY passes), sample ``i = (id*31+i) %
+    256`` (palette rows use index ``(id*31+i) % 16`` with the shared
+    palette arithmetic), and the filters cycle all five types across the
+    full per-pass scanline sequence ``(id + k) % 5``.  ``source_md5``
+    digests the de-interlaced (palette-expanded) samples, so decode
+    proves the whole pass-scatter grid bit-for-bit."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkgraft.ext import png as _png
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "source_md5": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 3 + i % 14, 2 + i % 11
+                ct = (0, 2, 3, 6)[i % 4]
+                nl = _png.scanline_count(w, h, 1)
+                filters = [(i + k) % 5 for k in range(nl)]
+                if ct == 3:
+                    pal = _synth_palette(i, 16)
+                    idx = bytes((i * 31 + j) % 16 for j in range(w * h))
+                    source = b"".join(pal[v * 3 : v * 3 + 3] for v in idx)
+                    payload = _png.encode(
+                        w, h, idx, color_type=3, bit_depth=4,
+                        palette=pal, filters=filters, interlace=1,
+                    )
+                else:
+                    ch = {0: 1, 2: 3, 6: 4}[ct]
+                    source = bytes(
+                        (i * 31 + j) % 256 for j in range(w * h * ch)
+                    )
+                    payload = _png.encode(
+                        w, h, source, color_type=ct,
+                        filters=filters, interlace=1,
+                    )
+                out["doc_id"].append(i)
+                out["payload"].append(payload)
+                out["source_md5"].append(hashlib.md5(source).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        _synth, "doc_id bigint, payload binary, source_md5 string"
+    )
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str = "doc_id", include_interlace: bool = False
+) -> DataFrame:
     """Real PNG decode + feature extraction (ext/png: pure-stdlib zlib +
-    struct, CRC-checked, full filter reconstruction) behind the standard
-    Arrow-batched ``mapInPandas`` boundary.  Emits per-image features a
-    training pipeline filters on: true dimensions, sample count, exact
-    pixel sum, and a pixel digest (dedup key for decoded content —
-    catches re-encoded duplicates byte-level dedup misses).
+    struct, CRC-checked, full filter reconstruction, Adam7 + palette
+    since round 13) behind the standard Arrow-batched ``mapInPandas``
+    boundary.  Emits per-image features a training pipeline filters on:
+    true dimensions, sample count, exact pixel sum, and a pixel digest
+    (dedup key for decoded content — catches re-encoded duplicates
+    byte-level dedup misses).  For paletted images the sum/digest cover
+    the palette-EXPANDED RGB — the form downstream stages consume.
+
+    ``include_interlace=True`` appends the IHDR interlace method as a
+    column (the Adam7 lane's physical certificate that its payloads
+    really are interlaced); default off so the long-proven
+    ``multimodal_decode_png`` output schema is unchanged.
 
     NULL payloads (absent media) emit NULL features, same convention as
     ``decode_features``.  Extra input columns are passed through, so a
@@ -276,7 +402,10 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import hashlib
 
     passthrough = [c for c in df.columns if c not in (id_col, "payload")]
-    schema = PNG_FEATURES_SCHEMA + "".join(
+    schema = PNG_FEATURES_SCHEMA
+    if include_interlace:
+        schema += ", interlace int"
+    schema += "".join(
         f", {c} {t}" for c, t in df.dtypes if c in passthrough
     )
 
@@ -293,6 +422,7 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_pixels": [None] * n,
                 "pixel_sum": [None] * n,
                 "pixel_md5": [None] * n,
+                "interlace": [None] * n,
             }
             for row, b in enumerate(pdf["payload"]):
                 if b is None:
@@ -306,12 +436,17 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 cols["n_pixels"][row] = d["width"] * d["height"]
                 cols["pixel_sum"][row] = sum(px)
                 cols["pixel_md5"][row] = hashlib.md5(px).hexdigest()
+                cols["interlace"][row] = d["interlace"]
             out = {"doc_id": pdf[id_col].to_numpy()}
             for k in ("width", "height", "bit_depth", "color_type"):
                 out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int32")
             for k in ("n_pixels", "pixel_sum"):
                 out[k] = pd.Series(cols[k], index=pdf.index, dtype="Int64")
             out["pixel_md5"] = cols["pixel_md5"]
+            if include_interlace:  # same position as in the schema string
+                out["interlace"] = pd.Series(
+                    cols["interlace"], index=pdf.index, dtype="Int32"
+                )
             for c in passthrough:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)

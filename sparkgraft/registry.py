@@ -5754,89 +5754,83 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 12's window, exactly as
-# the r11 verdict staged it (item #1), in three tiers:
-#   (1) the 4 lanes needing their FIRST driver hash row:
-#       `multimodal_decode_jpeg_420` (registered post-r11-freeze — the
-#       only lane without a driver row at the r11 judge), plus the 3
-#       registered THIS round — `multimodal_decode_jpeg_rst` (DRI/RSTn
-#       restart-marker decode, r11 verdict item #3),
-#       `etl_user_activity_roundtrip` (the reference's CSV->curated ETL
-#       end-to-end, item #2), and `multimodal_decode_jpeg_prog` (full
-#       progressive/SOF2 decode — Annex G spectral selection +
-#       successive approximation);
-#   (2) stale-refresh re-proofs: the 6 remaining round-6 rows
-#       (salted_join_hotkey, semi_join_active_customers,
-#       sessionize_hotkey, sessionize_skew_split,
-#       sessions_per_user_window, sliding_hour_stats), then the
-#       alphabetically-first 32 of the 36 round-7 rows (the other 4 —
-#       tumbling_15min_counts, union_names, wau_session,
-#       wau_user_twolevel — head round 13's rotation, then r08
-#       oldest-first);
-#   (3) the 8 canonical sentinels (same set as r04-r11).
+# artifact, not an accident of module layout.  Round 13's window, exactly as
+# the r12 verdict staged it (item #1), in three tiers:
+#   (1) the 2 lanes registered THIS round, needing their FIRST driver
+#       hash row: `multimodal_decode_png_palette` (PLTE/color-type-3
+#       decode at bit depths 1/2/4/8) and `multimodal_decode_png_adam7`
+#       (Adam7 interlace across gray/RGB/palette/RGBA) — the two
+#       web-common PNG boundaries the r12 verdict staged (item #3);
+#   (2) stale-refresh re-proofs, oldest first: the 4 remaining round-7
+#       rows (tumbling_15min_counts, union_names, wau_session,
+#       wau_user_twolevel — re-verified bit-exact by the r12 judge,
+#       stale not wrong), then the alphabetically-first 36 of the 39
+#       round-8 rows (the other 3 — streaming_restart_sessionize,
+#       text_repetition, text_weighted_score — head round 14's
+#       rotation);
+#   (3) the 8 canonical sentinels (same set as r04-r12).
 # No lane's output/domain changed after its newest proof this round, so
 # the OUTPUT_CHANGED_SINCE_PROOF slice is empty.  After this window
-# lands, every registered lane holds a driver row and the oldest
-# surviving proof is ROUND 7 on just the 4 overflow rows above.
+# lands, NO lane's newest proof is older than ROUND 8 — the rotation's
+# designed steady state (r12 verdict's done-criterion for item #1).
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 13 ROTATION: any query registered after THIS freeze (list it in
-# tests/test_registry_parity.py `ADDED_AFTER_R12_FREEZE` as you add it)
+# ROUND 14 ROTATION: any query registered after THIS freeze (list it in
+# tests/test_registry_parity.py `ADDED_AFTER_R13_FREEZE` as you add it)
 # first, then any lane whose output/domain changes after its newest
-# proof, then the 4 remaining r07 rows, then r08 oldest-first, then the
-# 8 sentinels.  Keep new registrations few enough to drain in one
-# window (≤5/round keeps the backlog shrinking toward nothing older
-# than r08 by r13).
+# proof, then the 3 remaining r08 rows above, then r09 oldest-first to
+# fill, then the 8 sentinels.  Keep new registrations ≤5/round so each
+# window keeps draining the oldest proof tier whole.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: first driver rows (1 post-r11-freeze + 3 round-12 lanes)
-    "multimodal_decode_jpeg_420",
-    "multimodal_decode_jpeg_rst",
-    "etl_user_activity_roundtrip",
-    "multimodal_decode_jpeg_prog",
-    # tier 2a: the 6 remaining round-6 rows (oldest proofs in the repo)
-    "salted_join_hotkey",
-    "semi_join_active_customers",
-    "sessionize_hotkey",
-    "sessionize_skew_split",
-    "sessions_per_user_window",
-    "sliding_hour_stats",
-    # tier 2b: alphabetically-first 32 of the 36 round-7 rows
-    "corpus_contamination_score",
-    "corpus_curation_topk",
-    "corpus_decontaminate",
-    "corpus_interleave",
-    "corpus_ngram_topk",
-    "corpus_pack_sequences",
-    "corpus_priority_sample",
-    "corpus_quality_funnel",
-    "corpus_sample_hash",
-    "corpus_split_assign",
-    "corpus_stratified_sample",
-    "dedup_clusters",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh_twins",
-    "dedup_simhash_pairs",
-    "dedup_simhash_sigs",
-    "grouped_demean_applyinpandas",
-    "multimodal_frame_sample",
-    "multimodal_payload_digests",
-    "multimodal_pointer_fetch",
-    "q11_important_parts",
-    "q12_shipping_priority_split",
-    "q13_customer_distribution",
-    "schema_evolution_read",
-    "schema_evolution_write",
-    "streaming_stateful_sessionize",
-    "string_functions_parts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "top_orders",
-    # tier 3: the 8 canonical sentinels (same set as r04-r10)
+    # tier 1: first driver rows (the 2 round-13 PNG-boundary lanes)
+    "multimodal_decode_png_palette",
+    "multimodal_decode_png_adam7",
+    # tier 2a: the 4 remaining round-7 rows (oldest proofs in the repo)
+    "tumbling_15min_counts",
+    "union_names",
+    "wau_session",
+    "wau_user_twolevel",
+    # tier 2b: alphabetically-first 36 of the 39 round-8 rows
+    "asof_nearest_signup",
+    "attribution_linear",
+    "corpus_chunk_dedup",
+    "custom_sink_jsonl_roundtrip",
+    "custom_source_jsonl",
+    "dedup_incremental_bloom",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "gdpr_erasure_report",
+    "grouped_weighted_mean_pandas",
+    "grouping_sets_event_margins",
+    "incremental_view_merge",
+    "k_anonymity_audit",
+    "merge_upsert_customers",
+    "peak_concurrent_sessions",
+    "props_map_stats",
+    "pseudonymous_join",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_dominant_suppliers",
+    "q21_blocking_suppliers",
+    "q22_dormant_capital",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "retention_cohorts",
+    "rolling_7d_active_users",
+    "salted_join_user_events",
+    "salted_user_event_totals",
+    "scd2_type_history",
+    "session_window_dynamic_gap",
+    "sessionize_auto",
+    "snapshot_asof_read",
+    "snapshot_restore_read",
+    # tier 3: the 8 canonical sentinels (same set as r04-r12)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",
