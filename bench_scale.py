@@ -512,6 +512,26 @@ DEEP = {
         "contract": "linear",
         "bar": 1.3,
     },
+    # round-13 (r12 verdict ask #4): the other two r12 codec lanes get
+    # their own deep contract points — jpeg_rst read the steepest codec
+    # grid slope last round (5.5x wall for 10x data, sub-linear but
+    # unpinned), and jpeg_prog had no written exponent at all.  Both are
+    # COMPUTE-linear in decoded pixels exactly like jpeg_420 (restart
+    # resync is O(markers) ⊂ O(bytes); progressive is O(scans x blocks)
+    # with a fixed scan script), so they share its 30x documents-only
+    # point and fitted-exponent linear bar.
+    "multimodal_decode_jpeg_rst": {
+        "table": "documents",
+        "repl": 30,
+        "contract": "linear",
+        "bar": 1.3,
+    },
+    "multimodal_decode_jpeg_prog": {
+        "table": "documents",
+        "repl": 30,
+        "contract": "linear",
+        "bar": 1.3,
+    },
 }
 
 

@@ -99,24 +99,48 @@ def cm_estimate_audit(
     property test asserts it directly); ``tight`` marks collision-free
     keys.
 
-    Plan shape (the part that matters at 100 TB): the grid is collected
-    ONCE — ``depth * width`` cells of driver traffic, O(1) in the data —
-    and injected back as per-row ARRAY LITERALS indexed by the bucket
-    hash (the broadcast-as-literal posture the cached-index lanes use),
-    so the whole audit is TWO scans of the corpus (grid build + exact
-    counts) and zero joins; a first draft used three per-row broadcast
-    joins whose unshared subtrees re-scanned the corpus once per hash
-    row.  Two scans is the FLOOR for this relation (r12 single-scan-fold
-    audit): the grid must be fully closed before it can be injected as
-    plan-time literals, so the estimate scan cannot share the build scan
-    — unlike the multi-probe HLL fold (N probes of one finished state)
-    or the combined stats build (two independent aggregations of one
-    scan, :func:`combined_stats_build`), there is a hard data dependency
-    between the passes."""
+    Plan shape (the part that matters at 100 TB): ONE corpus scan (r13 —
+    the r12 note declared two scans the floor "because the grid must
+    close before literal injection"; that dependency is real but the
+    SECOND pass never needed the corpus).  Counting is linear, so every
+    grid cell's mass is the SUM of exact_cnt over the keys hashing to
+    that cell — the grid derives from the exact-counts relation itself:
+    scan the corpus once into per-key exact counts (checkpointed:
+    |keys| rows, not |rows|), fold THOSE into the ``depth * width``
+    cells, collect the grid (O(1) driver traffic), and inject it back
+    over the same checkpointed key relation as per-row ARRAY LITERALS
+    indexed by the bucket hash (the broadcast-as-literal posture the
+    cached-index lanes use).  Zero joins; grid bit-identical to the
+    raw-row build (pinned in tests/test_sketch.py); a first draft used
+    three per-row broadcast joins whose unshared subtrees re-scanned the
+    corpus once per hash row.  On a real cluster swap localCheckpoint
+    for reliable .checkpoint(); the key relation is the audit's OUTPUT
+    size, so materializing it is inherent to the relation, not overhead."""
+    exact = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint(eager=True)
+    cells = (
+        exact.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket_col(key_col, r, width).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell"),
+            "exact_cnt",
+        )
+        .groupBy("cell.r", "cell.bucket")
+        .agg(F.sum("exact_cnt").alias("mass"))
+    )
     grid = [[0] * width for _ in range(depth)]
-    for row in cm_cells(df, key_col, depth, width).collect():
+    for row in cells.collect():
         grid[row["r"]][row["bucket"]] = row["mass"]
-    return audit_against_grid(df, key_col, grid, width)
+    return audit_keyed_against_grid(exact, key_col, grid, width)
 
 
 def audit_against_grid(
@@ -125,9 +149,28 @@ def audit_against_grid(
     grid: list[list[int]],
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """The estimate+audit half of :func:`cm_estimate_audit`, split out so
-    a grid assembled some other way — e.g. sum-merged from per-micro-batch
-    streaming partials — feeds the identical literal-array plan."""
+    """The estimate+audit half over RAW rows, split out so a grid
+    assembled some other way — e.g. sum-merged from per-micro-batch
+    streaming partials, or a cached epoch artifact — feeds the identical
+    literal-array plan (this is where the exact side genuinely must scan
+    the corpus: the grid arrived from elsewhere)."""
+    return audit_keyed_against_grid(
+        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt")),
+        key_col,
+        grid,
+        width,
+    )
+
+
+def audit_keyed_against_grid(
+    exact: DataFrame,
+    key_col: str,
+    grid: list[list[int]],
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Literal-array estimate + audit over an ALREADY-AGGREGATED
+    (key, exact_cnt) relation — the shared tail of both audit entry
+    points."""
     depth = len(grid)
     row_lits = [
         F.array(*[F.lit(m).cast("long") for m in grid[r]])
@@ -138,7 +181,6 @@ def audit_against_grid(
         for r in range(depth)
     ]
     cm_est = F.least(*ests)
-    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
     return exact.select(
         F.col(key_col),
         F.col("exact_cnt"),

@@ -2764,11 +2764,14 @@ def q_sketch_count_min_audit(spark, sf_dir):
     estimates bit-for-bit.  Deterministic by construction: cell masses
     are sums, so the grid is partitioning-independent.
 
-    Scale posture: the sketch path is scan + map-side combine + a
-    768-cell broadcast — no per-key shuffle; the exact side (the thing
-    being audited) is the only key-cardinality shuffle, and a production
-    consumer drops it.  (Registered post-r10-freeze: first driver proof
-    lands with the r11 rotation.)"""
+    Scale posture (r13: ONE corpus scan — the r12 "two-scan floor" note
+    is retired): the per-key exact counts are the single corpus
+    aggregation; the grid folds FROM them by linearity of counting
+    (bit-identical to the raw-row build, pinned in tests), and the
+    literal-injected estimate reads the same checkpointed key relation.
+    A production consumer that wants only the grid still takes the pure
+    one-pass cm_cells path.  (Registered post-r10-freeze: first driver
+    proof lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
     return sketch.cm_estimate_audit(events, "user_id").orderBy("user_id")
 

@@ -410,3 +410,28 @@ def test_combined_stats_build_is_one_job_two_artifacts(spark):
     grid, regs = sketch.combined_stats_build(empty, "user_id", "event_id")
     assert grid == [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
     assert regs == []
+
+
+def test_cm_audit_keyed_grid_bit_identical_to_raw_build(spark, sf_dir):
+    """r13 one-scan reshape: counting is linear, so folding per-key exact
+    counts into (r, bucket) cells must reproduce the raw-row cm_cells
+    grid EXACTLY — and the audit relation built from the keyed grid must
+    equal the one built from a raw-row grid."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    raw_grid = [[0] * sketch.CM_WIDTH for _ in range(sketch.CM_DEPTH)]
+    for row in sketch.cm_cells(events, "user_id").collect():
+        raw_grid[row["r"]][row["bucket"]] = row["mass"]
+    audited = sketch.cm_estimate_audit(events, "user_id")
+    # re-derive the grid the one-scan path used from its own output: every
+    # key's cm_est must equal the min over raw_grid rows at its buckets —
+    # i.e. the audited relation is exactly what the raw grid predicts
+    expect = sketch.audit_against_grid(events, "user_id", raw_grid)
+    a = sorted(map(tuple, audited.collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b
+    # and the one-sided guarantee holds row-wise
+    assert audited.where(F.col("err") < 0).count() == 0
