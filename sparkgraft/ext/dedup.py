@@ -898,21 +898,22 @@ def simhash_close_pairs(
         vals = sigs.select("simhash").distinct()
         masks = _hamming_masks(bits, max_hamming)
         # r13 creep fix: the masks used to be stated as one |masks|-wide
-        # array projection (696 XOR expressions in a single codegen'd
-        # select) — profiling put 0.79 s of the lane's 1.7 s in that one
-        # operator.  A broadcast cross-join against a |masks|-row relation
-        # produces the identical fan-out with ONE xor expression (0.47 s
-        # measured) and keeps the generated code size constant in
-        # max_hamming instead of combinatorial.
-        mask_df = df.sparkSession.createDataFrame(
-            [(m,) for m in masks], "mask bigint"
-        )
+        # array projection (696 DISTINCT XOR expressions in a single
+        # codegen'd select) — profiling put 0.79 s of the lane's 1.7 s in
+        # that one operator.  Exploding the mask set as ONE array literal
+        # and applying a single xor produces the identical fan-out at
+        # 0.57 s measured, keeps the generated code size constant in
+        # max_hamming instead of combinatorial, and — unlike a broadcast
+        # cross-join against a mask relation (0.47 s) — adds no
+        # BroadcastNestedLoopJoin for the plan gate to distinguish from a
+        # genuine all-pairs product (tests/test_plans.py forbids BNLJ on
+        # this lane outright, an invariant worth the 0.1 s).
         nbrs = (
-            vals.crossJoin(F.broadcast(mask_df))
-            .select(
+            vals.select(
                 F.col("simhash").alias("s_a"),
-                F.expr("simhash ^ mask").alias("s_b"),
+                F.explode(F.lit(masks)).alias("mask"),
             )
+            .select("s_a", F.expr("s_a ^ mask").alias("s_b"))
             .where(F.col("s_a") < F.col("s_b"))
             .join(vals.select(F.col("simhash").alias("s_b")), "s_b")
         )
