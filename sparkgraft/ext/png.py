@@ -175,10 +175,13 @@ def encode(
         prev = bytes(stride)
         for j in range(ph):
             y = y0 + j * dy
-            samples = bytearray(pw * ch)
-            for i in range(pw):
-                src = (y * width + x0 + i * dx) * ch
-                samples[i * ch : (i + 1) * ch] = pixels[src : src + ch]
+            if dx == 1 and x0 == 0:  # full-width pass: one slice, no gather
+                samples = pixels[y * width * ch : (y * width + pw) * ch]
+            else:
+                samples = bytearray(pw * ch)
+                for i in range(pw):
+                    src = (y * width + x0 + i * dx) * ch
+                    samples[i * ch : (i + 1) * ch] = pixels[src : src + ch]
             row = _pack_row(samples, bit_depth) if bit_depth < 8 else bytes(samples)
             ft = filters[line_no]
             line_no += 1
@@ -218,12 +221,12 @@ def _defilter(raw: bytes, off: int, stride: int, height: int, bpp: int):
         ft = raw[off]
         line = raw[off + 1 : off + 1 + stride]
         off += 1 + stride
-        row = bytearray(stride)
         if ft == 0:
-            row[:] = line
+            cur = line  # raw is bytes: the unfiltered row IS the slice
         elif ft not in range(5):
             raise ValueError(f"decode: unknown filter type {ft} on row {y}")
         else:
+            row = bytearray(stride)
             for x in range(stride):
                 a = row[x - bpp] if x >= bpp else 0
                 b = prev[x]
@@ -236,8 +239,9 @@ def _defilter(raw: bytes, off: int, stride: int, height: int, bpp: int):
                     row[x] = (line[x] + (a + b) // 2) & 0xFF
                 else:
                     row[x] = (line[x] + _paeth(a, b, c)) & 0xFF
-        rows.append(bytes(row))
-        prev = bytes(row)
+            cur = bytes(row)
+        rows.append(cur)
+        prev = cur
     return rows, off
 
 
@@ -343,9 +347,12 @@ def decode(data: bytes) -> dict:
                 _unpack_row(row, bit_depth, pw) if bit_depth < 8 else row
             )
             y = y0 + j * dy
-            for i in range(pw):
-                dst = (y * width + x0 + i * dx) * ch
-                out[dst : dst + ch] = samples[i * ch : (i + 1) * ch]
+            if dx == 1 and x0 == 0:  # full-width pass: one slice, no scatter
+                out[y * width * ch : (y * width + pw) * ch] = samples[: pw * ch]
+            else:
+                for i in range(pw):
+                    dst = (y * width + x0 + i * dx) * ch
+                    out[dst : dst + ch] = samples[i * ch : (i + 1) * ch]
 
     result = {
         "width": width,
