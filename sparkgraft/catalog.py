@@ -204,6 +204,19 @@ def sweep_stale_staging(
     anchored to this table's exact ``temp_{flat}_<digits>`` shape;
     another table's staging (or a user table that merely starts with
     ``temp_``) never matches."""
+    return _sweep_staging_from(
+        spark, table_name, _list_table_names(spark), horizon_s
+    )
+
+
+def _sweep_staging_from(
+    spark: SparkSession,
+    table_name: str,
+    names: list[str],
+    horizon_s: float = 3600.0,
+) -> list[str]:
+    """The sweep body over an already-fetched table listing, so callers
+    holding a listing (ensure_table) don't pay a second metastore trip."""
     import re
 
     flat = table_name.replace(".", "_")
@@ -211,12 +224,20 @@ def sweep_stale_staging(
     horizon_ns = int(horizon_s * 1e9)
     now_ns = time.time_ns()
     dropped: list[str] = []
-    for t in spark.catalog.listTables():
-        m = pat.match(t.name)
+    for name in names:
+        m = pat.match(name)
         if m and now_ns - int(m.group(1)) >= horizon_ns:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-            dropped.append(t.name)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            dropped.append(name)
     return dropped
+
+
+def _list_table_names(spark: SparkSession) -> list[str]:
+    """Current-database table names via SHOW TABLES — one lightweight
+    metastore listing (``spark.catalog.listTables`` additionally fetches
+    per-table metadata, which measured ~100 ms against embedded Derby and
+    grows with catalog size)."""
+    return [r.tableName for r in spark.sql("SHOW TABLES").collect()]
 
 
 def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
@@ -224,8 +245,16 @@ def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
     way, collect staging debris a crashed load left behind (the startup
     sweep — every pipeline passes through here before reading or
     loading, so orphans never outlive one horizon + one run)."""
-    sweep_stale_staging(spark, spec.name)
-    if spark.catalog.tableExists(spec.name):
+    # one metastore listing serves both the sweep and the existence check
+    # (tableExists was a second ~100 ms Derby round-trip per call; this
+    # function runs several times per load).  Qualified names fall back to
+    # tableExists — SHOW TABLES lists only the current database.
+    names = _list_table_names(spark)
+    _sweep_staging_from(spark, spec.name, names)
+    if "." in spec.name:
+        if spark.catalog.tableExists(spec.name):
+            return
+    elif spec.name in names:
         return
     empty = spark.createDataFrame([], spec.schema).select(*spec.ordered_columns)
     writer = (
@@ -1257,9 +1286,15 @@ def load_overwrite(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
         cols = ", ".join(spec.ordered_columns)
         if spec.partition_keys:
             part = ", ".join(spec.partition_keys)
+            # REBALANCE by the partition keys clusters each output
+            # partition into one write task (1 file per partition instead
+            # of files x tasks; guide §6 'REBALANCE hint before the
+            # write') while AQE splits any skewed-huge partition back
+            # into multiple tasks — the scale-safe version of
+            # write.distribution-mode=hash.  Row content is unchanged.
             spark.sql(
                 f"INSERT OVERWRITE TABLE {spec.name} PARTITION ({part}) "
-                f"SELECT {cols} FROM {staging}"
+                f"SELECT /*+ REBALANCE({part}) */ {cols} FROM {staging}"
             )
         else:
             spark.sql(f"INSERT OVERWRITE TABLE {spec.name} SELECT {cols} FROM {staging}")

@@ -413,7 +413,19 @@ def minhash_signatures(
     tok = (
         df.select(F.col(id_col).alias("doc"), tokens(col).alias("__toks"))
         .select("doc", F.explode(F.expr(shingle_expr("__toks", n))).alias("sh"))
-        .withColumn("h", F.expr(f"({HASH64_SQL.format(x='sh')}) % {MINHASH_P}"))
+    )
+    return minhash_signatures_from_shingles(tok, k)
+
+
+def minhash_signatures_from_shingles(shingles: DataFrame, k: int = 16) -> DataFrame:
+    """Signatures from an existing (doc, sh) relation — min is idempotent,
+    so a DISTINCT shingle-set relation (:func:`doc_shingles`) yields
+    BIT-IDENTICAL signatures to the raw exploded multiset; callers that
+    already materialize the shingle relation for Jaccard verification
+    (minhash_lsh_pairs) reuse it here instead of paying a second
+    tokenize + shingle + md5 pass over the corpus."""
+    tok = shingles.withColumn(
+        "h", F.expr(f"({HASH64_SQL.format(x='sh')}) % {MINHASH_P}")
     )
     aggs = [
         F.min(F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")).alias(f"sig_{i}")
@@ -439,6 +451,15 @@ def banded_signatures(
     """
     rows = k // bands
     sigs = minhash_signatures(df, col, id_col, k, n).localCheckpoint(eager=True)
+    return _band_stack(sigs, k, bands)
+
+
+def _band_stack(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """Fold sig_0..sig_{k-1} columns into the stacked band relation —
+    shared tail of :func:`banded_signatures` and the shingle-reusing path
+    in :func:`minhash_lsh_pairs`, so the banding layout stays defined in
+    exactly one place."""
+    rows = k // bands
     band_cols = [
         F.md5(
             F.concat_ws(",", *[f"sig_{b * rows + r}" for r in range(rows)])
@@ -594,9 +615,17 @@ def minhash_lsh_pairs(
     """
     members, rep_of_cls, rep_docs = _content_classes_if_duplicated(df, col, id_col)
 
-    # the banding relation is materialized once inside banded_signatures
-    # (both bucket-join legs read it); representatives only
-    stacked = banded_signatures(rep_docs, col, id_col, k, bands, n)
+    # ONE tokenize+shingle pass: the distinct shingle relation (needed for
+    # the exact-Jaccard verify anyway) also feeds the signatures — min is
+    # distinct-invariant, so the sigs are bit-identical to the fresh-pass
+    # form while the corpus is tokenized and md5'd once instead of twice
+    ds = doc_shingles(rep_docs, col, id_col, n).localCheckpoint(eager=True)
+    # no checkpoint on the sigs: both bucket-join legs contain the IDENTICAL
+    # agg subtree over the checkpointed ds, so exchange reuse computes it
+    # once (measured: a second eager checkpoint here was ~1.2 s SLOWER than
+    # letting ReusedExchange handle the self-join)
+    sigs = minhash_signatures_from_shingles(ds, k)
+    stacked = _band_stack(sigs, k, bands)
     cand = (
         stacked.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
         .join(stacked.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash"), ["band_idx", "band_hash"])
@@ -604,7 +633,6 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ds = doc_shingles(rep_docs, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(ds.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")

@@ -172,8 +172,13 @@ def audit_keyed_against_grid(
     (key, exact_cnt) relation — the shared tail of both audit entry
     points."""
     depth = len(grid)
+    # one expr string per row instead of `width` F.lit().cast() Column ops:
+    # the per-element form cost ~2*width py4j round-trips per row (~1.5 s
+    # of driver time at width 256 x depth 3) to build the same long-array
+    # literal the SQL parser produces in ONE call (guide §7.3 — planning/
+    # driver time is serial at any scale)
     row_lits = [
-        F.array(*[F.lit(m).cast("long") for m in grid[r]])
+        F.expr("array(" + ",".join(f"{int(m)}L" for m in grid[r]) + ")")
         for r in range(depth)
     ]
     ests = [
@@ -674,8 +679,13 @@ def _hll_lc_select(folded: DataFrame) -> DataFrame:
         / F.col("sum_scaled").cast("double")
     )
     empty = F.lit(HLL_M) - F.col("registers_used")
+    # single parsed array literal instead of HLL_M F.lit() Column ops —
+    # repr() round-trips each double exactly and the SQL `D` suffix parses
+    # with Double.parseDouble (correctly rounded), so the literal values
+    # are bit-identical to the F.lit form while costing one py4j call
+    # instead of ~256 (guide §7.3)
     lc = F.element_at(
-        F.array(*[F.lit(v) for v in HLL_LC_TABLE]),
+        F.expr("array(" + ",".join(f"{v!r}D" for v in HLL_LC_TABLE) + ")"),
         F.greatest(empty, F.lit(1)).cast("int"),
     )
     return folded.select(

@@ -39,8 +39,26 @@ TABLES = (
 )
 
 
+#: footer-schema memo: path -> (mtime_ns, ns-typed column names).  The
+#: footer is immutable metadata for an unchanged file; re-parsing it per
+#: read_table call charged every lane a driver-side pyarrow read.  The
+#: mtime guard invalidates if the file is rewritten (drift rigs write to
+#: NEW dirs, but keep the guard so an in-place rewrite can't serve stale
+#: schema).
+_NANOS_CACHE: dict[str, tuple[int, list[str]]] = {}
+
+
 def _nanos_fields(path: str) -> list[str]:
     """Column names stored as timestamp[ns] in the parquet footer."""
+    import os
+
+    try:
+        mtime = os.stat(path).st_mtime_ns
+        hit = _NANOS_CACHE.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+    except OSError:
+        mtime = None
     try:
         schema = pq.read_schema(path)
     except Exception:
@@ -48,7 +66,20 @@ def _nanos_fields(path: str) -> list[str]:
         import pyarrow.dataset as ds
 
         schema = ds.dataset(path).schema
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    if mtime is not None:
+        _NANOS_CACHE[path] = (mtime, cols)
+    return cols
+
+
+#: plan memo: (session id, path, mtime_ns) -> normalized DataFrame.  A
+#: DataFrame is an immutable LOGICAL PLAN — reusing it caches no rows and
+#: recomputes from parquet on every action, it only skips the per-call
+#: driver work (file listing + footer schema merge + the ns->us projection
+#: rebuild), which measured ~90 ms per call x ~1300 calls across a bench
+#: fold.  Keyed on the session object id so a restarted session rebuilds,
+#: and on the path mtime so a rewritten table invalidates.
+_PLAN_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,14 +88,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NTZ is the zone-less semantics the files were written with
     (pyarrow naive timestamps), and what the DuckDB oracle sees.
     """
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     # Defensive: the caller's session may not come from sparkgraft.get_spark
     # (the verify driver builds its own). Both confs are dynamic SQL confs:
     # nanosAsLong lets the scan read INT64 TIMESTAMP(NANOS) columns at all,
     # and a pinned UTC session tz keeps NTZ<->TZ casts (session ids, KST
-    # bucketing) deterministic and oracle-consistent.
+    # bucketing) deterministic and oracle-consistent.  Set on EVERY call
+    # (cache hit or miss): callers rely on read_table restoring the
+    # deterministic session state.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    # id(spark) cannot collide across sessions: every cached DataFrame
+    # strongly references its session wrapper, so a keyed wrapper is never
+    # garbage-collected while its entry lives (no address reuse).
+    key = (id(spark), path, mtime)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(path)
     for col in _nanos_fields(path):
         # floor-div truncates toward zero for the positive epochs in play,
@@ -72,6 +118,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")).cast("timestamp_ntz")
         )
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -3910,12 +3910,27 @@ def q_etl_user_activity_roundtrip(spark, sf_dir):
         )
 
     raw_dir = scratch_dir("sparkgraft_etl_raw_")
-    raw_cols(m1).unionByName(synth("2024-01-31 23:58:00")).write.option(
-        "header", True
-    ).csv(f"{raw_dir}/2024-Jan.csv")
-    raw_cols(m2).unionByName(synth("2024-02-01 00:01:00")).write.option(
-        "header", True
-    ).csv(f"{raw_dir}/2024-Feb.csv")
+    # the two month fixtures are independent jobs — submit them from two
+    # driver threads so the second's tasks back-fill the first's tail
+    # (guide §2.6 'overlap independent jobs'); contents are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_month(args):
+        month_df, ts_text, fname = args
+        month_df.unionByName(synth(ts_text)).write.option("header", True).csv(
+            f"{raw_dir}/{fname}"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write_month,
+                [
+                    (raw_cols(m1), "2024-01-31 23:58:00", "2024-Jan.csv"),
+                    (raw_cols(m2), "2024-02-01 00:01:00", "2024-Feb.csv"),
+                ],
+            )
+        )
 
     spec = _dc_replace(
         ua.USER_ACTIVITY, name=f"user_activity_etl_{time.time_ns()}"
