@@ -99,6 +99,9 @@ def normalized_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_i
 
 def doc_shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc, shingle) DISTINCT pairs — the shingle-set relation."""
+    from sparkgraft.ops.relational import fan_out
+
+    df = fan_out(df)  # tokenize+explode map side otherwise inherits the scan's split count
     return (
         df.select(F.col(id_col).alias("doc"), tokens(col).alias("__toks"))
         .select("doc", F.explode(F.expr(shingle_expr("__toks", n))).alias("sh"))
@@ -825,6 +828,9 @@ def simhash_signatures(
     """
     if not (1 <= bits <= 60):
         raise ValueError(f"bits must be in [1, 60] (HASH64 is 60-bit), got {bits}")
+    from sparkgraft.ops.relational import fan_out
+
+    df = fan_out(df)  # the explode+md5 map side otherwise runs on the scan's split count
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(col)).alias("tok")).withColumn(
         "h", F.expr(HASH64_SQL.format(x="tok"))
     )

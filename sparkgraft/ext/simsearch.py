@@ -1035,8 +1035,7 @@ def _pq_fit_on_q(
     sub: int,
     id_col: str,
 ) -> list[list[list[int]]]:
-    cents: list[list[list[int]]] = []
-    for s in range(m):
+    def _fit_subspace(s: int) -> list[list[int]]:
         start = s * sub + 1
         sv = q.select(id_col, F.expr(f"slice(qv, {start}, {sub})").alias("sv"))
         cs = [init_rows[j][s * sub : (s + 1) * sub] for j in range(k_codes)]
@@ -1065,8 +1064,16 @@ def _pq_fit_on_q(
                 j, n_ = int(r["cluster"]), int(r["n"])
                 newc[j] = [int(r[f"s{i}"]) // n_ for i in range(sub)]
             cs = newc
-        cents.append(cs)
-    return cents
+        return cs
+
+    # the m subspace fits are fully independent Lloyd chains over the same
+    # persisted q — submit them from a small thread pool so their per-round
+    # driver collects overlap (guide §2.6); pool.map preserves subspace
+    # order, so the codebook is byte-identical to the sequential build
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(_fit_subspace, range(m)))
 
 
 def pq_fit(
@@ -1335,25 +1342,35 @@ def lsh_triangle_counts(
     members = tagged.select("node", "cls")
     reps = tagged.where(F.col("node") == F.col("cls")).select("cls", "v", "m")
 
-    sig = reps.withColumn("bucket", F.expr(bucket_sql("v")))
+    # norm once per CLASS, not per candidate pair: the in-bucket scoring
+    # stage evaluates |bucket|² pairs, and cosine_sql would recompute both
+    # self-dots there — _paired_cosine keeps the arithmetic (and the
+    # rounded doubles) identical while cutting the interpreted-HOF dot
+    # count on the quadratic stage by 3x (same hoist the brute-force topk
+    # lanes already use)
+    sig = reps.withColumn("bucket", F.expr(bucket_sql("v"))).withColumn(
+        "nrm", _norm("v")
+    )
     a = sig.select(
         "bucket",
         F.col("cls").alias("ca"),
         F.col("v").alias("va"),
         F.col("m").alias("ma"),
+        F.col("nrm").alias("na"),
     )
     b = sig.select(
         "bucket",
         F.col("cls").alias("cb"),
         F.col("v").alias("vb"),
         F.col("m").alias("mb"),
+        F.col("nrm").alias("nb"),
     )
     # each class has exactly one bucket, so an unordered class pair meets
     # at most once — no post-join dedup needed
     e = (
         a.join(b, "bucket")
         .where(F.col("ca") < F.col("cb"))
-        .where(F.expr(cosine_sql("va", "vb")) >= F.lit(float(threshold)))
+        .where(_paired_cosine(_dot_sql("va", "vb"), "na", "nb") >= F.lit(float(threshold)))
         .select("ca", "cb", "ma", "mb")
     )
     # referenced by degree, orientation, both wedge legs, the closure and

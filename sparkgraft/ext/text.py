@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from sparkgraft.ops.relational import fan_out
+
 #: whitespace tokenizer on lowercased trimmed text (empty tokens dropped)
 _TOKENS_SQL = "filter(split(lower(trim({col})), '\\\\s+'), t -> t != '')"
 
@@ -58,6 +60,7 @@ def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     - avg_token_len: mean token length
     - quality_score: 0.4*alpha + 0.3*min(1, n_tokens/100) + 0.3*stopword-signal
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     t = _TOKENS_SQL.format(col=col)
     n_tok = f"size({t})"
     n_chars = f"length(trim({col}))"
@@ -93,6 +96,7 @@ def lang_id(
     hits, pick the max (fixed precedence en>es>de>fr on ties, 'und' if no
     hits). Deterministic by construction. ``keep`` passes extra columns
     through (e.g. the declared lang for a confusion audit)."""
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     t = _TOKENS_SQL.format(col=col)
     scores = {k: _count_in_set(t, v) for k, v in LANG_MARKERS.items()}
     case = (
@@ -147,6 +151,7 @@ def pii_scrub(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataF
     identical posture to quality_features. The regexes are written in the
     Java-regex/RE2 common subset so the DuckDB oracle matches byte-for-byte.
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     scrubbed = F.col(col)
     counts = []
     for name, (pat, tag) in PII_PATTERNS.items():
@@ -179,6 +184,7 @@ def unigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") ->
     groupBy(doc) for the final score. Two shuffles total, both on keys
     with natural partial aggregation; no window, no driver materialization.
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
@@ -219,6 +225,7 @@ def gopher_repetition(
     is built with the same expression the dedup lane uses
     (ext/dedup.shingle_expr), zero shuffle, fully codegen'd.
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     from sparkgraft.ext.dedup import shingle_expr
 
     toked = df.select(F.col(id_col), tokens(col).alias("__t"))
@@ -260,6 +267,7 @@ def bigram_logprob(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> 
     a derived groupBy(a) for contexts, joins back (count relations are the
     small sides — AQE broadcasts), one groupBy(doc) for the score.
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     toked = df.select(F.col(id_col), tokens(col).alias("__t")).where(
         F.size("__t") >= 2
     )
@@ -307,6 +315,7 @@ def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     (aggregate over array_distinct for the mode count). Empty docs emit
     0-token rows with 0.0 ratios rather than nulls.
     """
+    df = fan_out(df)  # scan-split fan-out: see ops.relational.fan_out
     toks = tokens(col)
     n_tok = F.size(toks)
     n_dis = F.size(F.array_distinct(toks))

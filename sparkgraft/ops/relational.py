@@ -33,6 +33,27 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(DataFrame.union, dfs)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count — ONLY when the incoming plan
+    has fewer partitions.
+
+    Compute-heavy per-row stages (interpreted higher-order functions,
+    md5/regex chains, codec work) inherit the scan's byte-sized split
+    count: a 2 MB table is ONE task at any maxPartitionBytes >= 2 MB, so
+    the whole stage serializes on one core of a many-core host (measured
+    3.4x on repetition_stats at sf0.1).  At production scale the scan
+    already carries >= cores splits and this is the identity — the knob
+    stays scale-adaptive rather than tuned for either regime (guide §2.5
+    input-skew note: 'one huge unsplittable file … repartition immediately
+    after the read').  Row content is order-independent downstream
+    (per-row projections or aggregations), so results are unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     """Deterministic top-k: caller must make ``order`` a total order
     (include a key tiebreak). Spark plans TakeOrderedAndProject — a per-

@@ -2057,27 +2057,44 @@ def q_embed_index_cache_audit(spark, sf_dir):
             "train-once contract is broken"
         )
 
-    try:
-        km_fresh, km_hit1 = catalog.cached_index(
+    def _km_chain():
+        fresh, hit1 = catalog.cached_index(
             table,
             "kmeans",
             {"k": 4, "iters": 3},
             lambda: simsearch.kmeans_fit(emb, k=4, iters=3),
             store=store,
         )
-        km_cached, km_hit2 = catalog.cached_index(
+        cached, hit2 = catalog.cached_index(
             table, "kmeans", {"k": 4, "iters": 3}, _poison, store=store
         )
-        pq_fresh, pq_hit1 = catalog.cached_index(
+        return fresh, hit1, cached, hit2
+
+    def _pq_chain():
+        fresh, hit1 = catalog.cached_index(
             table,
             "pq",
             {"m": 4, "k_codes": 8, "iters": 2},
             lambda: simsearch.pq_fit(emb, m=4, k_codes=8, iters=2),
             store=store,
         )
-        pq_cached, pq_hit2 = catalog.cached_index(
+        cached, hit2 = catalog.cached_index(
             table, "pq", {"m": 4, "k_codes": 8, "iters": 2}, _poison, store=store
         )
+        return fresh, hit1, cached, hit2
+
+    # kmeans and PQ are independent miss->hit chains against disjoint
+    # store keys — run them from two driver threads so their training
+    # jobs overlap (guide §2.6); each chain stays internally sequential
+    # (the hit must observe the miss's artifact)
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            km_fut = pool.submit(_km_chain)
+            pq_fut = pool.submit(_pq_chain)
+            km_fresh, km_hit1, km_cached, km_hit2 = km_fut.result()
+            pq_fresh, pq_hit1, pq_cached, pq_hit2 = pq_fut.result()
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
