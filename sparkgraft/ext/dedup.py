@@ -1164,8 +1164,17 @@ def incremental_minhash_pairs(
     Output: (doc_a = history doc, doc_b = batch doc, jaccard) — one row
     per verified cross-set near-dup pair.
     """
-    hs = banded_signatures(hist, col, id_col, k, bands, n)
-    bs = banded_signatures(batch, col, id_col, k, bands, n)
+    # batch shingles are needed twice anyway (signatures + verify) — build
+    # them first and derive the batch signatures from them (min is
+    # distinct-invariant: bit-identical sigs, one less tokenize pass).
+    # Both signature relations stay LAZY; the cand checkpoint below is
+    # then ONE Spark job whose independent hist/batch subtrees the stage
+    # scheduler runs concurrently — the old per-side eager checkpoints
+    # serialized them (and each side feeds cand exactly once, so the
+    # intermediate materializations bought nothing).
+    ds_b = doc_shingles(batch, col, id_col, n).localCheckpoint(eager=True)
+    hs = _band_stack(minhash_signatures(hist, col, id_col, k, n), k, bands)
+    bs = _band_stack(minhash_signatures_from_shingles(ds_b, k), k, bands)
     cand = (
         bs.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
         .join(
@@ -1191,7 +1200,6 @@ def incremental_minhash_pairs(
         "left_semi",
     )
     ds_h = doc_shingles(hist_hit, col, id_col, n).localCheckpoint(eager=True)
-    ds_b = doc_shingles(batch, col, id_col, n).localCheckpoint(eager=True)
     sizes_h = ds_h.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     sizes_b = ds_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
