@@ -3289,12 +3289,21 @@ def q_streaming_count_min(spark, sf_dir):
     work = scratch_dir("sparkgraft_scm_")
     src, state = f"{work}/src", f"{work}/state"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    for i in range(3):
+
+    # the three micro-batch source files are independent jobs — write them
+    # from a small thread pool (guide §2.6); batch composition (one file
+    # per pmod-3 slice) and contents are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_slice(i: int) -> None:
         (
             ev.where(F.expr(f"pmod(event_id, 3) = {i}"))
             .coalesce(1)
             .write.parquet(f"{src}/b{i}")
         )
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        list(_pool.map(_write_slice, range(3)))
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint")
         .option("maxFilesPerTrigger", 1)
@@ -3367,12 +3376,21 @@ def q_streaming_hll_distinct(spark, sf_dir):
     work = scratch_dir("sparkgraft_shll_")
     src, state = f"{work}/src", f"{work}/state"
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    for i in range(3):
+
+    # the three micro-batch source files are independent jobs — write them
+    # from a small thread pool (guide §2.6); batch composition (one file
+    # per pmod-3 slice) and contents are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_slice(i: int) -> None:
         (
             ev.where(F.expr(f"pmod(event_id, 3) = {i}"))
             .coalesce(1)
             .write.parquet(f"{src}/b{i}")
         )
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        list(_pool.map(_write_slice, range(3)))
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint")
         .option("maxFilesPerTrigger", 1)
