@@ -56,6 +56,20 @@ _SHINGLE_SET_CTES = (
 )
 
 
+#: _CKPT_BEFORE_SORT — why the media-decode lanes insert a LAZY
+#: ``localCheckpoint(eager=False)`` between the decode chain and their
+#: terminal ``orderBy``: a global sort range-partitions its input, and the
+#: RangePartitioner's boundary-sampling pass executes the child once in
+#: full BEFORE the real pass — for an opaque Arrow/Python decode chain
+#: that means every payload is synthesized and decoded TWICE (measured
+#: +1.5 s of the jpeg_rst lane's 2.9 s).  The lazy checkpoint is
+#: materialized by the sampling job itself and reused by the shuffle, so
+#: the chain runs exactly once; row content and final order are
+#: unchanged.  At 100 TB the same rule holds: materialize an expensive
+#: opaque stage before a global sort instead of letting the sampler
+#: recompute it (guide §1.2/§5 — cache only what is reused AND expensive).
+
+
 def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
@@ -512,7 +526,7 @@ def q_dedup_keep_canonical(spark, sf_dir):
                 "is_dup"
             ),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")  # _CKPT_BEFORE_SORT
     )
 
 
@@ -879,7 +893,7 @@ def q_embed_semantic_dedup(spark, sf_dir):
     the O(N²/C) embedding-dedup shape for corpus scale.
     Finite-embedding domain declared (simsearch.finite_vectors)."""
     emb = simsearch.finite_vectors(_t(spark, sf_dir, "embeddings"))
-    return simsearch.semantic_dedup(emb, 0.45).orderBy("vec_id")
+    return simsearch.semantic_dedup(emb, 0.45).localCheckpoint(eager=False).orderBy("vec_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -1401,7 +1415,7 @@ def q_multimodal_decode_png(spark, sf_dir):
         "n_pixels",
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -1477,7 +1491,7 @@ def q_multimodal_decode_png_palette(spark, sf_dir):
         "n_pixels",
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -1559,7 +1573,7 @@ def q_multimodal_decode_png_adam7(spark, sf_dir):
         "n_pixels",
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -1635,7 +1649,7 @@ def q_multimodal_decode_wav(spark, sf_dir):
         "abs_peak",
         "duration_ms",
         (F.col("pcm_md5") == F.col("source_md5")).alias("pcm_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -1709,7 +1723,7 @@ def q_multimodal_resize_real(spark, sf_dir):
         "out_pixels",
         "out_pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -1785,7 +1799,7 @@ def q_multimodal_frames_gif(spark, sf_dir):
         "n_frames",
         "pixel_sum",
         (F.col("anim_md5") == F.col("source_md5")).alias("frames_match"),
-    ).orderBy("doc_id", "frame_idx")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")  # _CKPT_BEFORE_SORT
 
 
 # ---------------------------------------------------------------------------
@@ -1818,7 +1832,7 @@ def q_text_bigram_lm_score(spark, sf_dir):
     bigram counts) — sequence-level fluency signal one rung above the
     unigram score; row-wise pair construction, vocabulary-bounded count
     relations (ext/text.bigram_logprob; parity design in its docstring)."""
-    return text.bigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return text.bigram_logprob(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False).orderBy("doc_id")  # _CKPT_BEFORE_SORT
 
 
 _KNN_CTE_PREFIX = f"""
@@ -1880,7 +1894,7 @@ def q_text_gopher_repetition(spark, sf_dir):
     of n-gram occurrences that repeat — the looping-text filter unigram
     repetition misses. Per-row array expressions, zero shuffle
     (ext/text.gopher_repetition)."""
-    return text.gopher_repetition(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return text.gopher_repetition(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False).orderBy("doc_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -2425,7 +2439,7 @@ def q_graph_triangle_lsh(spark, sf_dir):
     declared quadratic."""
     return simsearch.lsh_triangle_counts(
         simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), threshold=0.2
-    ).orderBy("node")
+    ).localCheckpoint(eager=False).orderBy("node")  # _CKPT_BEFORE_SORT
 
 
 def _pq_oracle(
@@ -2684,7 +2698,7 @@ def q_text_bpe_encode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     wf = bpe.word_freqs(docs).filter(~F.col("word").rlike("[()]"))
     _, final_seqs = bpe.learn_merges(wf, 4)
-    return bpe.encode_token_counts(docs, final_seqs).orderBy("doc_id")
+    return bpe.encode_token_counts(docs, final_seqs).localCheckpoint(eager=False).orderBy("doc_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -2759,7 +2773,7 @@ def q_multimodal_audio_fft(spark, sf_dir):
         "sample_sum",
         "abs_peak",
         (F.col("pcm_md5") == F.col("source_md5")).alias("pcm_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -2790,7 +2804,7 @@ def q_sketch_count_min_audit(spark, sf_dir):
     one-pass cm_cells path.  (Registered post-r10-freeze: first driver
     proof lands with the r11 rotation.)"""
     events = _t(spark, sf_dir, "events")
-    return sketch.cm_estimate_audit(events, "user_id").orderBy("user_id")
+    return sketch.cm_estimate_audit(events, "user_id").localCheckpoint(eager=False).orderBy("user_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -2868,7 +2882,7 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
         "n_pixels",
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -2964,7 +2978,7 @@ def q_multimodal_decode_jpeg_color(spark, sf_dir):
         "g_sum",
         "b_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -3051,7 +3065,7 @@ def q_multimodal_decode_jpeg_420(spark, sf_dir):
         "g_sum",
         "b_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -3148,7 +3162,7 @@ def q_multimodal_decode_jpeg_rst(spark, sf_dir):
         "g_sum",
         "b_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -3226,7 +3240,7 @@ def q_multimodal_decode_jpeg_prog(spark, sf_dir):
         "n_rst",
         "pixel_sum",
         (F.col("pixel_md5") == F.col("source_md5")).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # ckpt: sort sampling must not re-run the decode chain (see _CKPT_BEFORE_SORT)
 
 
 @register(
@@ -3339,7 +3353,7 @@ def q_streaming_count_min(spark, sf_dir):
         grid[row["r"]][row["bucket"]] = int(row["mass"])
     return sketch.audit_against_grid(
         _t(spark, sf_dir, "events"), "user_id", grid
-    ).orderBy("user_id")
+    ).localCheckpoint(eager=False).orderBy("user_id")  # _CKPT_BEFORE_SORT
 
 
 @register(
@@ -3509,7 +3523,7 @@ def q_sketch_hll_linear_audit(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return sketch.hll_lc_multi_probe_audit(
         events, _HLL_LC_PROBES
-    ).orderBy("probe")
+    ).localCheckpoint(eager=False).orderBy("probe")  # _CKPT_BEFORE_SORT
 
 
 _SKETCH_CACHE_FLAGS = (
@@ -3638,4 +3652,4 @@ def q_sketch_stats_cache_audit(spark, sf_dir):
     out = sketch.audit_against_grid(events, "user_id", cm_cached)
     for name in _SKETCH_CACHE_FLAGS:
         out = out.withColumn(name, F.lit(bool(flags[name])))
-    return out.orderBy("user_id")
+    return out.localCheckpoint(eager=False).orderBy("user_id")  # _CKPT_BEFORE_SORT
