@@ -2479,7 +2479,7 @@ def q_window_rank_zoo(spark, sf_dir):
             .otherwise(F.col("__second"))
             .alias("second_lowest"),
         )
-        .orderBy("event_id")
+        .cache().orderBy("event_id")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
     )
 
 
@@ -3398,7 +3398,7 @@ def q_peak_concurrent_sessions(spark, sf_dir):
     return (
         sw.groupBy("day")
         .agg(F.max("open").cast("bigint").alias("peak_concurrent"))
-        .orderBy("day")
+        .cache().orderBy("day")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
     )
 
 
@@ -3630,7 +3630,7 @@ def q_trade_pagerank(spark, sf_dir):
         "node",
         F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"),
-    ).orderBy(F.col("rank_scaled").desc(), "node")
+    ).cache().orderBy(F.col("rank_scaled").desc(), "node")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
 
 
 @register(
@@ -5373,7 +5373,7 @@ def q_value_mad_outliers(spark, sf_dir):
             F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
             "n",
         )
-        .orderBy("event_type")
+        .cache().orderBy("event_type")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
     )
 
 
