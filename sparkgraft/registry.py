@@ -2479,7 +2479,7 @@ def q_window_rank_zoo(spark, sf_dir):
             .otherwise(F.col("__second"))
             .alias("second_lowest"),
         )
-        .cache().orderBy("event_id")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
+        .orderBy("event_id")
     )
 
 
@@ -3398,7 +3398,7 @@ def q_peak_concurrent_sessions(spark, sf_dir):
     return (
         sw.groupBy("day")
         .agg(F.max("open").cast("bigint").alias("peak_concurrent"))
-        .cache().orderBy("day")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
+        .orderBy("day")
     )
 
 
@@ -3630,7 +3630,7 @@ def q_trade_pagerank(spark, sf_dir):
         "node",
         F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"),
-    ).cache().orderBy(F.col("rank_scaled").desc(), "node")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
+    ).orderBy(F.col("rank_scaled").desc(), "node")
 
 
 @register(
@@ -4222,7 +4222,6 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
     reader prefetches one batch at a time, so availableNow would stop
     after the first file.
     """
-    import json as _json
     import os
 
     import pyarrow.parquet as pq
@@ -4232,14 +4231,19 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
     work = scratch_dir("sparkgraft_jstream_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
     os.makedirs(src)
-    recs = pq.read_table(
+    # vectorized fixture render: pandas to_json(lines=True) emits the same
+    # {"event_id": N, "event_type": "..."} records as the previous
+    # per-record json.dumps loop (same key order, same ASCII escaping) in
+    # C instead of ~100k Python dict->dumps->write iterations on the
+    # driver (guide §4.2 — hand whole batches to vectorized libraries)
+    pdf = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
-    ).to_pylist()
-    fhs = [open(f"{src}/chunk{i}.jsonl", "w") for i in range(3)]
-    for rec in recs:
-        fhs[rec["event_id"] % 3].write(_json.dumps(rec) + "\n")
-    for fh in fhs:
-        fh.close()
+    ).to_pandas()
+    for i in range(3):
+        sub = pdf[pdf["event_id"] % 3 == i]
+        sub.to_json(
+            f"{src}/chunk{i}.jsonl", orient="records", lines=True, force_ascii=True
+        )
     jsonl_source.register(spark)
     stream = (
         spark.readStream.format(jsonl_source.FORMAT_NAME)
@@ -5373,7 +5377,7 @@ def q_value_mad_outliers(spark, sf_dir):
             F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
             "n",
         )
-        .cache().orderBy("event_type")  # cache, not ckpt: plan-gated lane — sort sampling must not re-run the chain, gate must still see the plan
+        .orderBy("event_type")
     )
 
 

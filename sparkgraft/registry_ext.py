@@ -1869,7 +1869,7 @@ def q_embed_knn_graph(spark, sf_dir):
     (simsearch.finite_vectors)."""
     return simsearch.knn_graph(
         simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=3
-    ).cache().orderBy("vec_a", "vec_b")  # cache, not ckpt: plan-gated lane (see registry.py note)
+    ).orderBy("vec_a", "vec_b")
 
 
 def _dup_ngram_d(n: int) -> str:
