@@ -254,7 +254,10 @@ def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
     if "." in spec.name:
         if spark.catalog.tableExists(spec.name):
             return
-    elif spec.name in names:
+    # SHOW TABLES reports lowercased names; compare case-insensitively like
+    # the old tableExists did (a mixed-case spec would otherwise re-run the
+    # create path every call — benign under mode('ignore') but never free)
+    elif spec.name.lower() in (n.lower() for n in names):
         return
     empty = spark.createDataFrame([], spec.schema).select(*spec.ordered_columns)
     writer = (

@@ -233,8 +233,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     prefix_filter: bool | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, blocked on shared shingles.
+
+    ``shingles``: optional precomputed :func:`doc_shingles`(df, col, id_col,
+    n) relation the CALLER already materialized (localCheckpoint) because
+    another consumer needs it too (the Spark-ML audit lane feeds the same
+    relation to ``ml_lsh.ml_minhash_pairs``) — the corpus is then tokenized
+    once, not once per side.  Every quantity here depends only on the
+    distinct (doc, sh) content, so the output is bit-identical.
 
     ``prefix_filter=None`` (default) AUTO-SELECTS from the measured shingle
     document-frequency tail: one tiny aggregate over the df relation
@@ -291,7 +299,16 @@ def ngram_jaccard_pairs(
     # blocking/prefix legs, set sizes) — materialize the explode once
     # instead of re-tokenizing the corpus per leg. (On a real cluster with
     # executor churn, swap for reliable .checkpoint().)
-    ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
+    if shingles is not None:
+        # caller-materialized relation; under content classes restrict to
+        # representative docs — identical to doc_shingles(rep_docs)
+        ds = shingles
+        if members is not None:
+            ds = shingles.join(
+                rep_of_cls.select(F.col("rep").alias("doc")), "doc", "left_semi"
+            ).localCheckpoint(eager=True)
+    else:
+        ds = doc_shingles(df, col, id_col, n).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     def _maybe_expand(pairs: DataFrame) -> DataFrame:

@@ -23,12 +23,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 from sparkgraft.ext.dedup import doc_shingles
 
 
-def _shingle_features(df: DataFrame, col: str, id_col: str, n: int, dim: int):
-    """doc → sparse indicator vector of hashed shingles (HashingTF)."""
+def _shingle_features(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int,
+    dim: int,
+    shingles: DataFrame | None = None,
+):
+    """doc → sparse indicator vector of hashed shingles (HashingTF).
+
+    ``shingles``: optional precomputed ``doc_shingles(df, col, id_col, n)``
+    relation (callers sharing one tokenize pass with the exact-Jaccard
+    side).  HashingTF with ``binary=True`` maps a shingle LIST to the same
+    indicator vector as the distinct set, so the features are identical."""
     from pyspark.ml.feature import HashingTF
 
     sh = (
-        doc_shingles(df, col, id_col, n)
+        (shingles if shingles is not None else doc_shingles(df, col, id_col, n))
         .groupBy("doc")
         .agg(F.collect_list("sh").alias("shingles"))
     )
@@ -45,6 +57,7 @@ def ml_minhash_pairs(
     num_tables: int = 8,
     dim: int = 1 << 18,
     seed: int = 7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHashLSH.approxSimilarityJoin.
 
@@ -52,10 +65,13 @@ def ml_minhash_pairs(
     distance (1 - J over hashed-shingle SETS) <= 1 - threshold. Equals the
     exact n-gram Jaccard pairs up to (rare) HashingTF collisions and LSH
     recall < 1 — pinned by the recall test, not an oracle.
+
+    ``shingles``: optional precomputed ``doc_shingles`` relation — see
+    :func:`_shingle_features`.
     """
     from pyspark.ml.feature import MinHashLSH
 
-    feats = _shingle_features(df, col, id_col, n, dim)
+    feats = _shingle_features(df, col, id_col, n, dim, shingles=shingles)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")

@@ -82,6 +82,23 @@ def _nanos_fields(path: str) -> list[str]:
 _PLAN_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
+def _evict_stopped_sessions() -> None:
+    """Drop cache entries whose session has been stopped — without this the
+    memo (which strongly pins each session wrapper to keep id(spark)
+    collision-free) would leak stopped sessions' JVM-side state in a
+    long-lived process that restarts sessions.  ``SparkContext.stop()``
+    nulls ``_jsc`` on the Python wrapper, so the check is a pure-Python
+    attribute read (no py4j round-trip); called on cache MISSES only, so
+    the steady-state hit path stays allocation-free."""
+    dead = [
+        k
+        for k, df in _PLAN_CACHE.items()
+        if getattr(df.sparkSession._sc, "_jsc", None) is None
+    ]
+    for k in dead:
+        del _PLAN_CACHE[k]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalize ns timestamps to TIMESTAMP_NTZ.
 
@@ -111,6 +128,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
+    _evict_stopped_sessions()
     df = spark.read.parquet(path)
     for col in _nanos_fields(path):
         # floor-div truncates toward zero for the positive epochs in play,

@@ -2411,6 +2411,51 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
 
 
+def _window_rank_zoo_relation(spark, sf_dir):
+    """Pre-sort relation of q_window_rank_zoo, SHARED with its plan gates
+    (tests/test_plans.py) — the gates call THIS builder directly, so any
+    edit to the shipped shape is automatically the shape graded (same
+    pattern as _bucketed_join_relation; r14 measured _CKPT_BEFORE_SORT as
+    a net LOSS on these lanes — with AQE the sampler re-executes only the
+    cheap post-shuffle tail, while a lazy localCheckpoint forces all
+    query stages eagerly at build plus a block-store copy — so the lanes
+    keep the plain terminal sort and the builder split stays for the
+    gates' sake)."""
+    from sparkgraft.ops.windows import group_sizes, scalable_row_number
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
+    sizes = group_sizes(ev, ["event_type"])
+    heads = (
+        ranked.where(F.col("__rn") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("value"))).alias("lowest"),
+            F.min(F.when(F.col("__rn") == 2, F.col("value"))).alias("__second"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "event_type")
+        .join(F.broadcast(heads), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias("cd"),
+            "lowest",
+            F.when(F.col("__rn") == 1, F.lit(None).cast("double"))
+            .otherwise(F.col("__second"))
+            .alias("second_lowest"),
+        )
+    )
+
+
 @register(
     "window_rank_zoo",
     """
@@ -2445,42 +2490,10 @@ def q_window_rank_zoo(spark, sf_dir):
     value (NULL on the first row — the default running frame hasn't
     reached row 2 yet).  Same IEEE divisions as the builtins (Spark
     evaluates (rank-1).toDouble/(n-1).toDouble), so the oracle hash is
-    unchanged; plan-gated against low-cardinality ordered windows.
+    unchanged; plan-gated against low-cardinality ordered windows (the
+    gates grade the shared _window_rank_zoo_relation builder).
     """
-    from sparkgraft.ops.windows import group_sizes, scalable_row_number
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ranked = scalable_row_number(ev, ["event_type"], ["value", "event_id"], "__rn")
-    sizes = group_sizes(ev, ["event_type"])
-    heads = (
-        ranked.where(F.col("__rn") <= 2)
-        .groupBy("event_type")
-        .agg(
-            F.min(F.when(F.col("__rn") == 1, F.col("value"))).alias("lowest"),
-            F.min(F.when(F.col("__rn") == 2, F.col("value"))).alias("__second"),
-        )
-    )
-    return (
-        ranked.join(F.broadcast(sizes), "event_type")
-        .join(F.broadcast(heads), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.when(
-                F.col("__n") > 1,
-                (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("pr"),
-            (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias("cd"),
-            "lowest",
-            F.when(F.col("__rn") == 1, F.lit(None).cast("double"))
-            .otherwise(F.col("__second"))
-            .alias("second_lowest"),
-        )
-        .orderBy("event_id")
-    )
+    return _window_rank_zoo_relation(spark, sf_dir).orderBy("event_id")
 
 
 @register(
@@ -3330,6 +3343,40 @@ def q_rolling_7d_active_users(spark, sf_dir):
     )
 
 
+def _peak_concurrent_relation(spark, sf_dir):
+    """Pre-sort relation of q_peak_concurrent_sessions, SHARED with its
+    plan gate (tests/test_plans.py test_peak_concurrent_two_level_sweep);
+    same rationale as _window_rank_zoo_relation."""
+    ev = _t(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("bts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("bts"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionAll(ends).withColumn("day", F.to_date("bts"))
+    daily = b.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    opening = daily.select(
+        "day",
+        F.coalesce(
+            F.sum("day_delta").over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("opening"),
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("bts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sw = b.join(F.broadcast(opening), "day").withColumn(
+        "open", F.col("opening") + F.sum("delta").over(w_day)
+    )
+    return sw.groupBy("day").agg(
+        F.max("open").cast("bigint").alias("peak_concurrent")
+    )
+
+
 @register(
     "peak_concurrent_sessions",
     """
@@ -3368,38 +3415,10 @@ def q_peak_concurrent_sessions(spark, sf_dir):
     sort of boundaries ever happens.  Ties (+1 and -1 at the same
     instant) order +1 first, so touching intervals count as overlapping
     in both engines; per-row running sums under equal-key ties are
-    order-ambiguous but the daily MAX is tie-invariant.
+    order-ambiguous but the daily MAX is tie-invariant.  (The plan gate
+    grades the shared _peak_concurrent_relation builder.)
     """
-    ev = _t(spark, sf_dir, "events")
-    starts = ev.select(F.col("ts").alias("bts"), F.lit(1).alias("delta"))
-    ends = ev.select(
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("bts"),
-        F.lit(-1).alias("delta"),
-    )
-    b = starts.unionAll(ends).withColumn("day", F.to_date("bts"))
-    daily = b.groupBy("day").agg(F.sum("delta").alias("day_delta"))
-    opening = daily.select(
-        "day",
-        F.coalesce(
-            F.sum("day_delta").over(
-                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("opening"),
-    )
-    w_day = (
-        Window.partitionBy("day")
-        .orderBy(F.col("bts").asc(), F.col("delta").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sw = b.join(F.broadcast(opening), "day").withColumn(
-        "open", F.col("opening") + F.sum("delta").over(w_day)
-    )
-    return (
-        sw.groupBy("day")
-        .agg(F.max("open").cast("bigint").alias("peak_concurrent"))
-        .orderBy("day")
-    )
+    return _peak_concurrent_relation(spark, sf_dir).orderBy("day")
 
 
 @register(
@@ -3538,27 +3557,11 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register("trade_pagerank", _pagerank_oracle())
-def q_trade_pagerank(spark, sf_dir):
-    """Weighted PageRank (d=0.85, 10 fixed iterations) over the nation
-    trade graph: supplier-nation → customer-nation edges weighted by
-    revenue share — the iterative-graph-algorithm lane (centrality /
-    influence scoring) the DataFrame API covers without GraphX.
+def _trade_pagerank_relation(spark, sf_dir):
+    """Pre-sort relation of q_trade_pagerank, SHARED with its plan gate
+    (tests/test_plans.py test_trade_pagerank_edges_materialized_once);
+    same rationale as _window_rank_zoo_relation."""
 
-    Exact cross-engine parity for an ITERATIVE float algorithm: ranks live
-    in integer micro-units; each edge contribution floor()s an identical
-    left-associated double expression to a BIGINT, so per-iteration sums
-    are shuffle-order-invariant and 10 iterations stay bit-identical.
-
-    Scale: the edge relation (≤|nations|², here ≤625 rows) is built ONCE
-    from the q5-shaped join and localCheckpoint()ed — the big join never
-    re-executes across iterations, and lineage stays O(1).  Each iteration
-    is one equi-join ranks⋈edges on src + one groupBy dst; on a billion-
-    edge graph both shuffle on the same key, so co-partitioning carries
-    across iterations (AQE reuses the exchange).  Dangling nodes keep the
-    (1-d)/N floor; their out-mass leak is the standard 'leaky' variant,
-    mirrored exactly by the oracle.
-    """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -3630,7 +3633,35 @@ def q_trade_pagerank(spark, sf_dir):
         "node",
         F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"),
-    ).orderBy(F.col("rank_scaled").desc(), "node")
+    )
+
+
+@register("trade_pagerank", _pagerank_oracle())
+def q_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank (d=0.85, 10 fixed iterations) over the nation
+    trade graph: supplier-nation → customer-nation edges weighted by
+    revenue share — the iterative-graph-algorithm lane (centrality /
+    influence scoring) the DataFrame API covers without GraphX.
+
+    Exact cross-engine parity for an ITERATIVE float algorithm: ranks live
+    in integer micro-units; each edge contribution floor()s an identical
+    left-associated double expression to a BIGINT, so per-iteration sums
+    are shuffle-order-invariant and 10 iterations stay bit-identical.
+
+    Scale: the edge relation (≤|nations|², here ≤625 rows) is built ONCE
+    from the q5-shaped join and localCheckpoint()ed — the big join never
+    re-executes across iterations, and lineage stays O(1).  Each iteration
+    is one equi-join ranks⋈edges on src + one groupBy dst; on a billion-
+    edge graph both shuffle on the same key, so co-partitioning carries
+    across iterations (AQE reuses the exchange).  Dangling nodes keep the
+    (1-d)/N floor; their out-mass leak is the standard 'leaky' variant,
+    mirrored exactly by the oracle.
+
+    (The plan gate grades the shared _trade_pagerank_relation builder.)
+    """
+    return _trade_pagerank_relation(spark, sf_dir).orderBy(
+        F.col("rank_scaled").desc(), "node"
+    )
 
 
 @register(
@@ -4231,11 +4262,14 @@ def q_custom_stream_jsonl_counts(spark, sf_dir):
     work = scratch_dir("sparkgraft_jstream_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
     os.makedirs(src)
-    # vectorized fixture render: pandas to_json(lines=True) emits the same
-    # {"event_id": N, "event_type": "..."} records as the previous
-    # per-record json.dumps loop (same key order, same ASCII escaping) in
-    # C instead of ~100k Python dict->dumps->write iterations on the
-    # driver (guide §4.2 — hand whole batches to vectorized libraries)
+    # vectorized fixture render: pandas to_json(lines=True) emits
+    # JSON-PARSE-EQUIVALENT {"event_id": N, "event_type": "..."} records
+    # to the previous per-record json.dumps loop (same keys/values; the
+    # BYTES differ — to_json is separator-compact and escapes '/' where
+    # json.dumps does not), in C instead of ~100k Python
+    # dict->dumps->write iterations on the driver (guide §4.2 — hand
+    # whole batches to vectorized libraries).  The stream parses records,
+    # so lane output is unchanged; do not add a raw-bytes fixture check.
     pdf = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
     ).to_pandas()
@@ -5268,58 +5302,12 @@ def q_orc_roundtrip_events(spark, sf_dir):
     )
 
 
-@register(
-    "value_mad_outliers",
-    """
-    WITH r AS (
-      SELECT event_type, value, event_id,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-      WHERE value IS NOT NULL),
-    med AS (
-      SELECT event_type, round(avg(value), 6) AS med,
-             CAST(max(n) AS BIGINT) AS n
-      FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
-      GROUP BY event_type),
-    d AS (
-      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.n
-      FROM events e JOIN med m USING (event_type)
-      WHERE e.value IS NOT NULL),
-    r2 AS (
-      SELECT *, row_number() OVER (PARTITION BY event_type
-                                   ORDER BY dev, event_id) AS rn2
-      FROM d),
-    mad AS (
-      SELECT event_type, round(avg(dev), 6) AS mad
-      FROM r2 WHERE rn2 = (n + 1) // 2 OR rn2 = n // 2 + 1
-      GROUP BY event_type),
-    o AS (
-      SELECT d.event_type,
-             CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * mad.mad)
-                  AS BIGINT) AS n_outliers
-      FROM d JOIN mad USING (event_type) GROUP BY d.event_type)
-    SELECT m.event_type, m.med AS median_value, mad.mad AS mad,
-           o.n_outliers, m.n
-    FROM med m JOIN mad USING (event_type) JOIN o USING (event_type)
-    ORDER BY m.event_type
-    """,
-)
-def q_value_mad_outliers(spark, sf_dir):
-    """Robust outlier detection via Median Absolute Deviation — the
-    heavy-tail-safe alternative to value_zscore_outliers (one wild sensor
-    reading inflates a z-score's mean AND stddev, masking other outliers;
-    the median/MAD pair has a 50% breakdown point).  Rule: |v - median| >
-    3 * 1.4826 * MAD, the normal-consistency-scaled 3-sigma analogue.
+def _value_mad_outliers_relation(spark, sf_dir):
+    """Pre-sort relation of q_value_mad_outliers, SHARED with its plan gate
+    (tests/test_plans.py
+    test_mad_outliers_two_level_rank_no_lowcard_window); same rationale
+    as _window_rank_zoo_relation."""
 
-    Two EXACT medians per type at scale: both ride the two-level rank
-    (ops/windows.scalable_row_number — bounded chunk sorts, never an
-    ordered window over the ~6-value event_type key; same machinery as
-    value_median_exact), with the tiny per-type median/MAD relations
-    broadcast back for the deviation and classification passes.  All
-    comparisons are deterministic IEEE doubles off exact inputs, so the
-    hash is engine-stable."""
     from sparkgraft.ops.windows import group_sizes, scalable_row_number
 
     # MAD statistics are over the OBSERVED values: NULLs excluded up front
@@ -5377,8 +5365,66 @@ def q_value_mad_outliers(spark, sf_dir):
             F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
             "n",
         )
-        .orderBy("event_type")
     )
+
+
+@register(
+    "value_mad_outliers",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, round(avg(value), 6) AS med,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type),
+    d AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.n
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, event_id) AS rn2
+      FROM d),
+    mad AS (
+      SELECT event_type, round(avg(dev), 6) AS mad
+      FROM r2 WHERE rn2 = (n + 1) // 2 OR rn2 = n // 2 + 1
+      GROUP BY event_type),
+    o AS (
+      SELECT d.event_type,
+             CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * mad.mad)
+                  AS BIGINT) AS n_outliers
+      FROM d JOIN mad USING (event_type) GROUP BY d.event_type)
+    SELECT m.event_type, m.med AS median_value, mad.mad AS mad,
+           o.n_outliers, m.n
+    FROM med m JOIN mad USING (event_type) JOIN o USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def q_value_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe alternative to value_zscore_outliers (one wild sensor
+    reading inflates a z-score's mean AND stddev, masking other outliers;
+    the median/MAD pair has a 50% breakdown point).  Rule: |v - median| >
+    3 * 1.4826 * MAD, the normal-consistency-scaled 3-sigma analogue.
+
+    Two EXACT medians per type at scale: both ride the two-level rank
+    (ops/windows.scalable_row_number — bounded chunk sorts, never an
+    ordered window over the ~6-value event_type key; same machinery as
+    value_median_exact), with the tiny per-type median/MAD relations
+    broadcast back for the deviation and classification passes.  All
+    comparisons are deterministic IEEE doubles off exact inputs, so the
+    hash is engine-stable.
+
+    (The plan gate grades the shared _value_mad_outliers_relation
+    builder.)
+    """
+    return _value_mad_outliers_relation(spark, sf_dir).orderBy("event_type")
 
 
 def _bucketed_join_relation(spark, sf_dir, tl, to):

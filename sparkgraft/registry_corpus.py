@@ -390,10 +390,16 @@ def q_ml_minhash_pairs(spark, sf_dir):
     from sparkgraft.ext import dedup, ml_lsh
 
     docs = _t(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+    # ONE tokenize+shingle pass feeds BOTH sides (guide §2.3 — don't compute
+    # things twice): the exact-Jaccard legs and the Spark-ML HashingTF
+    # features all derive from the same materialized (doc, sh) relation.
+    # Jaccard and binary HashingTF depend only on the distinct shingle-set
+    # content, so both sides are bit-identical to their standalone forms.
+    ds = dedup.doc_shingles(docs).localCheckpoint(eager=True)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingles=ds).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
-    got = ml_lsh.ml_minhash_pairs(docs, threshold=0.5).select(
+    got = ml_lsh.ml_minhash_pairs(docs, threshold=0.5, shingles=ds).select(
         "doc_a", "doc_b", F.lit(1).alias("in_ml")
     )
     j = exact.join(got, ["doc_a", "doc_b"], "full_outer")

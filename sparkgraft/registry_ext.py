@@ -1849,6 +1849,15 @@ _KNN_CTE_PREFIX = f"""
       WHERE rn <= 3)"""
 
 
+def _embed_knn_graph_relation(spark, sf_dir):
+    """Pre-sort relation of q_embed_knn_graph, SHARED with its plan gate
+    (tests/test_plans.py test_knn_graph_blocked_no_cartesian); same
+    rationale as registry._window_rank_zoo_relation."""
+    return simsearch.knn_graph(
+        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=3
+    )
+
+
 @register(
     "embed_knn_graph",
     _KNN_CTE_PREFIX
@@ -1866,10 +1875,9 @@ def q_embed_knn_graph(spark, sf_dir):
     the mutual-kNN flag. Block-matrix scoring with per-block partial
     top-k so the shuffle carries <= B*k candidates per node
     (ext/simsearch.knn_graph).  Finite-embedding domain declared
-    (simsearch.finite_vectors)."""
-    return simsearch.knn_graph(
-        simsearch.finite_vectors(_t(spark, sf_dir, "embeddings")), k=3
-    ).orderBy("vec_a", "vec_b")
+    (simsearch.finite_vectors).  (The plan gate grades the shared
+    _embed_knn_graph_relation builder.)"""
+    return _embed_knn_graph_relation(spark, sf_dir).orderBy("vec_a", "vec_b")
 
 
 def _dup_ngram_d(n: int) -> str:
@@ -2062,8 +2070,15 @@ def q_embed_index_cache_audit(spark, sf_dir):
     table = os.path.join(sf_dir, "embeddings.parquet")
     # external stats store: the testdata lake is read-only, the exact case
     # the store parameter exists for; fresh per invocation so miss-then-hit
-    # is deterministic every run
+    # is deterministic every run.  ONE STORE PER CHAIN: save_table_stats is
+    # a non-atomic read-modify-replace on the sidecar FILE, so two chains
+    # sharing a store could each read the same base and the later replace
+    # would drop the earlier chain's artifact — its hit-path would then
+    # invoke the poison trainer (intermittent lane failure).  Disjoint
+    # stat KEYS don't help; the file is the unit of contention.
     store = scratch_dir("sparkgraft_index_store_")
+    store_km = os.path.join(store, "km")
+    store_pq = os.path.join(store, "pq")
 
     def _poison():
         raise AssertionError(
@@ -2077,10 +2092,10 @@ def q_embed_index_cache_audit(spark, sf_dir):
             "kmeans",
             {"k": 4, "iters": 3},
             lambda: simsearch.kmeans_fit(emb, k=4, iters=3),
-            store=store,
+            store=store_km,
         )
         cached, hit2 = catalog.cached_index(
-            table, "kmeans", {"k": 4, "iters": 3}, _poison, store=store
+            table, "kmeans", {"k": 4, "iters": 3}, _poison, store=store_km
         )
         return fresh, hit1, cached, hit2
 
@@ -2090,17 +2105,17 @@ def q_embed_index_cache_audit(spark, sf_dir):
             "pq",
             {"m": 4, "k_codes": 8, "iters": 2},
             lambda: simsearch.pq_fit(emb, m=4, k_codes=8, iters=2),
-            store=store,
+            store=store_pq,
         )
         cached, hit2 = catalog.cached_index(
-            table, "pq", {"m": 4, "k_codes": 8, "iters": 2}, _poison, store=store
+            table, "pq", {"m": 4, "k_codes": 8, "iters": 2}, _poison, store=store_pq
         )
         return fresh, hit1, cached, hit2
 
     # kmeans and PQ are independent miss->hit chains against disjoint
-    # store keys — run them from two driver threads so their training
-    # jobs overlap (guide §2.6); each chain stays internally sequential
-    # (the hit must observe the miss's artifact)
+    # store DIRECTORIES — run them from two driver threads so their
+    # training jobs overlap (guide §2.6); each chain stays internally
+    # sequential (the hit must observe the miss's artifact)
     from concurrent.futures import ThreadPoolExecutor
 
     try:
@@ -2353,7 +2368,16 @@ def q_graph_triangle_count(spark, sf_dir):
     skewed graphs (the hub that would explode a naive neighbor self-join
     gets rank-ordered OUT of the wedge-generating role).  Edge relation
     comes from ext/simsearch.knn_graph (blocked scoring, no cartesian);
-    the triangle phase is two equi-joins + a 3-way union rollup."""
+    the triangle phase is two equi-joins + a 3-way union rollup.  (The
+    plan gates grade the shared _graph_triangle_count_relation builder.)"""
+    return _graph_triangle_count_relation(spark, sf_dir).orderBy("node")
+
+
+def _graph_triangle_count_relation(spark, sf_dir):
+    """Pre-sort relation of q_graph_triangle_count, SHARED with its plan
+    gates (tests/test_plans.py test_triangle_count_equi_joins_only /
+    test_triangle_count_materializes_knn_once); same rationale as
+    registry._window_rank_zoo_relation."""
     # materialize the edge list once: the triangle phase references it
     # five times (degree, both orientation joins, both wedge legs, the
     # closure), and without a checkpoint Spark re-executes the ENTIRE
@@ -2365,7 +2389,7 @@ def q_graph_triangle_count(spark, sf_dir):
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
-    return simsearch.triangle_counts(e).orderBy("node")
+    return simsearch.triangle_counts(e)
 
 
 def _lsh_triangle_oracle(tau: float = 0.2) -> str:

@@ -28,6 +28,37 @@ def test_ml_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert len(extra) <= max(2, len(exact)), f"too many spurious pairs: {len(extra)}"
 
 
+def test_shared_shingle_relation_is_bit_identical(spark, sf_dir):
+    """The r14 single-tokenize optimization: the ml_minhash_pairs audit
+    lane materializes ONE doc_shingles relation and feeds it to both the
+    exact-Jaccard side and the Spark-ML side.  Both must emit exactly the
+    rows their standalone (re-tokenizing) forms emit."""
+    docs = read_table(spark, sf_dir, "documents")
+    ds = dedup.doc_shingles(docs).localCheckpoint(eager=True)
+
+    base_exact = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect())
+    )
+    shared_exact = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingles=ds).collect(),
+        )
+    )
+    assert base_exact == shared_exact
+
+    base_ml = sorted(
+        map(tuple, ml_lsh.ml_minhash_pairs(docs, threshold=0.5).collect())
+    )
+    shared_ml = sorted(
+        map(
+            tuple,
+            ml_lsh.ml_minhash_pairs(docs, threshold=0.5, shingles=ds).collect(),
+        )
+    )
+    assert base_ml == shared_ml
+
+
 def test_ml_ann_topk_overlaps_brute_force(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     brute = (

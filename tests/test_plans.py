@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from sparkgraft import registry
+from sparkgraft import registry, registry_ext
 
 
 def _plan(spark, sf_dir, name):
@@ -24,6 +24,23 @@ def _final_plan(spark, sf_dir, name):
     hint-pinned (a hard F.broadcast(customer) is wrong at 100 TB) — AQE
     decides from runtime stats, so the shape to grade is the FINAL plan."""
     df = registry.queries()[name](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _builder_plan(builder, spark, sf_dir):
+    """Plan of a shared pre-terminal relation builder.  Six gated lanes
+    are split into builder + terminal sort so the gates can grade the
+    shipped shape independently of whatever materialization sits in front
+    of the sort (the registry._bucketed_join_relation pattern: the query
+    itself calls the builder, so any edit to the shipped shape is
+    automatically the shape graded here)."""
+    return builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _builder_final_plan(builder, spark, sf_dir):
+    """Post-execution (final AQE) plan of a shared builder relation."""
+    df = builder(spark, sf_dir)
     df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -343,7 +360,7 @@ def test_peak_concurrent_two_level_sweep(spark, sf_dir):
     SinglePartition exchange or a day-less sweep windowspec."""
     import re
 
-    plan = _plan(spark, sf_dir, "peak_concurrent_sessions")
+    plan = _builder_plan(registry._peak_concurrent_relation, spark, sf_dir)
     assert plan.count("Exchange SinglePartition") <= 1, plan
     sweeps = re.findall(r"windowspecdefinition\(day#\d+, bts#\d+", plan)
     assert sweeps, f"day-partitioned sweep window missing: {plan}"
@@ -363,7 +380,7 @@ def test_trade_pagerank_edges_materialized_once(spark, sf_dir):
     """The q5-shaped edge build must run ONCE (localCheckpoint): the final
     iterated plan may reference the checkpointed RDD 10 times but must
     never re-scan lineitem, and iteration joins must stay equi-joins."""
-    plan = _plan(spark, sf_dir, "trade_pagerank")
+    plan = _builder_plan(registry._trade_pagerank_relation, spark, sf_dir)
     assert "lineitem" not in plan, "edge join re-executes per iteration"
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -408,7 +425,7 @@ def test_window_zoo_closed_forms_no_builtin_rank_functions(spark, sf_dir):
     builtin rank-family window functions may appear in the plan (their
     builtin forms would demand the giant per-event_type sort this query
     was re-planned to avoid)."""
-    plan = _plan(spark, sf_dir, "window_rank_zoo")
+    plan = _builder_plan(registry._window_rank_zoo_relation, spark, sf_dir)
     for fn in ("percent_rank()", "cume_dist()", "nth_value("):
         assert fn not in plan, f"builtin {fn} reintroduces the giant sort: {plan}"
 
@@ -469,7 +486,7 @@ def test_window_rank_zoo_two_level_rank_no_lowcard_window(spark, sf_dir):
     ordered window over the low-cardinality event_type key."""
     import re
 
-    plan = _plan(spark, sf_dir, "window_rank_zoo")
+    plan = _builder_plan(registry._window_rank_zoo_relation, spark, sf_dir)
     assert not re.search(r"windowspecdefinition\(event_type#\d+, (value|event_id)#", plan), plan
     assert re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, __chunk#", plan), plan
     assert "CartesianProduct" not in plan, plan
@@ -492,7 +509,7 @@ def test_knn_graph_blocked_no_cartesian(spark, sf_dir):
     global top-k window partitions on the high-cardinality node id."""
     import re
 
-    plan = _plan(spark, sf_dir, "embed_knn_graph")
+    plan = _builder_plan(registry_ext._embed_knn_graph_relation, spark, sf_dir)
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -663,7 +680,7 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Wedge generation and closure must be equi-joins (the rank filter is
     a post-join predicate on an equi-key join) — no cartesian, no
     broadcast nested loop anywhere in the triangle phase."""
-    plan = _final_plan(spark, sf_dir, "graph_triangle_count")
+    plan = _builder_final_plan(registry_ext._graph_triangle_count_relation, spark, sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -711,7 +728,7 @@ def test_triangle_count_materializes_knn_once(spark, sf_dir):
     triangle phase must NOT re-execute the blocked-kNN DAG per reference
     (pre-fix plan audit: 229 exchanges; the triangle joins alone need
     far fewer)."""
-    plan = _final_plan(spark, sf_dir, "graph_triangle_count")
+    plan = _builder_final_plan(registry_ext._graph_triangle_count_relation, spark, sf_dir)
     assert plan.count("Exchange hashpartitioning") < 30, plan.count(
         "Exchange hashpartitioning"
     )
@@ -753,7 +770,7 @@ def test_mad_outliers_two_level_rank_no_lowcard_window(spark, sf_dir):
     never over raw (value|dev) rows (same gate as value_median_exact)."""
     import re
 
-    plan = _plan(spark, sf_dir, "value_mad_outliers")
+    plan = _builder_plan(registry._value_mad_outliers_relation, spark, sf_dir)
     assert not re.search(
         r"windowspecdefinition\(event_type#\d+, (value|dev|event_id)#", plan
     ), plan
