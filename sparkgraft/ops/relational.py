@@ -33,9 +33,30 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(DataFrame.union, dfs)
 
 
+def _approx_input_bytes(df: DataFrame) -> int | None:
+    """Sum of the ANALYZED plan's leaf-relation size estimates — the cheap
+    stand-in for "how many scan splits will this subtree get".  Reads only
+    leaf metadata (file-size sums for scans): no catalyst optimization, no
+    physical planning, no plan->RDD conversion, so it stays O(#leaves)
+    driver calls even on a 100 TB-wide plan — the previous
+    ``df.rdd.getNumPartitions()`` probe forced a full second planning pass
+    per call (~70-150 ms here, unbounded at scale).  Unknown-size leaves
+    (e.g. a checkpointed LogicalRDD) report huge defaults, which safely
+    maps to "wide enough, don't repartition"."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        # py4j maps the scala BigInt through to a Python int
+        return sum(
+            int(leaves.apply(i).computeStats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return None
+
+
 def fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to core count — ONLY when the incoming plan
-    has fewer partitions.
+    """Round-robin repartition to core count — ONLY when the incoming data
+    is smaller than one scan split per core.
 
     Compute-heavy per-row stages (interpreted higher-order functions,
     md5/regex chains, codec work) inherit the scan's byte-sized split
@@ -47,10 +68,33 @@ def fan_out(df: DataFrame) -> DataFrame:
     input-skew note: 'one huge unsplittable file … repartition immediately
     after the read').  Row content is order-independent downstream
     (per-row projections or aggregations), so results are unchanged.
+    (Round-robin repartition cannot key on map-typed columns; no current
+    caller passes one.)
+
+    The width probe is ``_approx_input_bytes`` (analysis-only, r14): the
+    subtree gets fanned out iff its leaf inputs sum below cores x
+    maxPartitionBytes — the same decision the old partition-count probe
+    made for every current caller (scan-rooted narrow subtrees), without
+    the per-call physical-planning pass.  When leaf stats are unavailable
+    the old RDD probe is the fallback.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    approx = _approx_input_bytes(df)
+    if approx is not None:
+        try:
+            mpb = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                ).lower().rstrip("b")
+            )
+        except ValueError:
+            mpb = 134217728
+        if approx >= target * mpb:
+            return df
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
