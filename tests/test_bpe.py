@@ -201,3 +201,17 @@ def test_learned_merges_on_base_corpus_are_real(spark, sf_dir):
     for _, pair, merged, cnt in merges:
         assert pair.startswith("(") and ")(" in pair and cnt > 0
         assert merged == pair.replace(")(", "")
+
+
+def test_training_loop_never_rescans_the_corpus(spark, sf_dir):
+    """r14 optimization pin: learn_merges materializes the rendered
+    vocabulary ONCE, so the per-round argmax jobs and the encode join
+    must be rooted at the checkpointed relation — a final_seqs plan that
+    still reaches the corpus parquet means every round re-ran the
+    corpus-scale word count (the regression this guards against)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = bpe.word_freqs(docs).filter(~F.col("word").rlike("[()]"))
+    _, final_seqs = bpe.learn_merges(wf, 4)
+    plan = final_seqs._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "FileScan" not in plan and "parquet" not in plan.lower(), plan
