@@ -3611,23 +3611,26 @@ def _trade_pagerank_relation(spark, sf_dir):
         .cast("bigint")
         .alias("r"),
     )
+    # per-iteration dangling-node floor as a UNION instead of a second
+    # (nodes LEFT JOIN contrib) join: every node contributes a 0 row, so
+    # groupBy-sum yields base + sum(contribs) for contributing nodes and
+    # base + 0 for dangling ones — bigint sums are identical to the
+    # coalesce form, and every edge dst is a nation so the node set
+    # matches.  Saves one join (a broadcast build + probe) per iteration;
+    # the remaining per-iteration shuffle keys on node both rounds, so
+    # co-partitioning still carries (r14, guide §2.4).
+    zero_rows = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            ranks.join(edges, ranks.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.lit(0.85) * F.col("r").cast("double") * F.col("wf"))
-                .cast("bigint")
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias("contrib"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+        contribs = ranks.join(edges, ranks.node == edges.src).select(
+            F.col("dst").alias("node"),
+            F.floor(F.lit(0.85) * F.col("r").cast("double") * F.col("wf"))
             .cast("bigint")
-            .alias("r"),
+            .alias("c"),
+        )
+        ranks = (
+            contribs.unionByName(zero_rows)
+            .groupBy("node")
+            .agg((F.lit(base) + F.sum("c")).cast("bigint").alias("r"))
         )
     return ranks.select(
         "node",
