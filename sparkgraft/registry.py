@@ -5857,83 +5857,78 @@ def q_snapshot_restore_read(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The external correctness driver snapshots only the
 # FIRST 50 registered queries each round, so registration order is a curated
-# artifact, not an accident of module layout.  Round 13's window, exactly as
-# the r12 verdict staged it (item #1), in three tiers:
-#   (1) the 2 lanes registered THIS round, needing their FIRST driver
-#       hash row: `multimodal_decode_png_palette` (PLTE/color-type-3
-#       decode at bit depths 1/2/4/8) and `multimodal_decode_png_adam7`
-#       (Adam7 interlace across gray/RGB/palette/RGBA) — the two
-#       web-common PNG boundaries the r12 verdict staged (item #3);
-#   (2) stale-refresh re-proofs, oldest first: the 4 remaining round-7
-#       rows (tumbling_15min_counts, union_names, wau_session,
-#       wau_user_twolevel — re-verified bit-exact by the r12 judge,
-#       stale not wrong), then the alphabetically-first 36 of the 39
-#       round-8 rows (the other 3 — streaming_restart_sessionize,
-#       text_repetition, text_weighted_score — head round 14's
-#       rotation);
-#   (3) the 8 canonical sentinels (same set as r04-r12).
-# No lane's output/domain changed after its newest proof this round, so
-# the OUTPUT_CHANGED_SINCE_PROOF slice is empty.  After this window
-# lands, NO lane's newest proof is older than ROUND 8 — the rotation's
-# designed steady state (r12 verdict's done-criterion for item #1).
+# artifact, not an accident of module layout.  Round 14's window, exactly as
+# the r13 verdict staged it (item #9) and the r13 comment spelled out below
+# the r13 window ("ROUND 14 ROTATION"), in three tiers:
+#   (1) first-proof lanes: NONE — round 14 is an optimization round and
+#       registered no new queries (ADDED_AFTER_R14_FREEZE is empty);
+#   (2) stale-refresh re-proofs, oldest first: the 3 remaining round-8
+#       rows (streaming_restart_sessionize, text_repetition,
+#       text_weighted_score), then the alphabetically-first 39 of the 42
+#       round-9 rows (the other 3 — value_zscore_outliers,
+#       wau_sketch_weekly, wau_wow_growth — head round 15's rotation);
+#   (3) the 8 canonical sentinels (same set as r04-r13).
+# No lane's output/domain changed after its newest proof this round (the
+# optimization work is bitwise-audited identical), so the
+# OUTPUT_CHANGED_SINCE_PROOF slice is empty.  After this window lands, NO
+# lane's newest proof is older than ROUND 9.
 # tests/test_registry_parity.py pins the window composition so future
 # insertions can't silently evict proof again.
 #
-# ROUND 14 ROTATION: any query registered after THIS freeze (list it in
-# tests/test_registry_parity.py `ADDED_AFTER_R13_FREEZE` as you add it)
+# ROUND 15 ROTATION: any query registered after THIS freeze (list it in
+# tests/test_registry_parity.py `ADDED_AFTER_R14_FREEZE` as you add it)
 # first, then any lane whose output/domain changes after its newest
-# proof, then the 3 remaining r08 rows above, then r09 oldest-first to
+# proof, then the 3 remaining r09 rows above, then r10 oldest-first to
 # fill, then the 8 sentinels.  Keep new registrations ≤5/round so each
 # window keeps draining the oldest proof tier whole.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier 1: first driver rows (the 2 round-13 PNG-boundary lanes)
-    "multimodal_decode_png_palette",
-    "multimodal_decode_png_adam7",
-    # tier 2a: the 4 remaining round-7 rows (oldest proofs in the repo)
-    "tumbling_15min_counts",
-    "union_names",
-    "wau_session",
-    "wau_user_twolevel",
-    # tier 2b: alphabetically-first 36 of the 39 round-8 rows
-    "asof_nearest_signup",
-    "attribution_linear",
-    "corpus_chunk_dedup",
-    "custom_sink_jsonl_roundtrip",
-    "custom_source_jsonl",
-    "dedup_incremental_bloom",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "gdpr_erasure_report",
-    "grouped_weighted_mean_pandas",
-    "grouping_sets_event_margins",
-    "incremental_view_merge",
-    "k_anonymity_audit",
-    "merge_upsert_customers",
-    "peak_concurrent_sessions",
-    "props_map_stats",
-    "pseudonymous_join",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_dominant_suppliers",
-    "q21_blocking_suppliers",
-    "q22_dormant_capital",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "retention_cohorts",
-    "rolling_7d_active_users",
-    "salted_join_user_events",
-    "salted_user_event_totals",
-    "scd2_type_history",
-    "session_window_dynamic_gap",
-    "sessionize_auto",
-    "snapshot_asof_read",
-    "snapshot_restore_read",
-    # tier 3: the 8 canonical sentinels (same set as r04-r12)
+    # tier 2a: the 3 remaining round-8 rows (oldest proofs in the repo)
+    "streaming_restart_sessionize",
+    "text_repetition",
+    "text_weighted_score",
+    # tier 2b: alphabetically-first 39 of the 42 round-9 rows
+    "bitmap_distinct_rollup",
+    "collation_distinct_audit",
+    "column_profile_lineitem",
+    "corpus_chunk_overlap",
+    "corpus_dup_span_fraction",
+    "corpus_shard_assign",
+    "corpus_source_datacard",
+    "corpus_temperature_mix",
+    "corpus_vocab_growth",
+    "custom_stream_jsonl_counts",
+    "dedup_incremental_minhash",
+    "dedup_keep_canonical",
+    "dq_gated_value_rollup",
+    "embed_arrow_norms",
+    "embed_kmeans_clusters",
+    "embed_knn_graph",
+    "embed_pca_projection",
+    "embed_pq_topk",
+    "events_variant_k_stats",
+    "ewma_user_value",
+    "graph_triangle_count",
+    "graph_triangle_lsh",
+    "salted_join_auto",
+    "session_window_stats",
+    "streaming_replay_dedup",
+    "streaming_static_enrich",
+    "streaming_stream_join",
+    "streaming_windowed_counts",
+    "text_bm25_search",
+    "text_fuzzy_probe_match",
+    "text_hybrid_rrf",
+    "text_lm_score",
+    "text_pii_scrub",
+    "timeseries_gapfill",
+    "trade_pagerank",
+    "unpivot_lineitem_measures",
+    "value_histogram",
+    "value_quantiles_approx",
+    "value_time_correlation",
+    # tier 3: the 8 canonical sentinels (same set as r04-r13)
     "wau_user",
     "sessionize_ids",
     "dedup_minhash_lsh",

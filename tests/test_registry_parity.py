@@ -59,10 +59,10 @@ def test_readme_count_matches_registry():
 def test_driver_window_composition():
     """The correctness driver snapshots only the FIRST 50 registered queries;
     registration order is a curated artifact (round-2 verdict: two front
-    inserts silently evicted driver-proven queries).  Pin the round-13 window:
+    inserts silently evicted driver-proven queries).  Pin the round-14 window:
     the first 50 names must be exactly DRIVER_WINDOW, in order.  Queries
     registered AFTER this freeze fall outside the window by design — they are
-    the round-14 rotation — so this test does NOT claim full cumulative
+    the round-15 rotation — so this test does NOT claim full cumulative
     coverage; test_driver_rows_cumulative_coverage computes that claim from
     the actual CORRECTNESS_r* files instead of asserting it in prose."""
     names = list(registry.queries())
@@ -72,8 +72,8 @@ def test_driver_window_composition():
 
 #: lanes whose OUTPUT or declared domain changed after their newest driver
 #: proof (round-9 advice: enforce the deferral structurally, not in a
-#: comment).  EMPTY at the r13 freeze: every lane the r10 list named got its
-#: r10 driver row on the changed output, and nothing changed output since.
+#: comment).  EMPTY at the r14 freeze: round 14 is an optimization round —
+#: every touched lane is bitwise-audited identical, so no output changed.
 #: Add a name here (and give it a window slot) the moment a proven lane's
 #: output or declared domain changes; deleting a name without a fresh driver
 #: row is the silent-stale failure mode this list exists to block.
@@ -92,22 +92,21 @@ def test_output_changed_lanes_hold_window_slots():
     )
 
 
-#: queries registered AFTER the r13 window freeze — they cannot hold a
-#: slot in THIS window and head the r14 rotation instead.  EMPTY at the
+#: queries registered AFTER the r14 window freeze — they cannot hold a
+#: slot in THIS window and head the r15 rotation instead.  EMPTY at the
 #: freeze; list every post-freeze registration here EXPLICITLY so the
 #: exemption is a conscious act, not a silent hole.  Keep in lockstep
 #: across both tests below.
-ADDED_AFTER_R13_FREEZE: set[str] = set()
+ADDED_AFTER_R14_FREEZE: set[str] = set()
 
 
 def test_driver_rows_cumulative_coverage():
-    """Every query present at the r13 window freeze must have a driver row
-    in r01..r12 or sit in the r13 window awaiting one — at this freeze the
-    awaiting set is exactly the 2 tier-1 lanes registered this round
-    (multimodal_decode_png_palette and multimodal_decode_png_adam7), both
-    holding window slots.  Queries added after the freeze are exempt (next
-    round's rotation) but must be listed in ADDED_AFTER_R13_FREEZE
-    explicitly."""
+    """Every query present at the r14 window freeze must have a driver row
+    in r01..r13 — at this freeze the awaiting set is empty (round 14
+    registered no new queries and the r13 window's two first-proof lanes
+    got their rows in CORRECTNESS_r13).  Queries added after the freeze
+    are exempt (next round's rotation) but must be listed in
+    ADDED_AFTER_R14_FREEZE explicitly."""
     import json
     import pathlib
 
@@ -120,22 +119,22 @@ def test_driver_rows_cumulative_coverage():
         for n in registry.queries()
         if n not in seen
         and n not in registry.DRIVER_WINDOW
-        and n not in ADDED_AFTER_R13_FREEZE
+        and n not in ADDED_AFTER_R14_FREEZE
     ]
     assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
 
 
 def test_driver_window_drains_the_backlog():
-    """Round-13 window audit: (a) every registered query either has a prior
+    """Round-14 window audit: (a) every registered query either has a prior
     driver row or a slot in THIS window (no orphans), and (b) no wasted
     slots — every window slot that re-proves an already-proven query is
     one of the 8 declared sentinels, an OUTPUT_CHANGED_SINCE_PROOF lane
     (stale row on a changed output), or a STALE-REFRESH slot whose newest
-    prior row is from round 7 or 8 (the oldest proofs left after r12: the
-    4 r07 overflow rows plus the alphabetically-first 36 of the 39 r08
-    rows refresh here — the other 3 head r14).  `latest` is pinned to the
-    rounds BEFORE this window froze (r01-r12): once the driver emits
-    CORRECTNESS_r13 for the window itself, an open glob would reclassify
+    prior row is from round 8 or 9 (the oldest proofs left after r13: the
+    3 r08 overflow rows plus the alphabetically-first 39 of the 42 r09
+    rows refresh here — the other 3 head r15).  `latest` is pinned to the
+    rounds BEFORE this window froze (r01-r13): once the driver emits
+    CORRECTNESS_r14 for the window itself, an open glob would reclassify
     all 50 slots as re-proofs and fail this test for succeeding."""
     import json
     import pathlib
@@ -145,7 +144,7 @@ def test_driver_window_drains_the_backlog():
     latest: dict[str, int] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        if rnd > 12:
+        if rnd > 13:
             continue  # pinned to the pre-freeze record
         for n in json.loads(f.read_text()):
             latest[n] = max(latest.get(n, 0), rnd)
@@ -165,7 +164,7 @@ def test_driver_window_drains_the_backlog():
         assert (
             n in sentinels
             or n in OUTPUT_CHANGED_SINCE_PROOF
-            or latest[n] in (7, 8)
+            or latest[n] in (8, 9)
         ), (
             f"window slot {n!r} re-proves a query last proven in "
             f"r{latest[n]:02d} — not a sentinel, not output-changed, not "
@@ -174,7 +173,7 @@ def test_driver_window_drains_the_backlog():
     never = [
         n
         for n in registry.queries()
-        if n not in latest and n not in ADDED_AFTER_R13_FREEZE
+        if n not in latest and n not in ADDED_AFTER_R14_FREEZE
     ]
     assert set(never) <= set(registry.DRIVER_WINDOW), (
         f"queries with no driver row left outside the window: "
